@@ -1,0 +1,36 @@
+"""simplex-tpu: TPU-native dense two-phase simplex LP solver.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the CUDA
+reference solver rik1599/SimplexOnCuda (see SURVEY.md for the component
+map). Public API:
+
+    from simplex_tpu import Problem, solve, Status
+    result = solve(problem)            # jitted two-phase simplex on TPU
+    result = solve_oracle(problem)     # NumPy oracle (host)
+"""
+
+from .config import EPS, SolverOptions, Status, compare  # noqa: F401
+from .problem import (  # noqa: F401
+    Problem, format_problem, read_problem, read_random_problem,
+    read_seed_file, write_problem, write_seed_file)
+from .generator import (  # noqa: F401
+    benchmark_seed, benchmark_sizes, generate_random_problem,
+    generate_random_problem_device)
+from .result import SolveResult  # noqa: F401
+from .oracle import solve_oracle  # noqa: F401
+
+__version__ = "0.1.0"
+
+
+def solve(problem, options=None, **kw):
+    """Solve a dense LP with the jitted TPU two-phase solver."""
+    from .two_phase import solve as _solve
+
+    return _solve(problem, options, **kw)
+
+
+def solve_batch(problems, options=None, **kw):
+    """Solve a batch of equally-shaped LPs with one vmapped solve."""
+    from .batch import solve_batch as _solve_batch
+
+    return _solve_batch(problems, options, **kw)

@@ -1,0 +1,121 @@
+"""Numerics config and solver options.
+
+TPU-native equivalent of the reference's cross-cutting macros layer
+(reference: include/macro.h:6-42): ``TYPE double`` becomes a configurable
+dtype (default float64, requiring ``jax_enable_x64``), and the three-way
+epsilon comparator ``compare(x, y, eps=1e-9)`` (macro.h:28-42) becomes the
+EPS constant plus explicit ``>= -EPS`` / ``<= EPS`` predicates baked into the
+jitted solver, with identical semantics: two values are "equal" when their
+absolute difference is strictly below EPS.
+
+Status codes mirror include/twoPhaseMethod.h:5-8 (INFEASIBLE=-1,
+UNBOUNDED=-2, DEGENERATE=-3, FEASIBLE=0) plus two additions that the
+reference does not have: MAXITER (iteration fuse — the reference can cycle
+forever, relazione.Rmd:1037-1039) and RUNNING (the loop-carried NOT_ENDED
+analogue, src/solver.cu:77).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+import numpy as np
+
+#: Epsilon used by every comparison in the solver (reference macro.h:28).
+EPS = 1e-9
+
+
+class Status(enum.IntEnum):
+    """Solver exit statuses (reference twoPhaseMethod.h:5-8, solver.cu:77)."""
+
+    OPTIMAL = 0        # reference: FEASIBLE
+    INFEASIBLE = -1
+    UNBOUNDED = -2
+    DEGENERATE = -3    # reference-compat: artificial variable left in base
+    MAXITER = -4       # new: iteration fuse tripped (no reference equivalent)
+    RUNNING = -10      # internal: loop not finished (reference NOT_ENDED)
+
+    @property
+    def message(self) -> str:
+        return {
+            Status.OPTIMAL: "Problem solved!",
+            Status.INFEASIBLE: "Problem INFEASIBLE!",
+            Status.UNBOUNDED: "Problem UNBOUNDED!",
+            Status.DEGENERATE: "Problem DEGENERATE!",
+            Status.MAXITER: "Iteration limit reached!",
+            Status.RUNNING: "Still running",
+        }[self]
+
+
+def compare(x, y=0.0, eps: float = EPS) -> int:
+    """Three-way epsilon comparison, identical to reference macro.h:28-42.
+
+    Returns 0 if ``|x - y| < eps``, -1 if ``x < y``, +1 otherwise.
+    Host-side helper (NumPy scalars); the jitted solver inlines the same
+    predicate as vectorised comparisons.
+    """
+    if abs(x - y) < eps:
+        return 0
+    return -1 if x < y else 1
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverOptions:
+    """Options controlling the two-phase solve.
+
+    The defaults reproduce the reference algorithm (Dantzig rule,
+    fp64, eps=1e-9) but — unlike the reference, which only detects
+    degeneracy and aborts (relazione.Rmd:64-66) — continue through
+    degenerate problems with Bland's-rule anti-cycling.
+    """
+
+    #: Tableau dtype. float64 matches the reference (macro.h:6); float32 is a
+    #: TPU-speed variant (f64 is software-emulated on TPU).
+    dtype: np.dtype = np.dtype(np.float64)
+
+    #: Epsilon for all comparisons (reference macro.h:28).
+    eps: float = EPS
+
+    #: Pivot-iteration fuse per phase. None -> 50 * (rows + cols), a
+    #: generous bound (reference benchmark instances need < 3 * rows).
+    max_iter: Optional[int] = None
+
+    #: 'dantzig' (reference rule: most negative reduced cost, solver.cu:87)
+    #: or 'bland' (always lowest eligible index; anti-cycling).
+    pivot_rule: str = "dantzig"
+
+    #: Consecutive non-improving (degenerate) pivots before temporarily
+    #: switching Dantzig -> Bland. None disables the fallback
+    #: (pure reference behaviour, which may cycle).
+    bland_threshold: Optional[int] = 50
+
+    #: 'continue': drive artificials out of the base after phase 1 and solve
+    #: phase 2 anyway (this repo's extension); 'reference': return
+    #: Status.DEGENERATE like the reference does (twoPhaseMethod.cu:270-282).
+    degeneracy: str = "continue"
+
+    #: Use Pallas kernels for the hot path when running on TPU.
+    #: 'auto' enables them on TPU backends, falls back to pure XLA elsewhere.
+    use_pallas: str | bool = "auto"
+
+    #: Pad the constraint axis to a multiple of this (TPU lane width).
+    lane_pad: int = 128
+    #: Pad the variable axis to a multiple of this (TPU sublane tile).
+    sublane_pad: int = 8
+
+    def resolved_max_iter(self, rows: int, cols: int) -> int:
+        if self.max_iter is not None:
+            return int(self.max_iter)
+        return 50 * (rows + cols)
+
+    def __post_init__(self):
+        if self.pivot_rule not in ("dantzig", "bland"):
+            raise ValueError(f"unknown pivot_rule {self.pivot_rule!r}")
+        if self.degeneracy not in ("continue", "reference"):
+            raise ValueError(f"unknown degeneracy policy {self.degeneracy!r}")
+        object.__setattr__(self, "dtype", np.dtype(self.dtype))
+
+
+DEFAULT_OPTIONS = SolverOptions()

@@ -1,0 +1,229 @@
+"""Pure-NumPy two-phase tableau simplex — the test oracle.
+
+A host-side implementation that is semantics-faithful to the reference's
+algorithm (SURVEY.md §3.2): Dantzig entering rule over an epsilon-aware
+argmin (reference src/solver.cu:78-126, src/reduction.cu:82-140), the
+eps=1e-9 three-way comparison discipline (include/macro.h:28-42), identical
+tableau layout semantics (variables-as-stored-rows, separate cost row and
+right-hand side; include/tabular.cuh:5-30, relazione.Rmd:290-301), the
+Phase-1 artificial-variable construction (twoPhaseMethod.cu:145-200), the
+Gaussian objective elimination (src/gaussian.cu:110-162) and the reference's
+status codes. It replaces the CUDA binary as the source of golden outputs
+for every test in ``tests/`` (the reference repo persists no solution
+artifacts).
+
+Two deliberate divergences from the reference, both documented in SURVEY.md:
+
+* Ties in argmin reductions break toward the lowest index (deterministic),
+  not the reference's GPU-reduction order.
+* The Phase-1 sign fix for negative right-hand sides negates the constraint
+  row and its slack but keeps the artificial coefficient +1
+  (``checkColumns``/``negateColumn``, twoPhaseMethod.cu:86-111, negate the
+  artificial identity entry too, which leaves Phase 1 starting from an
+  infeasible basis; none of the reference's benchmark instances — all with
+  b > 0 — ever hit that path).
+
+Beyond the reference (north-star requirements): Bland's-rule anti-cycling
+fallback and pivoting artificial variables out of a degenerate Phase-1 basis
+instead of aborting.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .config import DEFAULT_OPTIONS, SolverOptions, Status
+from .problem import Problem
+from .result import SolveResult
+
+
+class _Tableau:
+    """Host tableau in the reference's transposed layout: ``T[i, j]`` is the
+    coefficient of variable i in constraint j; ``b`` and the cost row live
+    outside the matrix (tabular.cuh:5-30, relazione.Rmd:290-301)."""
+
+    def __init__(self, T, b, costs, z, base):
+        self.T = T          # (R, m) variable-major coefficient matrix
+        self.b = b          # (m,)
+        self.costs = costs  # (R,) reduced costs
+        self.z = z          # objective cell (reference costs[0])
+        self.base = base    # (m,) int — basic variable per constraint
+
+
+def _build_phase1(problem: Problem, eps: float) -> _Tableau:
+    """Phase-1 tableau (reference fillTableu, twoPhaseMethod.cu:145-200):
+    stored rows = [structural | slack | artificial], b copied, artificial
+    basis, costs 1 on artificials; constraints with b <= -eps are negated
+    (structural + slack + b) so b >= 0 while artificials stay +1."""
+    m, n = problem.constraints, problem.vars
+    R = n + 2 * m
+    T = np.zeros((R, m), dtype=np.float64)
+    T[:n, :] = problem.A.T
+    T[n:n + m, :] = np.eye(m)
+    T[n + m:, :] = np.eye(m)
+    b = problem.b.astype(np.float64).copy()
+
+    flip = b <= -eps
+    T[:n + m, flip] *= -1.0
+    b[flip] *= -1.0
+
+    costs = np.zeros(R, dtype=np.float64)
+    costs[n + m:] = 1.0
+    base = np.arange(n + m, n + 2 * m, dtype=np.int64)
+    return _Tableau(T, b, costs, 0.0, base)
+
+
+def _gaussian_eliminate(t: _Tableau) -> None:
+    """Express the objective in terms of non-basic variables
+    (reference updateObjectiveFunction, gaussian.cu:110-162):
+    ``costs -= T @ costs[base]`` and ``z -= b @ costs[base]``.
+
+    Base entries pointing past the truncated tableau (redundant constraints
+    whose artificial stayed basic; their columns are zeroed) contribute 0."""
+    R = t.costs.shape[0]
+    valid = t.base < R
+    coeffs = np.where(valid, t.costs[np.minimum(t.base, R - 1)], 0.0)
+    t.costs = t.costs - t.T @ coeffs
+    t.z = t.z - t.b @ coeffs
+
+
+def _entering(costs, mask, eps, bland: bool):
+    """Entering variable: Dantzig argmin of reduced costs
+    (solver.cu:87, reduction.cu:82-104) or Bland's lowest eligible index.
+    Returns (h, min_cost); h == -1 when optimal (min cost > -eps)."""
+    masked = np.where(mask, costs, np.inf)
+    if bland:
+        eligible = np.nonzero(masked <= -eps)[0]
+        if eligible.size == 0:
+            return -1, 0.0
+        h = int(eligible[0])
+        return h, float(costs[h])
+    h = int(np.argmin(masked))
+    minc = float(masked[h])
+    if not (minc <= -eps):
+        return -1, minc
+    return h, minc
+
+
+def _pivot(t: _Tableau, h: int, k: int, minc: float) -> None:
+    """Rank-1 pivot update (reference updateTableau + updateCostsVector,
+    solver.cu:34-75): divide pivot column k by p, subtract
+    ``outer(T[:, k], a_h / p)`` elsewhere; same for b and the cost row."""
+    a_h = t.T[h, :].copy()
+    p = a_h[k]
+    colk = t.T[:, k].copy()
+    bk = t.b[k]
+    factor = a_h / p
+    t.T -= np.outer(colk, factor)
+    t.T[:, k] = colk / p
+    t.b -= bk * factor
+    t.b[k] = bk / p
+    t.costs -= (minc / p) * colk
+    t.z -= (minc / p) * bk
+    t.base[k] = h
+
+
+def _solve_loop(t: _Tableau, enter_mask, options: SolverOptions,
+                max_iter: int) -> tuple[Status, int]:
+    """The hot loop (reference solve, solver.cu:78-149): entering argmin ->
+    unboundedness test -> min-ratio leaving test -> rank-1 update. Adds the
+    Bland fallback after ``bland_threshold`` consecutive non-improving
+    pivots and an iteration fuse (no reference equivalents)."""
+    eps = options.eps
+    bland = options.pivot_rule == "bland"
+    stall = 0
+    for it in range(max_iter):
+        h, minc = _entering(t.costs, enter_mask, eps, bland)
+        if h < 0:
+            return Status.OPTIMAL, it
+        a_h = t.T[h, :]
+        ratio_mask = a_h >= eps
+        if not ratio_mask.any():
+            return Status.UNBOUNDED, it
+        ratios = np.where(ratio_mask, t.b / np.where(ratio_mask, a_h, 1.0),
+                          np.inf)
+        k = int(np.argmin(ratios))
+        z_before = t.z
+        _pivot(t, h, k, minc)
+        if options.pivot_rule == "dantzig" and options.bland_threshold:
+            if abs(t.z - z_before) < eps:
+                stall += 1
+                if stall >= options.bland_threshold:
+                    bland = True
+            else:
+                stall = 0
+                bland = False
+    return Status.MAXITER, max_iter
+
+
+def _pivot_out_artificials(t: _Tableau, n: int, m: int, eps: float) -> None:
+    """Drive zero-valued artificial variables out of the Phase-1 basis so
+    Phase 2 can proceed (north-star extension; the reference instead returns
+    DEGENERATE and aborts, twoPhaseMethod.cu:270-282). For each basic
+    artificial row, pivot in any non-artificial variable with a nonzero
+    coefficient; if the row has none it is a redundant constraint and is
+    zeroed out (excluded from future ratio tests)."""
+    for k in range(m):
+        if t.base[k] < n + m:
+            continue
+        row = t.T[:n + m, k]
+        candidates = np.nonzero(np.abs(row) >= eps)[0]
+        if candidates.size:
+            h = int(candidates[0])
+            # Degenerate pivot: b[k] ~ 0, so feasibility is preserved even
+            # for a negative pivot element.
+            _pivot(t, h, k, float(t.costs[h]))
+        else:
+            t.T[:, k] = 0.0
+            t.b[k] = 0.0
+
+
+def solve_oracle(problem: Problem,
+                 options: SolverOptions = DEFAULT_OPTIONS) -> SolveResult:
+    """Two-phase simplex, host NumPy (reference twoPhaseMethod,
+    twoPhaseMethod.cu:385-435)."""
+    m, n = problem.constraints, problem.vars
+    eps = float(options.eps)
+    R = n + 2 * m
+    max_iter = options.resolved_max_iter(R, m)
+
+    # ---- Phase 1 (twoPhaseMethod.cu:225-283) ----
+    t = _build_phase1(problem, eps)
+    _gaussian_eliminate(t)
+    mask1 = np.ones(R, dtype=bool)
+    status1, iters1 = _solve_loop(t, mask1, options, max_iter)
+    if status1 == Status.MAXITER:
+        return SolveResult(Status.MAXITER, None, float(t.z), iters1, 0)
+    # Infeasible iff the phase-1 objective cell stays below -eps
+    # (twoPhaseMethod.cu:264-268).
+    if t.z <= -eps:
+        return SolveResult(Status.INFEASIBLE, None, float(t.z), iters1, 0)
+
+    degenerate = bool((t.base >= n + m).any())
+    if degenerate and options.degeneracy == "reference":
+        return SolveResult(Status.DEGENERATE, None, float(t.z), iters1, 0,
+                           degenerate=True)
+    if degenerate:
+        _pivot_out_artificials(t, n, m, eps)
+
+    # ---- Phase 2 (twoPhaseMethod.cu:285-356) ----
+    # Truncate the artificial block (rows -= cols, twoPhaseMethod.cu:288),
+    # rebuild costs = [-c | 0] keeping the phase-1 objective cell
+    # (twoPhaseMethod.cu:296-325), re-eliminate, re-solve.
+    R2 = n + m
+    t2 = _Tableau(t.T[:R2], t.b, np.concatenate(
+        [-problem.c.astype(np.float64), np.zeros(m)]), t.z, t.base)
+    _gaussian_eliminate(t2)
+    mask2 = np.ones(R2, dtype=bool)
+    status2, iters2 = _solve_loop(t2, mask2, options, max_iter)
+    if status2 != Status.OPTIMAL:
+        return SolveResult(status2, None, float(t2.z), iters1, iters2,
+                           degenerate=degenerate)
+
+    # ---- Solution extraction (twoPhaseMethod.cu:370-383):
+    # x[base[k]] = b[k] for basic structural variables.
+    x = np.zeros(n, dtype=np.float64)
+    structural = t2.base < n
+    x[t2.base[structural]] = t2.b[structural]
+    return SolveResult(Status.OPTIMAL, x, float(t2.z), iters1, iters2,
+                       degenerate=degenerate)

@@ -1,0 +1,49 @@
+"""Test harness config: run JAX on a virtual 8-device CPU mesh with x64.
+
+This is the standard JAX fake-backend pattern for testing multi-chip
+sharding without hardware (SURVEY.md §4d): the real TPU path is exercised
+by bench.py / __graft_entry__.py on hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import pathlib  # noqa: E402
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+DATA = pathlib.Path(__file__).resolve().parent.parent / "data" / "examples"
+
+
+@pytest.fixture
+def small_problem():
+    from simplex_tpu import read_problem
+
+    return read_problem(DATA / "smallProblem.txt")
+
+
+@pytest.fixture
+def infeasible_problem():
+    from simplex_tpu import read_problem
+
+    return read_problem(DATA / "infeasibleProblem.txt")
+
+
+def assert_valid_solution(problem, result, tol=1e-6):
+    """Property check (SURVEY.md §4c): x feasible and objective consistent."""
+    x = result.x
+    assert x is not None
+    assert (x >= -tol).all(), "negative variable"
+    assert (problem.A @ x <= problem.b + tol * (1 + np.abs(problem.b))).all()
+    assert abs(problem.c @ x - result.objective) <= tol * (
+        1 + abs(result.objective))

@@ -1,0 +1,67 @@
+"""Seeded random generation (reference generator.cu, problem.cu:49-126)."""
+
+import numpy as np
+
+from simplex_tpu import benchmark_seed, benchmark_sizes, generate_random_problem
+from simplex_tpu.utils.crand import derive_subseeds, glibc_rand3, msvc_rand3
+
+
+def test_glibc_rand_known_values():
+    # glibc rand() after srand(1) famously starts 1804289383, ...
+    assert glibc_rand3(1) == (1804289383, 846930886, 1681692777)
+
+
+def test_msvc_rand_known_values():
+    # MSVC rand() after srand(1): 41, 18467, 6334.
+    assert msvc_rand3(1) == (41, 18467, 6334)
+
+
+def test_subseeds_deterministic():
+    assert derive_subseeds(102656) == derive_subseeds(102656)
+    assert derive_subseeds(102656) != derive_subseeds(102657)
+
+
+def test_generation_reproducible():
+    a = generate_random_problem(64, 32, 4242, 1, 100)
+    b = generate_random_problem(64, 32, 4242, 1, 100)
+    np.testing.assert_array_equal(a.A, b.A)
+    np.testing.assert_array_equal(a.b, b.b)
+    np.testing.assert_array_equal(a.c, b.c)
+    c = generate_random_problem(64, 32, 4243, 1, 100)
+    assert not np.array_equal(a.A, c.A)
+
+
+def test_generation_range():
+    p = generate_random_problem(50, 40, 7, 1, 100)
+    for arr in (p.A, p.b, p.c):
+        assert arr.min() >= 1.0 and arr.max() < 100.0
+    assert p.A.shape == (40, 50)
+
+
+def test_benchmark_seed_formula():
+    # main.cu:63: seed = vars*100 + constraints, +1 for 1024x8192.
+    assert benchmark_seed(1024, 256) == 102656
+    assert benchmark_seed(1024, 8192) == 1024 * 100 + 8192 + 1
+    assert benchmark_seed(8192, 8192) == 8192 * 100 + 8192
+
+
+def test_benchmark_sizes_matches_sweep():
+    sizes = benchmark_sizes()
+    assert len(sizes) == 36
+    assert sizes[0] == (256, 256)
+    assert sizes[-1] == (8192, 8192)
+    # constraint-major order (outer loop over constraints, main.cu:59-73)
+    assert sizes[1] == (512, 256)
+
+
+def test_seed_files_match_sweep():
+    # The vendored seed files pin seed formula and [1,100] range (C13).
+    import pathlib
+
+    d = (pathlib.Path(__file__).resolve().parent.parent / "data" /
+         "examples" / "benchmark_problems")
+    from simplex_tpu import read_seed_file
+
+    for n, m in benchmark_sizes(1024):
+        f = d / f"random_{n}_{m}.txt"
+        assert read_seed_file(f) == (n, m, benchmark_seed(n, m), 1.0, 100.0)
