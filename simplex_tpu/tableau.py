@@ -1,0 +1,186 @@
+"""Device tableau representation.
+
+TPU-native equivalent of the reference's tableau storage layer
+(reference: include/tabular.cuh:5-30, src/tabular.cu:25-39) and of the
+Phase-1 tableau construction (``fillTableu``, twoPhaseMethod.cu:145-200).
+
+Layout follows the reference's central data-structure decision
+(relazione.Rmd:290-301) — the tableau is stored *variable-major*: ``T[i, j]``
+is the coefficient of variable ``i`` in constraint ``j``, so an entering
+variable's column a_h is a contiguous row slice. Unlike the reference:
+
+* the right-hand side ``b`` and the reduced-cost row ``costs`` are separate
+  arrays instead of matrix row 0 / an off-matrix vector with the objective
+  cell at index 0 (tabular.cu:35, tabular.cuh:19-20); the objective cell is
+  the scalar ``z``. Same semantics, friendlier for sharding: ``T`` and
+  ``costs`` shard along the variable axis, ``b``/``base``/``z`` replicate.
+* both axes are padded to TPU tile boundaries (lanes=128 on the constraint
+  axis, sublanes on the variable axis); padding is masked out of every
+  reduction via the static real sizes carried as pytree metadata.
+
+The reference's six-stream fill choreography (twoPhaseMethod.cu:147-199) is
+replaced by a single jitted concatenation XLA fuses on its own, and the
+dynamic-parallelism column-sign fix (``checkColumns`` -> device-launched
+``negateColumn``, twoPhaseMethod.cu:100-111) becomes a vectorised
+``jnp.where`` on a ``b <= -eps`` mask. Divergence (documented): the
+reference negates the artificial identity entry too, which breaks its
+Phase-1 basis for negative b; here artificials keep coefficient +1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SolverOptions
+
+
+def round_up(x: int, mult: int) -> int:
+    return -(-x // mult) * mult
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=("T", "b", "costs", "z", "base"),
+         meta_fields=("n", "m", "r"))
+@dataclasses.dataclass
+class Tableau:
+    """Solver state pytree (reference tabular_t + base vector).
+
+    Shapes: ``T (R_pad, M_pad)``, ``b (M_pad,)``, ``costs (R_pad,)``,
+    ``z ()``, ``base (M_pad,) int32``. Static metadata: ``n`` structural
+    variables, ``m`` real constraints, ``r`` real (active) variable rows —
+    ``n + 2m`` in phase 1, ``n + m`` after the phase-2 truncation
+    (``rows -= cols``, twoPhaseMethod.cu:288).
+    """
+
+    T: jax.Array
+    b: jax.Array
+    costs: jax.Array
+    z: jax.Array
+    base: jax.Array
+    n: int
+    m: int
+    r: int
+
+    @property
+    def rows_padded(self) -> int:
+        return self.T.shape[-2]
+
+    @property
+    def cols_padded(self) -> int:
+        return self.T.shape[-1]
+
+    def row_mask(self) -> jax.Array:
+        """(R_pad,) bool — True on real (active) variable rows."""
+        return jnp.arange(self.rows_padded) < self.r
+
+    def col_mask(self) -> jax.Array:
+        """(M_pad,) bool — True on real constraint columns."""
+        return jnp.arange(self.cols_padded) < self.m
+
+
+def padded_dims(n: int, m: int, options: SolverOptions) -> tuple[int, int, int]:
+    """(R1_pad, R2_pad, M_pad) for phase-1 rows n+2m, phase-2 rows n+m."""
+    return (round_up(n + 2 * m, options.sublane_pad),
+            round_up(n + m, options.sublane_pad),
+            round_up(m, options.lane_pad))
+
+
+def build_phase1(A: jax.Array, b: jax.Array, n: int, m: int,
+                 options: SolverOptions) -> Tableau:
+    """Build the Phase-1 tableau (reference fillTableu,
+    twoPhaseMethod.cu:145-200): stored rows [structural | slack |
+    artificial], artificial basis ``base = [n+m .. n+2m-1]``
+    (twoPhaseMethod.cu:190-195), costs 1 on artificials, and the b-sign fix.
+
+    ``A`` is (m, n) constraint-major; it is transposed here into the
+    variable-major tableau (the reference receives it already column-major,
+    problem.cu:41).
+    """
+    dtype = jnp.dtype(options.dtype)
+    eps = options.eps
+    R_pad, _, M_pad = padded_dims(n, m, options)
+    r = n + 2 * m
+
+    A = A.astype(dtype)
+    b = b.astype(dtype)
+
+    # Sign fix for negative right-hand sides: negate structural+slack row
+    # entries and b, keep the artificial block +1 (see module docstring).
+    flip = b <= -eps                       # (m,)
+    sign = jnp.where(flip, -1.0, 1.0).astype(dtype)
+
+    eye = jnp.eye(m, dtype=dtype)
+    T_real = jnp.concatenate([
+        A.T * sign[None, :],               # structural rows (n, m)
+        eye * sign[None, :],               # slack identity (m, m)
+        eye,                               # artificial identity (m, m)
+    ], axis=0)
+    T = jnp.zeros((R_pad, M_pad), dtype=dtype).at[:r, :m].set(T_real)
+    b_pad = jnp.zeros((M_pad,), dtype=dtype).at[:m].set(b * sign)
+
+    costs = jnp.zeros((R_pad,), dtype=dtype).at[n + m:r].set(1.0)
+    # Padded base entries point past every row -> dropped by masked scatters.
+    base = jnp.full((M_pad,), R_pad, dtype=jnp.int32).at[:m].set(
+        jnp.arange(n + m, n + 2 * m, dtype=jnp.int32))
+    return Tableau(T=T, b=b_pad, costs=costs, z=jnp.zeros((), dtype),
+                   base=base, n=n, m=m, r=r)
+
+
+def gaussian_eliminate(tab: Tableau) -> Tableau:
+    """Objective-row elimination (reference updateObjectiveFunction,
+    gaussian.cu:110-162): ``costs -= T @ costs[base]``,
+    ``z -= b @ costs[base]``. The reference's atomicAdd tree-reduction
+    kernels collapse into one XLA matvec that runs on the MXU.
+
+    Out-of-range base entries (padding, or artificials left basic over a
+    truncated tableau — their columns are zeroed) contribute 0.
+    """
+    R_pad = tab.rows_padded
+    valid = tab.base < tab.r
+    coeffs = jnp.where(
+        valid, tab.costs[jnp.minimum(tab.base, R_pad - 1)], 0.0)
+    return dataclasses.replace(
+        tab,
+        costs=tab.costs - tab.T @ coeffs,
+        z=tab.z - tab.b @ coeffs,
+    )
+
+
+def phase2_reset(tab: Tableau, c: jax.Array,
+                 options: SolverOptions) -> Tableau:
+    """Truncate the artificial block and install the Phase-2 objective
+    (reference phase2 steps 1-2, twoPhaseMethod.cu:288-325): active rows
+    shrink to n+m (a static slice here — the reference just decrements
+    ``rows``), costs become [-c | 0], and the objective cell z carries over
+    from phase 1 verbatim (the reference never resets costs[0])."""
+    n, m = tab.n, tab.m
+    _, R2_pad, _ = padded_dims(n, m, options)
+    r2 = n + m
+    dtype = tab.T.dtype
+    costs = jnp.zeros((R2_pad,), dtype=dtype).at[:n].set(-c.astype(dtype))
+    return Tableau(T=tab.T[:R2_pad], b=tab.b, costs=costs, z=tab.z,
+                   base=tab.base, n=n, m=m, r=r2)
+
+
+def extract_solution(tab: Tableau) -> jax.Array:
+    """Solution vector (reference getSolution scatter,
+    twoPhaseMethod.cu:116-128,370-383): ``x[base[k]] = b[k]`` for basic
+    structural variables; slack/artificial/padding indices drop."""
+    idx = jnp.where(tab.base < tab.n, tab.base, tab.n)
+    x_ext = jnp.zeros((tab.n + 1,), tab.b.dtype).at[idx].set(
+        tab.b, mode="drop")
+    return x_ext[:tab.n]
+
+
+def count_basic_artificials(tab: Tableau) -> jax.Array:
+    """Degeneracy check (reference checkDegeneracy + countElementsInRange,
+    twoPhaseMethod.cu:134-143,206-223): artificial indices still in base."""
+    first_artificial = tab.n + tab.m
+    in_range = (tab.base >= first_artificial) & (
+        tab.base < tab.n + 2 * tab.m)
+    return jnp.sum(in_range.astype(jnp.int32))

@@ -1,0 +1,170 @@
+"""Two-phase simplex orchestration, jitted end-to-end.
+
+TPU-native equivalent of the reference's algorithm layer (reference:
+src/twoPhaseMethod.cu:225-435). One fully-jitted device core
+(``solve_device``) runs: Phase-1 build -> Gaussian elimination -> solve
+loop -> infeasibility/degeneracy checks -> (extension) pivot artificials
+out of a degenerate basis -> Phase-2 truncation + cost reset -> Gaussian
+elimination -> solve loop -> solution extraction. Statuses are data, not
+host branches, so the same core vmaps (batch.py) and shard_maps
+(parallel/sharded.py) unchanged; Phase 2 always executes on device and its
+result is masked out when Phase 1 already decided INFEASIBLE/DEGENERATE
+(the reference instead early-returns on the host,
+twoPhaseMethod.cu:414-427).
+
+The host wrapper ``solve()`` is the public entry point and reproduces the
+reference's end-to-end contract (problem in, status + solution + optimal
+value out, twoPhaseMethod.h:19).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+import numpy as np
+
+from .config import DEFAULT_OPTIONS, SolverOptions, Status
+from .problem import Problem
+from .result import SolveResult
+from .solver import pivot_update, solve_loop
+from .tableau import (Tableau, build_phase1, count_basic_artificials,
+                      extract_solution, gaussian_eliminate, phase2_reset)
+
+
+class DeviceSolveOutput(NamedTuple):
+    """Raw device outputs of one two-phase solve (all jax arrays)."""
+
+    status: jax.Array        # int32 Status
+    x: jax.Array             # (n,) solution, zeros unless OPTIMAL
+    objective: jax.Array     # scalar, reference costs[0] convention
+    iterations_phase1: jax.Array
+    iterations_phase2: jax.Array
+    n_artificial_in_base: jax.Array
+
+
+def pivot_out_artificials(tab: Tableau, options: SolverOptions) -> Tableau:
+    """Drive zero-valued artificials out of the Phase-1 basis (north-star
+    extension; the reference aborts with DEGENERATE instead,
+    twoPhaseMethod.cu:270-282). For each constraint whose basic variable is
+    artificial: pivot in the lowest-index non-artificial variable with a
+    nonzero coefficient (a degenerate pivot — b[k] ~ 0 keeps feasibility
+    even for a negative pivot element); if the row has none it is a
+    redundant constraint and its column is zeroed out of the tableau.
+    """
+    eps = float(options.eps)
+    n, m = tab.n, tab.m
+    R_pad = tab.rows_padded
+    real_rows = jnp.arange(R_pad) < (n + m)
+
+    def body(k, tab):
+        is_art = tab.base[k] >= (n + m)
+        colk = tab.T[:, k]
+        candidates = real_rows & (jnp.abs(colk) >= eps)
+        has_pivot = candidates.any()
+        h = jnp.argmin(jnp.where(candidates, jnp.arange(R_pad), R_pad))
+        h = h.astype(jnp.int32)
+
+        def do_pivot(t):
+            return pivot_update(t, h, k, t.costs[h])
+
+        def drop_redundant(t):
+            return dataclasses.replace(
+                t, T=t.T.at[:, k].set(0.0), b=t.b.at[k].set(0.0))
+
+        def fix(t):
+            return lax.cond(has_pivot, do_pivot, drop_redundant, t)
+
+        return lax.cond(is_art, fix, lambda t: t, tab)
+
+    return lax.fori_loop(0, m, body, tab)
+
+
+@partial(jax.jit, static_argnames=("n", "m", "options"))
+def solve_device(A: jax.Array, b: jax.Array, c: jax.Array, n: int, m: int,
+                 options: SolverOptions = DEFAULT_OPTIONS
+                 ) -> DeviceSolveOutput:
+    """Full two-phase solve on device (reference twoPhaseMethod,
+    twoPhaseMethod.cu:385-435). ``A`` is (m, n), ``b`` (m,), ``c`` (n,).
+    """
+    eps = float(options.eps)
+    max_iter = options.resolved_max_iter(n + 2 * m, m)
+
+    # ---- Phase 1 (twoPhaseMethod.cu:225-283) ----
+    tab = build_phase1(A, b, n, m, options)
+    tab = gaussian_eliminate(tab)
+    tab, status1, iters1 = solve_loop(tab, options, max_iter)
+
+    infeasible = tab.z <= -eps           # twoPhaseMethod.cu:264-268
+    z_phase1 = tab.z
+    n_art = count_basic_artificials(tab)
+    degenerate = n_art > 0
+
+    if options.degeneracy == "continue":
+        # Only meaningful for feasible-but-degenerate bases (artificials at
+        # value ~0); infeasible tableaus keep their phase-1 state for the
+        # reported objective.
+        tab = lax.cond(degenerate & ~infeasible,
+                       lambda t: pivot_out_artificials(t, options),
+                       lambda t: t, tab)
+
+    # ---- Phase 2 (twoPhaseMethod.cu:285-356) ----
+    tab2 = phase2_reset(tab, c, options)
+    tab2 = gaussian_eliminate(tab2)
+    tab2, status2, iters2 = solve_loop(tab2, options, max_iter)
+
+    x = extract_solution(tab2)
+
+    # Status resolution, replacing the reference's host early-returns.
+    fuse1 = status1 == int(Status.RUNNING)
+    fuse2 = status2 == int(Status.RUNNING)
+    status = jnp.where(fuse2, int(Status.MAXITER), status2)
+    if options.degeneracy == "reference":
+        status = jnp.where(degenerate, int(Status.DEGENERATE), status)
+    status = jnp.where(infeasible, int(Status.INFEASIBLE), status)
+    status = jnp.where(fuse1, int(Status.MAXITER), status)
+    status = status.astype(jnp.int32)
+
+    phase1_failed = infeasible | fuse1
+    if options.degeneracy == "reference":
+        phase1_failed = phase1_failed | degenerate
+    objective = jnp.where(phase1_failed, z_phase1, tab2.z)
+    x = jnp.where(status == int(Status.OPTIMAL), x, jnp.zeros_like(x))
+    iters2 = jnp.where(phase1_failed, 0, iters2)
+
+    return DeviceSolveOutput(status, x, objective,
+                             iters1.astype(jnp.int32),
+                             iters2.astype(jnp.int32), n_art)
+
+
+def solve(problem: Problem, options: SolverOptions | None = None,
+          **replacements) -> SolveResult:
+    """Public entry point: solve a dense LP with the jitted TPU core.
+
+    ``replacements`` override individual SolverOptions fields, e.g.
+    ``solve(p, dtype=np.float32, pivot_rule="bland")``.
+    """
+    options = options or DEFAULT_OPTIONS
+    if replacements:
+        options = dataclasses.replace(options, **replacements)
+    if options.dtype == np.float64:
+        jax.config.update("jax_enable_x64", True)
+
+    m, n = problem.constraints, problem.vars
+    out = solve_device(jnp.asarray(problem.A), jnp.asarray(problem.b),
+                       jnp.asarray(problem.c), n, m, options)
+    out = jax.device_get(out)
+    status = Status(int(out.status))
+    return SolveResult(
+        status=status,
+        x=np.asarray(out.x) if status == Status.OPTIMAL else None,
+        objective=float(out.objective),
+        iterations_phase1=int(out.iterations_phase1),
+        iterations_phase2=int(out.iterations_phase2),
+        degenerate=bool(out.n_artificial_in_base > 0),
+    )

@@ -7,7 +7,6 @@ by bench.py / __graft_entry__.py on hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +14,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The axon boot hook force-selects the TPU backend programmatically, so the
+# env var alone is not enough — override via jax.config after import.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import pathlib  # noqa: E402
