@@ -1,0 +1,136 @@
+"""Benchmark: pivot-update throughput on the north-star dense LP.
+
+Measures the hot solve loop (entering argmin -> ratio test -> rank-1
+tableau update, all inside one ``lax.while_loop`` with zero host syncs)
+on the BASELINE.json headline shape m=10k constraints x n=100k variables,
+and reports sustained HBM throughput of the pivot update per chip.
+
+Baseline: the reference CUDA solver's best measured pivot-update
+throughput — ~166 GB/s on an RTX 2070 Super at its largest benchmark size
+(BASELINE.md, derived from the 19.4 ms mean solve-cycle over a 1.61 GB
+fp64 tableau; ~37% of that GPU's 448 GB/s peak). ``vs_baseline`` is our
+sustained GB/s over that 166 GB/s.
+
+Prints ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+REFERENCE_GBPS = 166.0  # BASELINE.md: RTX 2070 Super, 8192x8192 fp64
+
+
+def build_bench_state(n: int, m: int, dtype, options):
+    import jax
+    import jax.numpy as jnp
+
+    from simplex_tpu.tableau import build_phase1, gaussian_eliminate
+
+    key = jax.random.key(n * 100 + m)
+    ka, kb, kc = jax.random.split(key, 3)
+    A = jax.random.uniform(ka, (m, n), dtype=jnp.float32, minval=1.0,
+                           maxval=100.0)
+    b = jax.random.uniform(kb, (m,), dtype=jnp.float32, minval=1.0,
+                           maxval=100.0)
+
+    @jax.jit
+    def prep(A, b):
+        tab = build_phase1(A.astype(dtype), b.astype(dtype), n, m, options)
+        return gaussian_eliminate(tab)
+
+    return jax.block_until_ready(prep(A, b))
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--vars", type=int, default=100_000)
+    parser.add_argument("--constraints", type=int, default=10_000)
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "float64"])
+    parser.add_argument("--iters", type=int, default=40,
+                        help="timed pivot iterations")
+    parser.add_argument("--repeats", type=int, default=3)
+    args = parser.parse_args()
+
+    import jax
+
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from simplex_tpu.config import SolverOptions
+    from simplex_tpu.solver import solve_loop
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} backend={jax.default_backend()}")
+
+    n, m, K = args.vars, args.constraints, args.iters
+    dtype = jnp.dtype(args.dtype)
+    options = SolverOptions(dtype=np.dtype(args.dtype))
+
+    log(f"building phase-1 tableau n={n} m={m} dtype={dtype.name} ...")
+    t0 = time.perf_counter()
+    tab0 = build_bench_state(n, m, dtype, options)
+    R_pad, M_pad = tab0.T.shape
+    tableau_gb = R_pad * M_pad * dtype.itemsize / 1e9
+    log(f"tableau {R_pad} x {M_pad} = {tableau_gb:.2f} GB "
+        f"(built in {time.perf_counter() - t0:.1f}s)")
+
+    @jax.jit
+    def run(tab):
+        tab, status, iters = solve_loop(tab, options, K)
+        return tab, status, iters
+
+    log("compiling + warmup ...")
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(run(tab0))
+    warm_s = time.perf_counter() - t0
+    iters_done = int(out[2])
+    log(f"warmup: {warm_s:.1f}s, status={int(out[1])}, iters={iters_done}")
+    if iters_done < K:
+        log(f"WARNING: loop ended after {iters_done} < {K} pivots")
+        K = max(iters_done, 1)
+
+    times = []
+    for rep in range(args.repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(tab0))
+        times.append(time.perf_counter() - t0)
+        log(f"repeat {rep}: {times[-1]:.3f}s "
+            f"({times[-1] / K * 1e3:.2f} ms/pivot)")
+
+    best = min(times)
+    per_iter_s = best / K
+    # Bytes per pivot: the rank-1 update reads + writes the full tableau
+    # (the reference's accounting, BASELINE.md "implied throughput").
+    bytes_per_iter = 2 * R_pad * M_pad * dtype.itemsize
+    gbps = bytes_per_iter / per_iter_s / 1e9
+    iters_per_s = 1.0 / per_iter_s
+
+    log(f"best: {per_iter_s * 1e3:.2f} ms/pivot, {iters_per_s:.1f} pivots/s, "
+        f"{gbps:.0f} GB/s sustained")
+
+    print(json.dumps({
+        "metric": (f"pivot-update HBM throughput, dense LP m={m} n={n} "
+                   f"{dtype.name} (solve-cycle {per_iter_s * 1e3:.2f} ms, "
+                   f"{iters_per_s:.1f} pivots/s)"),
+        "value": round(gbps, 1),
+        "unit": "GB/s/chip",
+        "vs_baseline": round(gbps / REFERENCE_GBPS, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

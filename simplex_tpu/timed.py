@@ -1,0 +1,159 @@
+"""Per-operation timed two-phase solve (the -D TIMER build of the
+reference, twoPhaseMethod.cu:225-435 with chrono instrumentation).
+
+Unlike the fused ``two_phase.solve_device`` (one jitted core, zero host
+round-trips — the performance path), this driver splits the solve at the
+same operation boundaries the reference times (SURVEY.md C9):
+``fillTableau``, ``gauss1``, ``solve``, ``checkDegeneracy``,
+``costsVector``, ``gauss2``, ``solve``, ``solution`` — each a separate
+jitted call bracketed by ``block_until_ready`` host timing, rows appended
+to the Chrono CSV with the reference's schema and row conventions.
+
+Two solve-timing modes:
+
+* aggregate (default): one ``solve`` row per phase (total wall time of the
+  fused ``lax.while_loop``) plus a ``solveIterations`` row whose
+  elapsed_time column holds the pivot count — a documented divergence
+  from the reference, which emits one ``solve`` row per pivot
+  (solver.cu:84-123) because its loop round-trips the host anyway.
+* ``per_iteration=True``: exact reference behaviour — the jitted
+  single-pivot step (solver.iteration_body) is driven from the host and
+  every pivot gets its own ``solve`` row. Slower (per-pivot host sync),
+  meant for profiling parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .chrono import Chrono, NullChrono
+from .config import DEFAULT_OPTIONS, SolverOptions, Status
+from .problem import Problem
+from .result import SolveResult
+from .solver import (LoopState, initial_state, iteration_body, solve_loop)
+from .tableau import (build_phase1, count_basic_artificials,
+                      extract_solution, gaussian_eliminate, phase2_reset)
+from .two_phase import pivot_out_artificials
+
+
+@partial(jax.jit, static_argnames=("n", "m", "options"))
+def _build(A, b, n, m, options):
+    return build_phase1(A, b, n, m, options)
+
+
+@partial(jax.jit, static_argnames=())
+def _gauss(tab):
+    return gaussian_eliminate(tab)
+
+
+@partial(jax.jit, static_argnames=("options", "max_iter"))
+def _solve(tab, options, max_iter):
+    return solve_loop(tab, options, max_iter)
+
+
+@partial(jax.jit, static_argnames=("options",))
+def _step(state: LoopState, options) -> LoopState:
+    return iteration_body(state, options)
+
+
+@partial(jax.jit, static_argnames=("options",))
+def _phase2(tab, c, options):
+    return phase2_reset(tab, c, options)
+
+
+def _timed(chrono, rows, cols, op, fn, *args):
+    chrono.start(rows, cols, op)
+    out = jax.block_until_ready(fn(*args))
+    chrono.stop()
+    return out
+
+
+def _run_solve(tab, options, max_iter, chrono, rows_csv, per_iteration):
+    if not per_iteration:
+        chrono.start(rows_csv, tab.m, "solve")
+        tab, status, iters = jax.block_until_ready(
+            _solve(tab, options, max_iter))
+        chrono.stop()
+        chrono.row(rows_csv, tab.m, "solveIterations", int(iters) / 1e6)
+        return tab, int(status), int(iters)
+
+    state = initial_state(tab, options)
+    iters = 0
+    while int(state.status) == int(Status.RUNNING) and iters < max_iter:
+        chrono.start(rows_csv, tab.m, "solve")
+        state = jax.block_until_ready(_step(state, options))
+        chrono.stop()
+        iters = int(state.iterations)
+        if int(state.status) != int(Status.RUNNING):
+            break
+    return state.tab, int(state.status), iters
+
+
+def solve_timed(problem: Problem, options: SolverOptions | None = None,
+                chrono: Chrono | NullChrono | None = None,
+                per_iteration: bool = False, **replacements) -> SolveResult:
+    """Host-orchestrated two-phase solve with per-op CSV timing; same
+    result contract as two_phase.solve (and the reference's host
+    early-returns for INFEASIBLE/DEGENERATE, twoPhaseMethod.cu:414-427)."""
+    options = options or DEFAULT_OPTIONS
+    if replacements:
+        options = dataclasses.replace(options, **replacements)
+    if options.dtype == np.float64:
+        jax.config.update("jax_enable_x64", True)
+    chrono = chrono or NullChrono()
+
+    m, n = problem.constraints, problem.vars
+    eps = float(options.eps)
+    max_iter = options.resolved_max_iter(n + 2 * m, m)
+    A = jnp.asarray(problem.A)
+    b = jnp.asarray(problem.b)
+    c = jnp.asarray(problem.c)
+
+    # CSV "vars" column convention: tableau rows incl. the cost row
+    # (chrono.cu:37) — n+2m+1 in phase 1, n+m+1 in phase 2.
+    r1, r2 = n + 2 * m + 1, n + m + 1
+
+    # ---- Phase 1 ----
+    tab = _timed(chrono, r1, m, "fillTableau", _build, A, b, n, m, options)
+    tab = _timed(chrono, r1, m, "gauss1", _gauss, tab)
+    tab, status1, iters1 = _run_solve(tab, options, max_iter, chrono, r1,
+                                      per_iteration)
+    if status1 == int(Status.RUNNING):
+        return SolveResult(Status.MAXITER, None, float(tab.z), iters1, 0)
+    if float(tab.z) <= -eps:
+        return SolveResult(Status.INFEASIBLE, None, float(tab.z), iters1, 0)
+
+    chrono.start(r1, m, "checkDegeneracy")
+    n_art = int(jax.block_until_ready(count_basic_artificials(tab)))
+    chrono.stop()
+    degenerate = n_art > 0
+    if degenerate:
+        if options.degeneracy == "reference":
+            return SolveResult(Status.DEGENERATE, None, float(tab.z),
+                               iters1, 0, degenerate=True)
+        tab = jax.block_until_ready(
+            jax.jit(pivot_out_artificials, static_argnames=("options",))(
+                tab, options))
+
+    # ---- Phase 2 ----
+    tab = _timed(chrono, r2, m, "costsVector", _phase2, tab, c, options)
+    tab = _timed(chrono, r2, m, "gauss2", _gauss, tab)
+    tab, status2, iters2 = _run_solve(tab, options, max_iter, chrono, r2,
+                                      per_iteration)
+    if status2 == int(Status.RUNNING):
+        return SolveResult(Status.MAXITER, None, float(tab.z), iters1,
+                           iters2, degenerate=degenerate)
+    if status2 != int(Status.OPTIMAL):
+        return SolveResult(Status(status2), None, float(tab.z), iters1,
+                           iters2, degenerate=degenerate)
+
+    chrono.start(r2, m, "solution")
+    x = np.asarray(jax.block_until_ready(jax.jit(extract_solution)(tab)))
+    chrono.stop()
+    return SolveResult(Status.OPTIMAL, x, float(tab.z), iters1, iters2,
+                       degenerate=degenerate)
