@@ -58,9 +58,13 @@ def main() -> int:
     parser.add_argument("--constraints", type=int, default=10_000)
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "float64"])
-    parser.add_argument("--iters", type=int, default=40,
+    parser.add_argument("--iters", type=int, default=512,
                         help="timed pivot iterations")
     parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--no-pallas", action="store_true",
+                        help="force the pure-XLA loop (kernels off)")
+    parser.add_argument("--block", type=int, default=128,
+                        help="deferred block-pivot window L (0/1 = off)")
     args = parser.parse_args()
 
     import jax
@@ -70,14 +74,16 @@ def main() -> int:
     import jax.numpy as jnp
 
     from simplex_tpu.config import SolverOptions
-    from simplex_tpu.solver import solve_loop
+    from simplex_tpu.solver import run_solve_loop
 
     dev = jax.devices()[0]
     log(f"device: {dev} backend={jax.default_backend()}")
 
     n, m, K = args.vars, args.constraints, args.iters
     dtype = jnp.dtype(args.dtype)
-    options = SolverOptions(dtype=np.dtype(args.dtype))
+    options = SolverOptions(dtype=np.dtype(args.dtype),
+                            use_pallas=not args.no_pallas,
+                            block_pivots=args.block or None)
 
     log(f"building phase-1 tableau n={n} m={m} dtype={dtype.name} ...")
     t0 = time.perf_counter()
@@ -89,14 +95,21 @@ def main() -> int:
 
     @jax.jit
     def run(tab):
-        tab, status, iters = solve_loop(tab, options, K)
-        return tab, status, iters
+        # Return scalars only: shipping the multi-GB tableau back through
+        # the jit boundary can wedge the axon tunnel (observed flaky
+        # deadlock); the production solve path (solve_device) never
+        # returns the tableau either.
+        tab, status, iters = run_solve_loop(tab, options, K)
+        return tab.z, status, iters
 
     log("compiling + warmup ...")
     t0 = time.perf_counter()
-    out = jax.block_until_ready(run(tab0))
-    warm_s = time.perf_counter() - t0
+    # Sync via scalar readback (block_until_ready can wedge on the axon
+    # tunnel for large aliased outputs; reading any output of the
+    # executable forces completion of the whole program).
+    out = run(tab0)
     iters_done = int(out[2])
+    warm_s = time.perf_counter() - t0
     log(f"warmup: {warm_s:.1f}s, status={int(out[1])}, iters={iters_done}")
     if iters_done < K:
         log(f"WARNING: loop ended after {iters_done} < {K} pivots")
@@ -105,15 +118,17 @@ def main() -> int:
     times = []
     for rep in range(args.repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(tab0))
+        _ = int(run(tab0)[2])
         times.append(time.perf_counter() - t0)
         log(f"repeat {rep}: {times[-1]:.3f}s "
             f"({times[-1] / K * 1e3:.2f} ms/pivot)")
 
     best = min(times)
     per_iter_s = best / K
-    # Bytes per pivot: the rank-1 update reads + writes the full tableau
-    # (the reference's accounting, BASELINE.md "implied throughput").
+    # Bytes per pivot a sequential rank-1 update would move: read + write
+    # of the full tableau (the reference's accounting, BASELINE.md
+    # "implied throughput"). With deferred block pivoting this is
+    # *effective* bandwidth — the algorithm moves ~1/L of it physically.
     bytes_per_iter = 2 * R_pad * M_pad * dtype.itemsize
     gbps = bytes_per_iter / per_iter_s / 1e9
     iters_per_s = 1.0 / per_iter_s
@@ -122,9 +137,10 @@ def main() -> int:
         f"{gbps:.0f} GB/s sustained")
 
     print(json.dumps({
-        "metric": (f"pivot-update HBM throughput, dense LP m={m} n={n} "
-                   f"{dtype.name} (solve-cycle {per_iter_s * 1e3:.2f} ms, "
-                   f"{iters_per_s:.1f} pivots/s)"),
+        "metric": (f"effective pivot-update throughput, dense LP m={m} "
+                   f"n={n} {dtype.name}, block={args.block} (solve-cycle "
+                   f"{per_iter_s * 1e3:.2f} ms, {iters_per_s:.1f} "
+                   f"pivots/s)"),
         "value": round(gbps, 1),
         "unit": "GB/s/chip",
         "vs_baseline": round(gbps / REFERENCE_GBPS, 2),

@@ -31,6 +31,26 @@ def solve(problem, options=None, **kw):
 
 def solve_batch(problems, options=None, **kw):
     """Solve a batch of equally-shaped LPs with one vmapped solve."""
-    from .batch import solve_batch as _solve_batch
+    from .batch import solve_batched as _solve_batched
 
-    return _solve_batch(problems, options, **kw)
+    return _solve_batched(problems, options, **kw)
+
+
+#: Alias matching the module-level name in batch.py.
+solve_batched = solve_batch
+
+
+def solve_sharded(problem, mesh, options=None):
+    """Solve one LP with the tableau column-sharded across a mesh."""
+    from .parallel.sharded import solve_sharded as _solve_sharded
+
+    return _solve_sharded(problem, mesh, options) if options is not None \
+        else _solve_sharded(problem, mesh)
+
+
+def solve_timed(problem, options=None, chrono=None, per_iteration=False,
+                **kw):
+    """Host-orchestrated solve with per-operation CSV timing (chrono)."""
+    from .timed import solve_timed as _solve_timed
+
+    return _solve_timed(problem, options, chrono, per_iteration, **kw)

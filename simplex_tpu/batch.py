@@ -35,7 +35,12 @@ def solve_device_batched(A: jax.Array, b: jax.Array, c: jax.Array,
                          options: SolverOptions = DEFAULT_OPTIONS
                          ) -> DeviceSolveOutput:
     """vmapped two-phase solve: ``A (B, m, n)``, ``b (B, m)``, ``c (B, n)``
-    -> DeviceSolveOutput with a leading batch axis on every field."""
+    -> DeviceSolveOutput with a leading batch axis on every field.
+
+    The Pallas fused-pivot path is disabled under vmap (batched lanes
+    would need a batched kernel); batched instances are small, and the
+    pure-XLA loop vmaps cleanly."""
+    options = dataclasses.replace(options, use_pallas=False)
     fn = partial(solve_device, n=n, m=m, options=options)
     return jax.vmap(fn)(A, b, c)
 

@@ -100,6 +100,16 @@ class SolverOptions:
     #: 'auto' enables them on TPU backends, falls back to pure XLA elsewhere.
     use_pallas: str | bool = "auto"
 
+    #: Deferred block pivoting: accumulate this many rank-1 pivot updates
+    #: as eta factors (C: R x L, F: L x M) and apply them to the tableau as
+    #: ONE MXU matmul ``T -= C @ F`` per window, dividing HBM traffic per
+    #: pivot by ~L. All per-pivot selections (entering argmin, ratio test)
+    #: are computed exactly against the *virtual* current tableau
+    #: ``T0 - C@F`` via small matvecs, so the pivot sequence is the same
+    #: simplex algorithm (summation order differs from the sequential
+    #: rank-1 path, so last-bit fp may differ). None/<=1 disables.
+    block_pivots: Optional[int] = None
+
     #: Pad the constraint axis to a multiple of this (TPU lane width).
     lane_pad: int = 128
     #: Pad the variable axis to a multiple of this (TPU sublane tile).

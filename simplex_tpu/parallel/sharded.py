@@ -294,9 +294,11 @@ def _two_phase_core(tab: Tableau, c: jax.Array, options: SolverOptions,
     tab = gaussian_eliminate_sharded(tab)
     tab, status1, iters1 = solve_loop_sharded(tab, options, max_iter)
 
-    infeasible = tab.z <= -eps
-    z_phase1 = tab.z
+    # Exact phase-1 objective from the basis (drift-immune; see
+    # tableau.phase1_objective).
     in_range = (tab.base >= n + m) & (tab.base < n + 2 * m)
+    z_phase1 = -jnp.sum(jnp.where(in_range, tab.b, 0.0))
+    infeasible = z_phase1 <= -eps
     n_art = jnp.sum(in_range.astype(jnp.int32))
     degenerate = n_art > 0
 

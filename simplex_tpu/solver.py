@@ -33,6 +33,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .config import SolverOptions, Status
@@ -187,3 +188,254 @@ def solve_loop(tab: Tableau, options: SolverOptions,
     final = lax.while_loop(cond, lambda s: iteration_body(s, options),
                            initial_state(tab, options))
     return final.tab, final.status, final.iterations
+
+
+class PallasLoopState(NamedTuple):
+    """solve_loop_pallas carry: the entering-variable candidates over the
+    current costs are part of the state — they were computed *during* the
+    previous pivot's fused update pass (kernels/pivot.py), so the body
+    never re-reads the cost vector."""
+
+    tab: Tableau
+    status: jax.Array
+    iterations: jax.Array
+    stall: jax.Array
+    bland: jax.Array
+    h_d: jax.Array      # Dantzig candidate (global row) over current costs
+    v_d: jax.Array      # its reduced cost
+    h_b: jax.Array      # Bland candidate (BIG_INDEX if none eligible)
+    v_b: jax.Array      # its reduced cost
+
+
+def solve_loop_pallas(tab: Tableau, options: SolverOptions,
+                      max_iter: int) -> tuple[Tableau, jax.Array, jax.Array]:
+    """Pallas-fused variant of solve_loop: per pivot, ONE pass over the
+    tableau (kernels/pivot.py fuses the rank-1 update, the cost-row update
+    and the next entering argmin); only the O(m)/O(grid) glue stays XLA.
+    Identical pivot sequence and statuses to solve_loop by construction."""
+    from .kernels.pivot import BIG_INDEX, entering_candidates, fused_pivot
+
+    eps = float(options.eps)
+    bland_static = options.pivot_rule == "bland"
+    threshold = options.bland_threshold
+    r_pad = tab.rows_padded
+
+    def cond(s: PallasLoopState):
+        return (s.status == int(Status.RUNNING)) & (s.iterations < max_iter)
+
+    def body(s: PallasLoopState):
+        tab = s.tab
+        use_bland = s.bland & (s.h_b < BIG_INDEX)
+        h = jnp.where(use_bland, s.h_b, s.h_d)
+        minc = jnp.where(use_bland, s.v_b, s.v_d)
+        optimal = minc > -eps
+
+        a_h = tab.T[jnp.minimum(h, r_pad - 1)]
+        k, unbounded = ratio_test(tab, a_h, eps)
+        do_pivot = ~(optimal | unbounded)
+
+        # The kernel runs unconditionally; with do_pivot=False it is the
+        # identity pass (no cond => no extra tableau buffer; T and costs
+        # alias in place through the pallas_call).
+        colk = tab.T[:, k]
+        p = a_h[k]
+        T2, costs2, h_d, v_d, h_b, v_b = fused_pivot(
+            tab.T, tab.costs, colk, a_h, p, minc, k, tab.r, eps,
+            do_pivot=do_pivot)
+        h_d = jnp.where(do_pivot, h_d, s.h_d)
+        v_d = jnp.where(do_pivot, v_d, s.v_d)
+        h_b = jnp.where(do_pivot, h_b, s.h_b)
+        v_b = jnp.where(do_pivot, v_b, s.v_b)
+
+        p_safe = jnp.where(do_pivot, p, jnp.ones_like(p))
+        bk = tab.b[k]
+        factor = a_h / p_safe
+        is_k = jnp.arange(tab.cols_padded) == k
+        b2 = jnp.where(do_pivot,
+                       jnp.where(is_k, bk / p_safe, tab.b - bk * factor),
+                       tab.b)
+        z2 = jnp.where(do_pivot, tab.z - (minc / p_safe) * bk, tab.z)
+        base2 = jnp.where(do_pivot,
+                          tab.base.at[k].set(h.astype(tab.base.dtype)),
+                          tab.base)
+        tab2 = dataclasses.replace(tab, T=T2, b=b2, costs=costs2,
+                                   z=z2, base=base2)
+
+        status = jnp.where(
+            optimal, int(Status.OPTIMAL),
+            jnp.where(unbounded, int(Status.UNBOUNDED),
+                      int(Status.RUNNING))).astype(jnp.int32)
+
+        improved = jnp.abs(tab2.z - tab.z) >= eps
+        stall = jnp.where(do_pivot,
+                          jnp.where(improved, 0, s.stall + 1),
+                          s.stall).astype(jnp.int32)
+        if bland_static:
+            bland = jnp.ones((), bool)
+        elif threshold is None:
+            bland = jnp.zeros((), bool)
+        else:
+            bland = jnp.where(
+                do_pivot,
+                jnp.where(improved, False, stall >= threshold),
+                s.bland)
+
+        return PallasLoopState(tab2, status,
+                               s.iterations + do_pivot.astype(jnp.int32),
+                               stall, bland, h_d, v_d, h_b, v_b)
+
+    h_d, v_d, h_b, v_b = entering_candidates(tab.costs, tab.r, eps)
+    init = PallasLoopState(
+        tab, jnp.asarray(int(Status.RUNNING), jnp.int32),
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+        jnp.asarray(bland_static), h_d, v_d, h_b, v_b)
+    final = lax.while_loop(cond, body, init)
+    return final.tab, final.status, final.iterations
+
+
+class BlockedLoopState(NamedTuple):
+    """solve_loop_blocked carry. T is the *stale* tableau (last applied
+    window); the live tableau is implicitly ``T - C @ F``."""
+
+    tab: Tableau             # tab.T stale; costs/b/z/base always current
+    status: jax.Array
+    iterations: jax.Array
+    stall: jax.Array
+    bland: jax.Array
+
+
+def solve_loop_blocked(tab: Tableau, options: SolverOptions,
+                       max_iter: int) -> tuple[Tableau, jax.Array, jax.Array]:
+    """Deferred block-pivot loop: the TPU-first redesign of the hot loop.
+
+    The reference (and the L=1 paths here) stream the whole tableau through
+    HBM once per pivot (rank-1 update, solver.cu:34-46) — at large sizes
+    that is the entire runtime (>99%, relazione.Rmd:506) and is memory-
+    bound. This loop instead keeps the tableau STALE for a window of
+    ``L = options.block_pivots`` pivots, accumulating each pivot's eta pair
+
+        C[:, t] = colk_t   (live leaving column),
+        F[t, :] = v_t      (live entering row / p, with v_t[k] = 1 - 1/p)
+
+    and applies ``T <- T - C @ F`` ONCE per window — a (R x L)(L x M)
+    matmul on the MXU, amortising the 2-pass HBM cost of the update over L
+    pivots. Within the window every quantity the algorithm needs is
+    computed EXACTLY against the live (virtual) tableau:
+
+        live column j:  T0[:, j] - C @ F[:, j]      (O(R L) matvec)
+        live row h:     T0[h, :] - C[h, :] @ F      (O(L M) matvec)
+
+    while costs, b, z and base are updated exactly every pivot (O(R+M)).
+    The pivot *choices* (Dantzig/Bland entering, ratio test, statuses,
+    eps discipline) are identical to solve_loop; only floating-point
+    summation order differs.
+    """
+    eps = float(options.eps)
+    bland_static = options.pivot_rule == "bland"
+    threshold = options.bland_threshold
+    L = int(options.block_pivots or 1)
+    r_pad, m_pad = tab.T.shape
+    dtype = tab.T.dtype
+
+    def inner(t, carry):
+        """One pivot against the virtual tableau; no-op once finished."""
+        C, F, s = carry
+        tab = s.tab
+        active = s.status == int(Status.RUNNING)
+
+        h, minc = choose_entering(tab, s.bland, eps)
+        optimal = minc > -eps
+
+        a_h = tab.T[h] - jnp.dot(C[h, :], F,
+                                 precision=lax.Precision.HIGHEST)
+        k, unbounded = ratio_test(tab, a_h, eps)
+        do = active & ~(optimal | unbounded)
+
+        p_raw = a_h[k]
+        p = jnp.where(do, p_raw, jnp.ones_like(p_raw))
+        colk = tab.T[:, k] - jnp.dot(C, F[:, k],
+                                     precision=lax.Precision.HIGHEST)
+        bk = tab.b[k]
+
+        costs2 = jnp.where(do, tab.costs - (minc / p) * colk, tab.costs)
+        z2 = jnp.where(do, tab.z - (minc / p) * bk, tab.z)
+        is_k = jnp.arange(m_pad) == k
+        b2 = jnp.where(do,
+                       jnp.where(is_k, bk / p, tab.b - bk * (a_h / p)),
+                       tab.b)
+        base2 = jnp.where(do, tab.base.at[k].set(h.astype(tab.base.dtype)),
+                          tab.base)
+
+        v = (a_h / p).at[k].set(1.0 - 1.0 / p)             # eta row
+        C2 = C.at[:, t].set(jnp.where(do, colk, jnp.zeros_like(colk)))
+        F2 = F.at[t, :].set(jnp.where(do, v, jnp.zeros_like(v)))
+
+        status = jnp.where(
+            active,
+            jnp.where(optimal, int(Status.OPTIMAL),
+                      jnp.where(unbounded, int(Status.UNBOUNDED),
+                                int(Status.RUNNING))),
+            s.status).astype(jnp.int32)
+
+        improved = jnp.abs(z2 - tab.z) >= eps
+        stall = jnp.where(do, jnp.where(improved, 0, s.stall + 1),
+                          s.stall).astype(jnp.int32)
+        if bland_static:
+            bland = jnp.ones((), bool)
+        elif threshold is None:
+            bland = jnp.zeros((), bool)
+        else:
+            bland = jnp.where(do, jnp.where(improved, False,
+                                            stall >= threshold), s.bland)
+
+        tab2 = dataclasses.replace(tab, costs=costs2, b=b2, z=z2,
+                                   base=base2)
+        return (C2, F2, BlockedLoopState(
+            tab2, status, s.iterations + do.astype(jnp.int32), stall,
+            bland))
+
+    def outer(s: BlockedLoopState):
+        C = jnp.zeros((r_pad, L), dtype)
+        F = jnp.zeros((L, m_pad), dtype)
+        C, F, s = lax.fori_loop(0, L, inner, (C, F, s))
+        # Apply the window: one MXU matmul over the whole tableau.
+        T2 = s.tab.T - jax.lax.dot_general(
+            C, F, (((1,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+            precision=lax.Precision.HIGHEST)
+        return BlockedLoopState(dataclasses.replace(s.tab, T=T2),
+                                s.status, s.iterations, s.stall, s.bland)
+
+    def cond(s: BlockedLoopState):
+        return (s.status == int(Status.RUNNING)) & (s.iterations < max_iter)
+
+    init = BlockedLoopState(
+        tab, jnp.asarray(int(Status.RUNNING), jnp.int32),
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+        jnp.asarray(bland_static))
+    final = lax.while_loop(cond, outer, init)
+    return final.tab, final.status, final.iterations
+
+
+def use_pallas(options: SolverOptions) -> bool:
+    """Resolve the use_pallas option at trace time: enabled on TPU
+    backends for 32-bit tableaus only (the Mosaic TPU lowering cannot
+    reduce f64 to SMEM scalars — f64 parity mode stays on the pure-XLA
+    loop, which XLA already runs at the HBM ceiling), never under the
+    CPU/GPU fallbacks (tests exercise the kernel there via interpret
+    mode)."""
+    if np.dtype(options.dtype).itemsize != 4:
+        return False
+    if options.use_pallas == "auto":
+        return jax.default_backend() == "tpu"
+    return bool(options.use_pallas)
+
+
+def run_solve_loop(tab: Tableau, options: SolverOptions, max_iter: int):
+    """Dispatch: deferred block-pivot loop when configured, else the
+    Pallas-fused or pure-XLA single-pivot loop."""
+    if options.block_pivots and int(options.block_pivots) > 1:
+        return solve_loop_blocked(tab, options, max_iter)
+    if use_pallas(options):
+        return solve_loop_pallas(tab, options, max_iter)
+    return solve_loop(tab, options, max_iter)

@@ -177,6 +177,21 @@ def extract_solution(tab: Tableau) -> jax.Array:
     return x_ext[:tab.n]
 
 
+def phase1_objective(tab: Tableau) -> jax.Array:
+    """Exact phase-1 objective of the *current basis*: the artificial
+    variables' summed value, negated — every non-basic artificial is 0 and
+    a basic one has value b[k], so ``z = -sum(b[k] : base[k] artificial)``.
+
+    Mathematically identical to the incrementally-maintained objective
+    cell (reference costs[0], twoPhaseMethod.cu:264-268) but immune to the
+    per-pivot fp drift that accumulates in the running z — which matters
+    for float32 tableaus and deep block-pivot windows."""
+    first_artificial = tab.n + tab.m
+    is_art = (tab.base >= first_artificial) & (
+        tab.base < tab.n + 2 * tab.m)
+    return -jnp.sum(jnp.where(is_art, tab.b, 0.0))
+
+
 def count_basic_artificials(tab: Tableau) -> jax.Array:
     """Degeneracy check (reference checkDegeneracy + countElementsInRange,
     twoPhaseMethod.cu:134-143,206-223): artificial indices still in base."""

@@ -35,7 +35,8 @@ from .chrono import Chrono, NullChrono
 from .config import DEFAULT_OPTIONS, SolverOptions, Status
 from .problem import Problem
 from .result import SolveResult
-from .solver import (LoopState, initial_state, iteration_body, solve_loop)
+from .solver import (LoopState, initial_state, iteration_body,
+                     run_solve_loop)
 from .tableau import (build_phase1, count_basic_artificials,
                       extract_solution, gaussian_eliminate, phase2_reset)
 from .two_phase import pivot_out_artificials
@@ -53,7 +54,7 @@ def _gauss(tab):
 
 @partial(jax.jit, static_argnames=("options", "max_iter"))
 def _solve(tab, options, max_iter):
-    return solve_loop(tab, options, max_iter)
+    return run_solve_loop(tab, options, max_iter)
 
 
 @partial(jax.jit, static_argnames=("options",))

@@ -32,9 +32,10 @@ import numpy as np
 from .config import DEFAULT_OPTIONS, SolverOptions, Status
 from .problem import Problem
 from .result import SolveResult
-from .solver import pivot_update, solve_loop
+from .solver import pivot_update, run_solve_loop
 from .tableau import (Tableau, build_phase1, count_basic_artificials,
-                      extract_solution, gaussian_eliminate, phase2_reset)
+                      extract_solution, gaussian_eliminate, phase1_objective,
+                      phase2_reset)
 
 
 class DeviceSolveOutput(NamedTuple):
@@ -98,10 +99,13 @@ def solve_device(A: jax.Array, b: jax.Array, c: jax.Array, n: int, m: int,
     # ---- Phase 1 (twoPhaseMethod.cu:225-283) ----
     tab = build_phase1(A, b, n, m, options)
     tab = gaussian_eliminate(tab)
-    tab, status1, iters1 = solve_loop(tab, options, max_iter)
+    tab, status1, iters1 = run_solve_loop(tab, options, max_iter)
 
-    infeasible = tab.z <= -eps           # twoPhaseMethod.cu:264-268
-    z_phase1 = tab.z
+    # Infeasibility test on the exactly-recomputed phase-1 objective
+    # (reference costs[0] < 0 check, twoPhaseMethod.cu:264-268; see
+    # tableau.phase1_objective for why not the running z).
+    z_phase1 = phase1_objective(tab)
+    infeasible = z_phase1 <= -eps
     n_art = count_basic_artificials(tab)
     degenerate = n_art > 0
 
@@ -116,7 +120,7 @@ def solve_device(A: jax.Array, b: jax.Array, c: jax.Array, n: int, m: int,
     # ---- Phase 2 (twoPhaseMethod.cu:285-356) ----
     tab2 = phase2_reset(tab, c, options)
     tab2 = gaussian_eliminate(tab2)
-    tab2, status2, iters2 = solve_loop(tab2, options, max_iter)
+    tab2, status2, iters2 = run_solve_loop(tab2, options, max_iter)
 
     x = extract_solution(tab2)
 
@@ -133,7 +137,13 @@ def solve_device(A: jax.Array, b: jax.Array, c: jax.Array, n: int, m: int,
     phase1_failed = infeasible | fuse1
     if options.degeneracy == "reference":
         phase1_failed = phase1_failed | degenerate
-    objective = jnp.where(phase1_failed, z_phase1, tab2.z)
+    # Report c @ x recomputed from the final basis rather than the running
+    # objective cell (identical in exact arithmetic; drift-immune).
+    objective_opt = jnp.dot(c.astype(x.dtype), x,
+                            precision=jax.lax.Precision.HIGHEST)
+    objective = jnp.where(phase1_failed, z_phase1,
+                          jnp.where(status2 == int(Status.OPTIMAL),
+                                    objective_opt, tab2.z))
     x = jnp.where(status == int(Status.OPTIMAL), x, jnp.zeros_like(x))
     iters2 = jnp.where(phase1_failed, 0, iters2)
 
