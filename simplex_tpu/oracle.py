@@ -15,7 +15,11 @@ artifacts).
 Two deliberate divergences from the reference, both documented in SURVEY.md:
 
 * Ties in argmin reductions break toward the lowest index (deterministic),
-  not the reference's GPU-reduction order.
+  not the reference's GPU-reduction order — EXCEPT with
+  ``tie_rule='cuda'``, which replays the reference GPU's eps-tie
+  reduction order exactly (utils/cuda_order.py) and reproduces the
+  reference's recorded per-phase pivot counts on its regenerated
+  benchmark instances (tests/test_parity.py).
 * The Phase-1 sign fix for negative right-hand sides negates the constraint
   row and its slack but keeps the artificial coefficient +1
   (``checkColumns``/``negateColumn``, twoPhaseMethod.cu:86-111, negate the
@@ -87,10 +91,14 @@ def _gaussian_eliminate(t: _Tableau) -> None:
     t.z = t.z - t.b @ coeffs
 
 
-def _entering(costs, mask, eps, bland: bool):
+def _entering(costs, mask, eps, bland: bool, tie_rule: str = "lowest"):
     """Entering variable: Dantzig argmin of reduced costs
     (solver.cu:87, reduction.cu:82-104) or Bland's lowest eligible index.
-    Returns (h, min_cost); h == -1 when optimal (min cost > -eps)."""
+    Returns (h, min_cost); h == -1 when optimal (min cost > -eps).
+
+    ``tie_rule='cuda'`` replays the reference GPU's exact eps-tie
+    reduction order (utils/cuda_order.py) instead of lowest-index —
+    required to reproduce the reference's recorded pivot counts."""
     masked = np.where(mask, costs, np.inf)
     if bland:
         eligible = np.nonzero(masked <= -eps)[0]
@@ -98,8 +106,13 @@ def _entering(costs, mask, eps, bland: bool):
             return -1, 0.0
         h = int(eligible[0])
         return h, float(costs[h])
-    h = int(np.argmin(masked))
-    minc = float(masked[h])
+    if tie_rule == "cuda":
+        from .utils.cuda_order import cuda_argmin
+
+        h, minc = cuda_argmin(np.where(mask, costs, np.inf), eps)
+    else:
+        h = int(np.argmin(masked))
+        minc = float(masked[h])
     if not (minc <= -eps):
         return -1, minc
     return h, minc
@@ -124,7 +137,7 @@ def _pivot(t: _Tableau, h: int, k: int, minc: float) -> None:
 
 
 def _solve_loop(t: _Tableau, enter_mask, options: SolverOptions,
-                max_iter: int) -> tuple[Status, int]:
+                max_iter: int, tie_rule: str = "lowest") -> tuple[Status, int]:
     """The hot loop (reference solve, solver.cu:78-149): entering argmin ->
     unboundedness test -> min-ratio leaving test -> rank-1 update. Adds the
     Bland fallback after ``bland_threshold`` consecutive non-improving
@@ -133,16 +146,21 @@ def _solve_loop(t: _Tableau, enter_mask, options: SolverOptions,
     bland = options.pivot_rule == "bland"
     stall = 0
     for it in range(max_iter):
-        h, minc = _entering(t.costs, enter_mask, eps, bland)
+        h, minc = _entering(t.costs, enter_mask, eps, bland, tie_rule)
         if h < 0:
             return Status.OPTIMAL, it
         a_h = t.T[h, :]
         ratio_mask = a_h >= eps
         if not ratio_mask.any():
             return Status.UNBOUNDED, it
-        ratios = np.where(ratio_mask, t.b / np.where(ratio_mask, a_h, 1.0),
-                          np.inf)
-        k = int(np.argmin(ratios))
+        if tie_rule == "cuda":
+            from .utils.cuda_order import cuda_ratio_argmin
+
+            k, _ = cuda_ratio_argmin(t.b, a_h, eps)
+        else:
+            ratios = np.where(ratio_mask,
+                              t.b / np.where(ratio_mask, a_h, 1.0), np.inf)
+            k = int(np.argmin(ratios))
         z_before = t.z
         _pivot(t, h, k, minc)
         if options.pivot_rule == "dantzig" and options.bland_threshold:
@@ -179,9 +197,11 @@ def _pivot_out_artificials(t: _Tableau, n: int, m: int, eps: float) -> None:
 
 
 def solve_oracle(problem: Problem,
-                 options: SolverOptions = DEFAULT_OPTIONS) -> SolveResult:
+                 options: SolverOptions = DEFAULT_OPTIONS,
+                 tie_rule: str = "lowest") -> SolveResult:
     """Two-phase simplex, host NumPy (reference twoPhaseMethod,
-    twoPhaseMethod.cu:385-435)."""
+    twoPhaseMethod.cu:385-435). ``tie_rule='cuda'`` replays the reference
+    GPU's eps-tie reduction order for pivot-count parity."""
     m, n = problem.constraints, problem.vars
     eps = float(options.eps)
     R = n + 2 * m
@@ -191,7 +211,7 @@ def solve_oracle(problem: Problem,
     t = _build_phase1(problem, eps)
     _gaussian_eliminate(t)
     mask1 = np.ones(R, dtype=bool)
-    status1, iters1 = _solve_loop(t, mask1, options, max_iter)
+    status1, iters1 = _solve_loop(t, mask1, options, max_iter, tie_rule)
     if status1 == Status.MAXITER:
         return SolveResult(Status.MAXITER, None, float(t.z), iters1, 0)
     # Infeasible iff the phase-1 objective cell stays below -eps
@@ -215,7 +235,7 @@ def solve_oracle(problem: Problem,
         [-problem.c.astype(np.float64), np.zeros(m)]), t.z, t.base)
     _gaussian_eliminate(t2)
     mask2 = np.ones(R2, dtype=bool)
-    status2, iters2 = _solve_loop(t2, mask2, options, max_iter)
+    status2, iters2 = _solve_loop(t2, mask2, options, max_iter, tie_rule)
     if status2 != Status.OPTIMAL:
         return SolveResult(status2, None, float(t2.z), iters1, iters2,
                            degenerate=degenerate)
