@@ -238,6 +238,121 @@ def solve_loop_sharded(tab: Tableau, options: SolverOptions, max_iter: int):
     return final.tab, final.status, final.iterations
 
 
+def broadcast_live_row(tab: Tableau, C: jax.Array, F: jax.Array,
+                       h) -> jax.Array:
+    """Live row h of the virtual tableau ``T0 - C @ F`` under sharding:
+    the owning shard computes ``T0_loc[h_loc] - C_loc[h_loc] @ F`` and one
+    psum broadcasts it — the same single (M_pad,) collective per pivot as
+    the unblocked path."""
+    R_loc = _local_rows(tab)
+    offset = _global_row_offset(tab)
+    local_h = h - offset
+    own = (local_h >= 0) & (local_h < R_loc)
+    lh = jnp.clip(local_h, 0, R_loc - 1)
+    row = tab.T[lh] - jnp.dot(C[lh], F, precision=lax.Precision.HIGHEST)
+    contrib = jnp.where(own, row, jnp.zeros_like(row))
+    return lax.psum(contrib, AXIS)
+
+
+def solve_loop_blocked_sharded(tab: Tableau, options: SolverOptions,
+                               max_iter: int):
+    """Sharded deferred block pivoting (see solver.solve_loop_blocked):
+    the stale T shard and the eta columns C shard together along the vars
+    axis; the eta rows F are replicated (computed identically everywhere
+    from the broadcast live row). Per-pivot communication is unchanged —
+    the candidate all-gather plus one (M_pad,) psum — and the per-window
+    ``T -= C @ F`` apply is a local MXU matmul per shard, so the ~L x
+    traffic reduction carries over to the distributed solver."""
+    eps = float(options.eps)
+    bland_static = options.pivot_rule == "bland"
+    threshold = options.bland_threshold
+    L = int(options.block_pivots or 1)
+    R_loc, m_pad = tab.T.shape
+    dtype = tab.T.dtype
+
+    def inner(t, carry):
+        C, F, s = carry
+        tab = s.tab
+        active = s.status == int(Status.RUNNING)
+
+        h, minc = entering_sharded(tab, s.bland, eps)
+        optimal = minc > -eps
+
+        a_h = broadcast_live_row(tab, C, F, h)
+        k, unbounded = ratio_test_replicated(tab, a_h, eps)
+        do = active & ~(optimal | unbounded)
+
+        p_raw = a_h[k]
+        p = jnp.where(do, p_raw, jnp.ones_like(p_raw))
+        colk = tab.T[:, k] - jnp.dot(C, F[:, k],
+                                     precision=lax.Precision.HIGHEST)
+        bk = tab.b[k]
+
+        costs2 = jnp.where(do, tab.costs - (minc / p) * colk, tab.costs)
+        z2 = jnp.where(do, tab.z - (minc / p) * bk, tab.z)
+        is_k = jnp.arange(m_pad) == k
+        b2 = jnp.where(do,
+                       jnp.where(is_k, bk / p, tab.b - bk * (a_h / p)),
+                       tab.b)
+        base2 = jnp.where(do, tab.base.at[k].set(h.astype(tab.base.dtype)),
+                          tab.base)
+
+        v = (a_h / p).at[k].set(1.0 - 1.0 / p)
+        C2 = C.at[:, t].set(jnp.where(do, colk, jnp.zeros_like(colk)))
+        F2 = F.at[t, :].set(jnp.where(do, v, jnp.zeros_like(v)))
+
+        status = jnp.where(
+            active,
+            jnp.where(optimal, int(Status.OPTIMAL),
+                      jnp.where(unbounded, int(Status.UNBOUNDED),
+                                int(Status.RUNNING))),
+            s.status).astype(jnp.int32)
+
+        improved = jnp.abs(z2 - tab.z) >= eps
+        stall = jnp.where(do, jnp.where(improved, 0, s.stall + 1),
+                          s.stall).astype(jnp.int32)
+        if bland_static:
+            bland = jnp.ones((), bool)
+        elif threshold is None:
+            bland = jnp.zeros((), bool)
+        else:
+            bland = jnp.where(do, jnp.where(improved, False,
+                                            stall >= threshold), s.bland)
+
+        tab2 = dataclasses.replace(tab, costs=costs2, b=b2, z=z2,
+                                   base=base2)
+        return (C2, F2, LoopState(
+            tab2, status, s.iterations + do.astype(jnp.int32), stall,
+            bland))
+
+    def outer(s: LoopState):
+        C = jnp.zeros((R_loc, L), dtype)
+        F = jnp.zeros((L, m_pad), dtype)
+        C, F, s = lax.fori_loop(0, L, inner, (C, F, s))
+        T2 = s.tab.T - lax.dot_general(
+            C, F, (((1,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+            precision=lax.Precision.HIGHEST)
+        return LoopState(dataclasses.replace(s.tab, T=T2),
+                         s.status, s.iterations, s.stall, s.bland)
+
+    def cond(s: LoopState):
+        return (s.status == int(Status.RUNNING)) & (s.iterations < max_iter)
+
+    init = LoopState(tab, jnp.asarray(int(Status.RUNNING), jnp.int32),
+                     jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                     jnp.asarray(bland_static))
+    final = lax.while_loop(cond, outer, init)
+    return final.tab, final.status, final.iterations
+
+
+def run_solve_loop_sharded(tab: Tableau, options: SolverOptions,
+                           max_iter: int):
+    if options.block_pivots and int(options.block_pivots) > 1:
+        return solve_loop_blocked_sharded(tab, options, max_iter)
+    return solve_loop_sharded(tab, options, max_iter)
+
+
 def gaussian_eliminate_sharded(tab: Tableau) -> Tableau:
     """Objective-row elimination with sharded costs/T (reference
     updateObjectiveFunction, gaussian.cu:110-162): the basic-variable cost
@@ -292,7 +407,7 @@ def _two_phase_core(tab: Tableau, c: jax.Array, options: SolverOptions,
     n, m = tab.n, tab.m
 
     tab = gaussian_eliminate_sharded(tab)
-    tab, status1, iters1 = solve_loop_sharded(tab, options, max_iter)
+    tab, status1, iters1 = run_solve_loop_sharded(tab, options, max_iter)
 
     # Exact phase-1 objective from the basis (drift-immune; see
     # tableau.phase1_objective).
@@ -306,7 +421,7 @@ def _two_phase_core(tab: Tableau, c: jax.Array, options: SolverOptions,
     tab2 = dataclasses.replace(
         tab, costs=_phase2_costs_local(tab, c), r=n + m)
     tab2 = gaussian_eliminate_sharded(tab2)
-    tab2, status2, iters2 = solve_loop_sharded(tab2, options, max_iter)
+    tab2, status2, iters2 = run_solve_loop_sharded(tab2, options, max_iter)
 
     x = extract_solution_replicated(tab2)
 

@@ -61,3 +61,30 @@ def test_sharded_unbounded():
                       c=np.array([1.0, 0.0]))
     got = solve_sharded(problem, mesh_of(2))
     assert got.status == Status.UNBOUNDED
+
+
+@pytest.mark.parametrize("L", [4, 16])
+def test_sharded_blocked_matches_oracle(L):
+    """Deferred block pivoting under shard_map (same eta scheme as the
+    single-chip blocked loop; C row-sharded, F replicated)."""
+    from simplex_tpu.config import SolverOptions
+
+    problem = generate_random_problem(96, 40, seed=42, lo=1.0, hi=100.0)
+    want = solve_oracle(problem)
+    got = solve_sharded(problem, mesh_of(4),
+                        SolverOptions(block_pivots=L))
+    assert got.status == Status.OPTIMAL
+    assert got.objective == pytest.approx(want.objective, rel=1e-6)
+    assert_valid_solution(problem, got)
+
+
+def test_sharded_blocked_matches_unsharded_blocked():
+    from simplex_tpu.config import SolverOptions
+
+    problem = generate_random_problem(64, 24, seed=9, lo=1.0, hi=100.0)
+    opt = SolverOptions(block_pivots=8)
+    single = solve(problem, opt)
+    sharded = solve_sharded(problem, mesh_of(2), opt)
+    assert sharded.status == single.status == Status.OPTIMAL
+    assert sharded.iterations_phase1 == single.iterations_phase1
+    assert sharded.objective == pytest.approx(single.objective, rel=1e-9)
