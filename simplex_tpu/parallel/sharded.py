@@ -47,7 +47,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import DEFAULT_OPTIONS, SolverOptions, Status
-from ..solver import LoopState
+from ..solver import LoopState, _dot_precision, apply_window
 from ..tableau import Tableau, round_up
 
 AXIS = "vars"
@@ -249,7 +249,8 @@ def broadcast_live_row(tab: Tableau, C: jax.Array, F: jax.Array,
     local_h = h - offset
     own = (local_h >= 0) & (local_h < R_loc)
     lh = jnp.clip(local_h, 0, R_loc - 1)
-    row = tab.T[lh] - jnp.dot(C[lh], F, precision=lax.Precision.HIGHEST)
+    row = tab.T[lh] - jnp.dot(C[lh], F,
+                              precision=_dot_precision(tab.T.dtype))
     contrib = jnp.where(own, row, jnp.zeros_like(row))
     return lax.psum(contrib, AXIS)
 
@@ -285,7 +286,7 @@ def solve_loop_blocked_sharded(tab: Tableau, options: SolverOptions,
         p_raw = a_h[k]
         p = jnp.where(do, p_raw, jnp.ones_like(p_raw))
         colk = tab.T[:, k] - jnp.dot(C, F[:, k],
-                                     precision=lax.Precision.HIGHEST)
+                                     precision=_dot_precision(dtype))
         bk = tab.b[k]
 
         costs2 = jnp.where(do, tab.costs - (minc / p) * colk, tab.costs)
@@ -329,10 +330,7 @@ def solve_loop_blocked_sharded(tab: Tableau, options: SolverOptions,
         C = jnp.zeros((R_loc, L), dtype)
         F = jnp.zeros((L, m_pad), dtype)
         C, F, s = lax.fori_loop(0, L, inner, (C, F, s))
-        T2 = s.tab.T - lax.dot_general(
-            C, F, (((1,), (0,)), ((), ())),
-            preferred_element_type=dtype,
-            precision=lax.Precision.HIGHEST)
+        T2 = apply_window(s.tab.T, C, F)
         return LoopState(dataclasses.replace(s.tab, T=T2),
                          s.status, s.iterations, s.stall, s.bland)
 

@@ -293,6 +293,53 @@ def solve_loop_pallas(tab: Tableau, options: SolverOptions,
     return final.tab, final.status, final.iterations
 
 
+def _dot_precision(dtype):
+    """HIGHEST forces exact f32 matmuls (bf16 multi-pass) on the MXU; for
+    emulated f64, DEFAULT and HIGHEST are identical in accuracy (measured
+    ~3e-11 max rel err) but HIGHEST allocates far larger temporaries — at
+    1.6 GB tableau scale enough to OOM the chip."""
+    return (lax.Precision.HIGHEST if jnp.dtype(dtype) == jnp.float32
+            else lax.Precision.DEFAULT)
+
+
+def apply_window(T: jax.Array, C: jax.Array, F: jax.Array) -> jax.Array:
+    """``T - C @ F`` — the once-per-window tableau apply of the deferred
+    block-pivot scheme. For f64, XLA:TPU's emulated matmul materialises an
+    f32[8, R, M] temporary (6 GB at the reference's 8192x8192 size), so
+    the apply is chunked over row blocks to bound the temporaries; f32
+    goes through one full-size MXU matmul."""
+    dtype = T.dtype
+    r_pad, m_pad = T.shape
+    L = C.shape[1]
+
+    def chunk_apply(Ti, Ci):
+        return Ti - lax.dot_general(
+            Ci, F, (((1,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+            precision=_dot_precision(dtype))
+
+    if dtype.itemsize <= 4:
+        return chunk_apply(T, C)
+
+    # Largest power-of-two row chunk that divides R_pad and keeps the
+    # emulation temporaries (~2 x 8 x chunk x M x 4 bytes) under ~1 GB.
+    chunk = 8
+    while (chunk * 2 <= r_pad and r_pad % (chunk * 2) == 0
+           and 64 * (chunk * 2) * m_pad * 2 <= (1 << 30)):
+        chunk *= 2
+    if chunk >= r_pad:
+        return chunk_apply(T, C)
+    n_chunks = r_pad // chunk
+
+    def body(i, T):
+        sl = lax.dynamic_slice_in_dim(T, i * chunk, chunk, 0)
+        Ci = lax.dynamic_slice_in_dim(C, i * chunk, chunk, 0)
+        return lax.dynamic_update_slice_in_dim(
+            T, chunk_apply(sl, Ci), i * chunk, 0)
+
+    return lax.fori_loop(0, n_chunks, body, T)
+
+
 class BlockedLoopState(NamedTuple):
     """solve_loop_blocked carry. T is the *stale* tableau (last applied
     window); the live tableau is implicitly ``T - C @ F``."""
@@ -347,14 +394,14 @@ def solve_loop_blocked(tab: Tableau, options: SolverOptions,
         optimal = minc > -eps
 
         a_h = tab.T[h] - jnp.dot(C[h, :], F,
-                                 precision=lax.Precision.HIGHEST)
+                                 precision=_dot_precision(dtype))
         k, unbounded = ratio_test(tab, a_h, eps)
         do = active & ~(optimal | unbounded)
 
         p_raw = a_h[k]
         p = jnp.where(do, p_raw, jnp.ones_like(p_raw))
         colk = tab.T[:, k] - jnp.dot(C, F[:, k],
-                                     precision=lax.Precision.HIGHEST)
+                                     precision=_dot_precision(dtype))
         bk = tab.b[k]
 
         costs2 = jnp.where(do, tab.costs - (minc / p) * colk, tab.costs)
@@ -398,11 +445,9 @@ def solve_loop_blocked(tab: Tableau, options: SolverOptions,
         C = jnp.zeros((r_pad, L), dtype)
         F = jnp.zeros((L, m_pad), dtype)
         C, F, s = lax.fori_loop(0, L, inner, (C, F, s))
-        # Apply the window: one MXU matmul over the whole tableau.
-        T2 = s.tab.T - jax.lax.dot_general(
-            C, F, (((1,), (0,)), ((), ())),
-            preferred_element_type=dtype,
-            precision=lax.Precision.HIGHEST)
+        # Apply the window: one MXU matmul over the whole tableau
+        # (row-chunked for emulated f64, see apply_window).
+        T2 = apply_window(s.tab.T, C, F)
         return BlockedLoopState(dataclasses.replace(s.tab, T=T2),
                                 s.status, s.iterations, s.stall, s.bland)
 
