@@ -52,38 +52,52 @@ class DeviceSolveOutput(NamedTuple):
 def pivot_out_artificials(tab: Tableau, options: SolverOptions) -> Tableau:
     """Drive zero-valued artificials out of the Phase-1 basis (north-star
     extension; the reference aborts with DEGENERATE instead,
-    twoPhaseMethod.cu:270-282). For each constraint whose basic variable is
-    artificial: pivot in the lowest-index non-artificial variable with a
-    nonzero coefficient (a degenerate pivot — b[k] ~ 0 keeps feasibility
+    twoPhaseMethod.cu:270-282). For each constraint whose basic variable
+    is artificial: pivot in the lowest-index non-artificial variable with
+    a nonzero coefficient (a degenerate pivot — b[k] ~ 0 keeps feasibility
     even for a negative pivot element); if the row has none it is a
-    redundant constraint and its column is zeroed out of the tableau.
+    redundant constraint — its column is zeroed and its base entry set to
+    the R_pad sentinel (excluded from every downstream gather/scatter).
+
+    Implemented as a ``while_loop`` that runs ONE full-tableau pass per
+    *actual* basic artificial (typically a handful), not per constraint —
+    an m-iteration loop of conditional rank-1 updates lowers to m full
+    passes on TPU and dominated the whole solve at large sizes.
     """
     eps = float(options.eps)
     n, m = tab.n, tab.m
     R_pad = tab.rows_padded
     real_rows = jnp.arange(R_pad) < (n + m)
+    none = jnp.int32(tab.cols_padded)
 
-    def body(k, tab):
-        is_art = tab.base[k] >= (n + m)
-        colk = tab.T[:, k]
+    def first_artificial(t):
+        is_art = (t.base >= (n + m)) & (t.base < n + 2 * m)
+        k = jnp.argmax(is_art).astype(jnp.int32)
+        return jnp.where(is_art.any(), k, none)
+
+    def cond(carry):
+        t, fixes = carry
+        return (first_artificial(t) < none) & (fixes < m)
+
+    def body(carry):
+        t, fixes = carry
+        k = first_artificial(t)
+        colk = t.T[:, k]
         candidates = real_rows & (jnp.abs(colk) >= eps)
         has_pivot = candidates.any()
         h = jnp.argmin(jnp.where(candidates, jnp.arange(R_pad), R_pad))
         h = h.astype(jnp.int32)
 
-        def do_pivot(t):
-            return pivot_update(t, h, k, t.costs[h])
+        pivoted = pivot_update(t, h, k, t.costs[h])
+        dropped = dataclasses.replace(
+            t, T=t.T.at[:, k].set(0.0), b=t.b.at[k].set(0.0),
+            base=t.base.at[k].set(t.rows_padded))
+        t2 = jax.tree.map(
+            lambda a, b: jnp.where(has_pivot, a, b), pivoted, dropped)
+        return t2, fixes + 1
 
-        def drop_redundant(t):
-            return dataclasses.replace(
-                t, T=t.T.at[:, k].set(0.0), b=t.b.at[k].set(0.0))
-
-        def fix(t):
-            return lax.cond(has_pivot, do_pivot, drop_redundant, t)
-
-        return lax.cond(is_art, fix, lambda t: t, tab)
-
-    return lax.fori_loop(0, m, body, tab)
+    out, _ = lax.while_loop(cond, body, (tab, jnp.zeros((), jnp.int32)))
+    return out
 
 
 @partial(jax.jit, static_argnames=("n", "m", "options"))

@@ -1,0 +1,119 @@
+"""Degeneracy handling (north-star config 4): the reference only detects
+an artificial variable stuck in the Phase-1 basis and aborts with
+DEGENERATE (reference twoPhaseMethod.cu:270-282, relazione.Rmd:64-66);
+this framework must also *resolve* such problems — pivot the zero-valued
+artificials out (or drop redundant constraints) and continue to Phase 2
+with Bland's-rule anti-cycling available."""
+
+import numpy as np
+import pytest
+
+from simplex_tpu import Problem, Status, solve
+from simplex_tpu.oracle import solve_oracle
+
+from conftest import assert_valid_solution
+
+
+def degenerate_redundant() -> Problem:
+    """Duplicate constraint (row 2 = row 1) + a zero RHS row: Phase 1
+    ends with an artificial basic at value 0."""
+    A = np.array([
+        [1.0, 1.0, 1.0],
+        [1.0, 1.0, 1.0],      # redundant duplicate
+        [1.0, -1.0, 0.0],
+    ])
+    b = np.array([4.0, 4.0, 0.0])
+    c = np.array([2.0, 3.0, 1.0])
+    return Problem(A=A, b=b, c=c)
+
+
+def degenerate_zero_rhs() -> Problem:
+    """b = 0 rows force degenerate vertices (many zero-ratio ties)."""
+    A = np.array([
+        [1.0, 2.0],
+        [2.0, 4.0],          # scalar multiple -> redundant
+        [1.0, -1.0],
+    ])
+    b = np.array([6.0, 12.0, 0.0])
+    c = np.array([1.0, 1.0])
+    return Problem(A=A, b=b, c=c)
+
+
+class TestEqualityViaDoubleInequality:
+    """Ax <= b with an 'Ax >= b' pair is the canonical-form trick that
+    routinely produces degenerate Phase-1 bases."""
+
+    def problem(self):
+        A = np.array([
+            [1.0, 1.0],
+            [-1.0, -1.0],     # together: x1 + x2 == 3
+            [1.0, 0.0],
+        ])
+        b = np.array([3.0, -3.0, 2.0])
+        c = np.array([1.0, 2.0])
+        return Problem(A=A, b=b, c=c)
+
+    def test_oracle(self):
+        r = solve_oracle(self.problem())
+        assert r.status == Status.OPTIMAL
+        # max x1 + 2 x2 s.t. x1 + x2 == 3, x1 <= 2 -> x = (0, 3), obj 6.
+        assert r.objective == pytest.approx(6.0, abs=1e-8)
+
+    def test_device(self):
+        r = solve(self.problem())
+        assert r.status == Status.OPTIMAL
+        assert r.objective == pytest.approx(6.0, abs=1e-8)
+        assert_valid_solution(self.problem(), r)
+
+
+@pytest.mark.parametrize("make", [degenerate_redundant, degenerate_zero_rhs])
+def test_continue_policy_solves(make):
+    p = make()
+    want = solve_oracle(p)
+    got = solve(p)
+    assert want.status == Status.OPTIMAL
+    assert got.status == Status.OPTIMAL
+    assert got.objective == pytest.approx(want.objective, rel=1e-9)
+    assert_valid_solution(p, got)
+
+
+def test_reference_policy_reports_degenerate():
+    p = degenerate_redundant()
+    got = solve(p, degeneracy="reference")
+    oracle = solve_oracle(p, tie_rule="lowest")
+    if oracle.degenerate:
+        assert got.status == Status.DEGENERATE
+    else:
+        # Tie-order-dependent: at minimum the continue path must agree.
+        assert got.status in (Status.DEGENERATE, Status.OPTIMAL)
+
+
+def test_blocked_mode_handles_degeneracy():
+    for make in (degenerate_redundant, degenerate_zero_rhs):
+        p = make()
+        want = solve_oracle(p)
+        got = solve(p, block_pivots=4)
+        assert got.status == Status.OPTIMAL
+        assert got.objective == pytest.approx(want.objective, rel=1e-8)
+
+
+def test_bland_rule_terminates_on_cycling_prone():
+    """Beale-style cycling-prone constraints (all-zero RHS rows, exact
+    ratio ties everywhere); pure Dantzig can cycle on such bases — the
+    stall-triggered Bland fallback must terminate. Optimum x = (1,0,1,0),
+    objective 1.25 (verified feasible; oracle and device agree)."""
+    A = np.array([
+        [0.25, -8.0, -1.0, 9.0],
+        [0.5, -12.0, -0.5, 3.0],
+        [0.0, 0.0, 1.0, 0.0],
+    ])
+    b = np.array([0.0, 0.0, 1.0])
+    c = np.array([0.75, -20.0, 0.5, -6.0])
+    p = Problem(A=A, b=b, c=c)
+    r = solve(p, bland_threshold=5)
+    assert r.status == Status.OPTIMAL
+    assert r.objective == pytest.approx(1.25, abs=1e-9)
+    assert_valid_solution(p, r)
+    ro = solve_oracle(p)
+    assert ro.status == Status.OPTIMAL
+    assert ro.objective == pytest.approx(1.25, abs=1e-9)
