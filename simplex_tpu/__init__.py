@@ -9,6 +9,20 @@ map). Public API:
     result = solve_oracle(problem)     # NumPy oracle (host)
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: the f64 blocked-pivot solve graph takes
+# minutes to compile on TPU (emulated-f64 expansion); caching makes every
+# later process's cold solve warm. Users override via the standard
+# JAX_COMPILATION_CACHE_DIR env var.
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.expanduser("~/.cache/simplex_tpu_jax"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from .config import EPS, SolverOptions, Status, compare  # noqa: F401
 from .problem import (  # noqa: F401
     Problem, format_problem, read_problem, read_random_problem,

@@ -1,0 +1,153 @@
+"""Checkpoint / resume of the solve state.
+
+The reference has no checkpointing (SURVEY.md §5); its closest artifacts
+are the ``-rs`` seed-file save (main.cu:141-153) and the solution file.
+Here the entire solver state is one pytree — (T, b, costs, z, base) plus
+loop counters — so iteration-level checkpointing is a plain ``.npz``
+dump. ``solve_resumable`` runs the jitted pivot loop in windows of
+``checkpoint_every`` pivots, persisting state between windows, and picks
+up from the newest checkpoint after an interruption: kill the process at
+any point and rerun the same call to continue.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DEFAULT_OPTIONS, SolverOptions, Status
+from .problem import Problem
+from .result import SolveResult
+from .solver import run_solve_loop
+from .tableau import (Tableau, build_phase1, count_basic_artificials,
+                      extract_solution, gaussian_eliminate, phase1_objective,
+                      phase2_reset)
+
+_FIELDS = ("T", "b", "costs", "z", "base")
+
+
+def save_state(path: str, tab: Tableau, *, phase: int,
+               iterations: int, iters1: int = 0) -> None:
+    """Atomically persist a Tableau + progress counters to ``path``."""
+    arrays = {f: np.asarray(getattr(tab, f)) for f in _FIELDS}
+    meta = np.array([tab.n, tab.m, tab.r, phase, iterations, iters1],
+                    dtype=np.int64)
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".ckpt")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            np.savez(fh, __meta__=meta, **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_state(path: str) -> tuple[Tableau, int, int, int]:
+    """Inverse of save_state: (tableau, phase, iterations, iters1)."""
+    with np.load(path) as z:
+        n, m, r, phase, iterations, iters1 = (
+            int(v) for v in z["__meta__"])
+        tab = Tableau(
+            T=jnp.asarray(z["T"]), b=jnp.asarray(z["b"]),
+            costs=jnp.asarray(z["costs"]), z=jnp.asarray(z["z"]),
+            base=jnp.asarray(z["base"]), n=n, m=m, r=r)
+    return tab, phase, iterations, iters1
+
+
+def _run_windows(tab: Tableau, options: SolverOptions, max_iter: int,
+                 path: str, phase: int, done: int, every: int,
+                 iters1: int = 0):
+    """Run the solve loop ``every`` pivots at a time, checkpointing after
+    each window. Returns (tab, status:int, total_iterations)."""
+    run = jax.jit(lambda t: run_solve_loop(t, options, every))
+    while True:
+        if max_iter - done <= 0:
+            return tab, int(Status.RUNNING), done
+        tab, status, it = run(tab)
+        done += int(it)           # scalar readback syncs the executable
+        status = int(status)
+        if status != int(Status.RUNNING) or done >= max_iter:
+            return tab, status, done
+        save_state(path, tab, phase=phase, iterations=done, iters1=iters1)
+
+
+def solve_resumable(problem: Problem, checkpoint_path: str,
+                    checkpoint_every: int = 1000,
+                    options: SolverOptions | None = None,
+                    **replacements) -> SolveResult:
+    """Two-phase solve with iteration-level checkpoint/resume.
+
+    If ``checkpoint_path`` exists, the solve continues from it (the
+    problem must be the same one); otherwise it starts fresh. The file is
+    removed on successful completion.
+    """
+    options = options or DEFAULT_OPTIONS
+    if replacements:
+        options = dataclasses.replace(options, **replacements)
+    if options.dtype == np.float64:
+        jax.config.update("jax_enable_x64", True)
+
+    m, n = problem.constraints, problem.vars
+    eps = float(options.eps)
+    max_iter = options.resolved_max_iter(n + 2 * m, m)
+    A = jnp.asarray(problem.A)
+    b = jnp.asarray(problem.b)
+    c = jnp.asarray(problem.c)
+
+    if os.path.exists(checkpoint_path):
+        tab, phase, done, iters1 = load_state(checkpoint_path)
+        if (tab.n, tab.m) != (n, m):
+            raise ValueError(
+                f"checkpoint is for a {tab.n}x{tab.m} problem, "
+                f"got {n}x{m}")
+    else:
+        tab = gaussian_eliminate(build_phase1(A, b, n, m, options))
+        phase, done, iters1 = 1, 0, 0
+
+    degenerate = False
+    if phase == 1:
+        tab, status1, done = _run_windows(
+            tab, options, max_iter, checkpoint_path, 1, done,
+            checkpoint_every)
+        if status1 == int(Status.RUNNING):
+            return SolveResult(Status.MAXITER, None, float(tab.z), done, 0)
+        z1 = float(phase1_objective(tab))
+        if z1 <= -eps:
+            if os.path.exists(checkpoint_path):
+                os.unlink(checkpoint_path)
+            return SolveResult(Status.INFEASIBLE, None, z1, done, 0)
+        degenerate = int(count_basic_artificials(tab)) > 0
+        if degenerate and options.degeneracy == "reference":
+            return SolveResult(Status.DEGENERATE, None, z1, done, 0,
+                               degenerate=True)
+        if degenerate:
+            from .two_phase import pivot_out_artificials
+
+            tab = pivot_out_artificials(tab, options)
+        tab = gaussian_eliminate(phase2_reset(tab, c, options))
+        phase, iters1, done = 2, done, 0
+        save_state(checkpoint_path, tab, phase=2, iterations=0,
+                   iters1=iters1)
+
+    tab, status2, done = _run_windows(
+        tab, options, max_iter, checkpoint_path, 2, done,
+        checkpoint_every, iters1)
+    if os.path.exists(checkpoint_path):
+        os.unlink(checkpoint_path)
+    if status2 == int(Status.RUNNING):
+        return SolveResult(Status.MAXITER, None, float(tab.z), iters1, done)
+    if status2 != int(Status.OPTIMAL):
+        return SolveResult(Status(status2), None, float(tab.z), iters1,
+                           done, degenerate=degenerate)
+    x = np.asarray(extract_solution(tab))
+    objective = float(np.dot(problem.c, x))
+    return SolveResult(Status.OPTIMAL, x, objective, iters1, done,
+                       degenerate=degenerate)

@@ -35,6 +35,9 @@ class Status(enum.IntEnum):
     UNBOUNDED = -2
     DEGENERATE = -3    # reference-compat: artificial variable left in base
     MAXITER = -4       # new: iteration fuse tripped (no reference equivalent)
+    NUMERIC = -5       # new: non-finite tableau state detected (the
+                       # reference exits fatally on CUDA errors instead,
+                       # error.cu:5-12; fp poison it never checks)
     RUNNING = -10      # internal: loop not finished (reference NOT_ENDED)
 
     @property
@@ -45,6 +48,7 @@ class Status(enum.IntEnum):
             Status.UNBOUNDED: "Problem UNBOUNDED!",
             Status.DEGENERATE: "Problem DEGENERATE!",
             Status.MAXITER: "Iteration limit reached!",
+            Status.NUMERIC: "Numerical failure (non-finite tableau)!",
             Status.RUNNING: "Still running",
         }[self]
 

@@ -146,6 +146,13 @@ def solve_device(A: jax.Array, b: jax.Array, c: jax.Array, n: int, m: int,
         status = jnp.where(degenerate, int(Status.DEGENERATE), status)
     status = jnp.where(infeasible, int(Status.INFEASIBLE), status)
     status = jnp.where(fuse1, int(Status.MAXITER), status)
+    # Numeric guard (the error-handling layer of SURVEY.md C10): a
+    # non-finite objective/solution means the tableau was poisoned (e.g.
+    # a near-zero pivot divided through) — report NUMERIC instead of
+    # returning garbage. The reference has no fp guard at all.
+    finite = jnp.isfinite(tab2.z) & jnp.isfinite(x).all() & \
+        jnp.isfinite(z_phase1)
+    status = jnp.where(finite, status, int(Status.NUMERIC))
     status = status.astype(jnp.int32)
 
     phase1_failed = infeasible | fuse1

@@ -1,0 +1,69 @@
+"""Checkpoint/resume (SURVEY.md §5 — no reference equivalent; the solve
+state is a pytree, dumped per window of pivots)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simplex_tpu import Status, generate_random_problem, solve_oracle
+from simplex_tpu.checkpoint import load_state, save_state, solve_resumable
+from simplex_tpu.config import DEFAULT_OPTIONS
+from simplex_tpu.solver import run_solve_loop
+from simplex_tpu.tableau import build_phase1, gaussian_eliminate
+
+
+@pytest.fixture
+def problem():
+    return generate_random_problem(120, 50, 3, 1, 100)
+
+
+def test_full_run_with_small_windows(problem, tmp_path):
+    path = str(tmp_path / "state.npz")
+    want = solve_oracle(problem)
+    got = solve_resumable(problem, path, checkpoint_every=50)
+    assert got.status == Status.OPTIMAL
+    assert got.objective == pytest.approx(want.objective, rel=1e-9)
+    assert not os.path.exists(path), "checkpoint removed on success"
+
+
+def test_resume_after_interrupt(problem, tmp_path):
+    """Run 30 phase-1 pivots, 'crash', resume from the dump."""
+    path = str(tmp_path / "state.npz")
+    tab = gaussian_eliminate(build_phase1(
+        jnp.asarray(problem.A), jnp.asarray(problem.b), problem.vars,
+        problem.constraints, DEFAULT_OPTIONS))
+    tab, _, it = run_solve_loop(tab, DEFAULT_OPTIONS, 30)
+    assert int(it) == 30
+    save_state(path, tab, phase=1, iterations=30)
+
+    want = solve_oracle(problem)
+    got = solve_resumable(problem, path, checkpoint_every=50)
+    assert got.status == Status.OPTIMAL
+    assert got.objective == pytest.approx(want.objective, rel=1e-9)
+
+
+def test_state_roundtrip(problem, tmp_path):
+    path = str(tmp_path / "state.npz")
+    tab = gaussian_eliminate(build_phase1(
+        jnp.asarray(problem.A), jnp.asarray(problem.b), problem.vars,
+        problem.constraints, DEFAULT_OPTIONS))
+    save_state(path, tab, phase=1, iterations=7, iters1=3)
+    tab2, phase, iterations, iters1 = load_state(path)
+    assert (phase, iterations, iters1) == (1, 7, 3)
+    assert (tab2.n, tab2.m, tab2.r) == (tab.n, tab.m, tab.r)
+    np.testing.assert_array_equal(np.asarray(tab.T), np.asarray(tab2.T))
+    np.testing.assert_array_equal(np.asarray(tab.base),
+                                  np.asarray(tab2.base))
+
+
+def test_shape_mismatch_rejected(problem, tmp_path):
+    path = str(tmp_path / "state.npz")
+    tab = gaussian_eliminate(build_phase1(
+        jnp.asarray(problem.A), jnp.asarray(problem.b), problem.vars,
+        problem.constraints, DEFAULT_OPTIONS))
+    save_state(path, tab, phase=1, iterations=0)
+    other = generate_random_problem(60, 30, 5, 1, 100)
+    with pytest.raises(ValueError, match="checkpoint is for"):
+        solve_resumable(other, path)
