@@ -73,7 +73,11 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--limit", type=int, default=8192,
                    help="benchmark sweep upper size")
     p.add_argument("--debug", action="store_true",
-                   help="print the parsed/generated problem")
+                   help="print the parsed/generated problem and the "
+                        "tableau after every stage (reference -D DEBUG)")
+    p.add_argument("--batch", type=int, default=1, metavar="B",
+                   help="with -r/-rs/-rf: solve B instances (seeds "
+                        "seed..seed+B-1) in one vmapped device call")
     return p
 
 
@@ -167,6 +171,31 @@ def main(argv: list[str] | None = None) -> int:
             write_seed_file(path, n, m, seed, MIN, MAX)
             print(f"Seed file saved to {path}")
 
+    if args.batch > 1:
+        if args.f:
+            raise SystemExit("--batch requires a seeded mode (-r/-rs/-rf)")
+        from .batch import solve_batched
+        from .problem import read_seed_file
+
+        if args.rf:
+            n, m, seed, lo, hi = read_seed_file(args.rf)
+        else:
+            lo, hi = MIN, MAX
+        problems = [generate_random_problem(n, m, seed + i, lo, hi)
+                    for i in range(args.batch)]
+        print(f"Solving {args.batch} instances "
+              f"(seeds {seed}..{seed + args.batch - 1}) vmapped...")
+        t0 = time.time()
+        results = solve_batched(problems, options)
+        dt = time.time() - t0
+        for i, r in enumerate(results):
+            obj = f"{r.objective:f}" if r.status == Status.OPTIMAL else "-"
+            print(f"seed {seed + i}: {r.status.name} objective={obj} "
+                  f"pivots={r.iterations_phase1}+{r.iterations_phase2}")
+        print(f"Batch solved in {dt:.3f}s "
+              f"({dt / args.batch * 1e3:.1f} ms/instance)")
+        return 0
+
     if args.debug:
         print(format_problem(problem))
 
@@ -176,7 +205,8 @@ def main(argv: list[str] | None = None) -> int:
     print("Resolving....")
     with chrono:
         result = solve_timed(problem, options, chrono,
-                             per_iteration=args.per_iteration)
+                             per_iteration=args.per_iteration,
+                             debug=args.debug)
     _report(result, problem, args.data_dir)
     return 0
 

@@ -192,6 +192,48 @@ def phase1_objective(tab: Tableau) -> jax.Array:
     return -jnp.sum(jnp.where(is_art, tab.b, 0.0))
 
 
+def format_tableau(tab: Tableau, max_rows: int = 32,
+                   max_cols: int = 16) -> str:
+    """Debug rendering of the tableau (reference printTableauToStream,
+    tabular.cu:41-98 — the -D DEBUG build dumps it after every stage and
+    pivot): the cost row with the objective cell first, then one line per
+    stored variable row with its constraint coefficients, then b and the
+    base. Large tableaus elide middle rows/columns."""
+    import io
+
+    out = io.StringIO()
+    T = np.asarray(tab.T)[:tab.r, :tab.m]
+    costs = np.asarray(tab.costs)[:tab.r]
+    b = np.asarray(tab.b)[:tab.m]
+    base = np.asarray(tab.base)[:tab.m]
+
+    def fmt_row(label, vals):
+        shown = vals if len(vals) <= max_cols else np.concatenate(
+            [vals[:max_cols // 2], vals[-max_cols // 2:]])
+        ellip = " ... " if len(vals) > max_cols else " "
+        cells = ellip.join(" ".join(f"{v:10.4f}" for v in half)
+                           for half in (np.array_split(shown, 2)
+                                        if len(vals) > max_cols
+                                        else [shown]))
+        out.write(f"{label:>8s} | {cells}\n")
+
+    out.write(f"Tableau {tab.r} vars x {tab.m} constraints "
+              f"(z = {float(tab.z):.6f})\n")
+    fmt_row("costs", costs[:max_rows])
+    rows = range(tab.r) if tab.r <= max_rows else (
+        list(range(max_rows // 2))
+        + list(range(tab.r - max_rows // 2, tab.r)))
+    last = -1
+    for i in rows:
+        if i != last + 1:
+            out.write("     ...\n")
+        fmt_row(f"x{i}", T[i])
+        last = i
+    fmt_row("b", b)
+    out.write("    base | " + " ".join(str(v) for v in base) + "\n")
+    return out.getvalue()
+
+
 def count_basic_artificials(tab: Tableau) -> jax.Array:
     """Degeneracy check (reference checkDegeneracy + countElementsInRange,
     twoPhaseMethod.cu:134-143,206-223): artificial indices still in base."""

@@ -38,7 +38,8 @@ from .result import SolveResult
 from .solver import (LoopState, initial_state, iteration_body,
                      run_solve_loop)
 from .tableau import (build_phase1, count_basic_artificials,
-                      extract_solution, gaussian_eliminate, phase2_reset)
+                      extract_solution, format_tableau, gaussian_eliminate,
+                      phase2_reset)
 from .two_phase import pivot_out_artificials
 
 
@@ -97,10 +98,14 @@ def _run_solve(tab, options, max_iter, chrono, rows_csv, per_iteration):
 
 def solve_timed(problem: Problem, options: SolverOptions | None = None,
                 chrono: Chrono | NullChrono | None = None,
-                per_iteration: bool = False, **replacements) -> SolveResult:
+                per_iteration: bool = False, debug: bool = False,
+                **replacements) -> SolveResult:
     """Host-orchestrated two-phase solve with per-op CSV timing; same
     result contract as two_phase.solve (and the reference's host
-    early-returns for INFEASIBLE/DEGENERATE, twoPhaseMethod.cu:414-427)."""
+    early-returns for INFEASIBLE/DEGENERATE, twoPhaseMethod.cu:414-427).
+    ``debug=True`` prints the tableau after every stage (the reference's
+    -D DEBUG dumps, twoPhaseMethod.cu:237-262 via tabular.cu:41-98,
+    without the getchar() pauses)."""
     options = options or DEFAULT_OPTIONS
     if replacements:
         options = dataclasses.replace(options, **replacements)
@@ -119,11 +124,19 @@ def solve_timed(problem: Problem, options: SolverOptions | None = None,
     # (chrono.cu:37) — n+2m+1 in phase 1, n+m+1 in phase 2.
     r1, r2 = n + 2 * m + 1, n + m + 1
 
+    def dump(stage, tab):
+        if debug:
+            print(f"--- {stage} ---")
+            print(format_tableau(tab))
+
     # ---- Phase 1 ----
     tab = _timed(chrono, r1, m, "fillTableau", _build, A, b, n, m, options)
+    dump("fillTableau", tab)
     tab = _timed(chrono, r1, m, "gauss1", _gauss, tab)
+    dump("gauss1", tab)
     tab, status1, iters1 = _run_solve(tab, options, max_iter, chrono, r1,
                                       per_iteration)
+    dump("phase1 solved", tab)
     if status1 == int(Status.RUNNING):
         return SolveResult(Status.MAXITER, None, float(tab.z), iters1, 0)
     if float(tab.z) <= -eps:
@@ -144,8 +157,10 @@ def solve_timed(problem: Problem, options: SolverOptions | None = None,
     # ---- Phase 2 ----
     tab = _timed(chrono, r2, m, "costsVector", _phase2, tab, c, options)
     tab = _timed(chrono, r2, m, "gauss2", _gauss, tab)
+    dump("gauss2", tab)
     tab, status2, iters2 = _run_solve(tab, options, max_iter, chrono, r2,
                                       per_iteration)
+    dump("phase2 solved", tab)
     if status2 == int(Status.RUNNING):
         return SolveResult(Status.MAXITER, None, float(tab.z), iters1,
                            iters2, degenerate=degenerate)

@@ -77,3 +77,11 @@ def test_benchmark_sweep_small(tmp_path, capsys):
     assert rc == 0
     # One benchmark CSV per size (reference initCsvBenchmark naming).
     assert (tmp_path / "measures" / "benchmark_256_256.txt").exists()
+
+
+def test_batch_mode(tmp_path, capsys):
+    rc = run_cli(["-r", "24", "10", "5", "--batch", "4"], tmp_path)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Solving 4 instances" in out
+    assert "seed 5:" in out and "seed 8:" in out
