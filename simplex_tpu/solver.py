@@ -340,11 +340,51 @@ def apply_window(T: jax.Array, C: jax.Array, F: jax.Array) -> jax.Array:
     return lax.fori_loop(0, n_chunks, body, T)
 
 
-class BlockedLoopState(NamedTuple):
-    """solve_loop_blocked carry. T is the *stale* tableau (last applied
-    window); the live tableau is implicitly ``T - C @ F``."""
+def apply_window_T(Tt: jax.Array, C: jax.Array, F: jax.Array) -> jax.Array:
+    """``Tt - F^T @ C`` for the transposed blocked loop: Tt (M_pad,
+    R_pad), C (L, R_pad) holds the eta columns as rows, F (L, M_pad) the
+    eta rows. f64 chunks along the (large) variable axis to bound the
+    emulated-matmul temporaries (see apply_window)."""
+    dtype = Tt.dtype
+    m_pad, r_pad = Tt.shape
 
-    tab: Tableau             # tab.T stale; costs/b/z/base always current
+    def chunk_apply(Ti, Ci):
+        return Ti - lax.dot_general(
+            F, Ci, (((0,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+            precision=_dot_precision(dtype))
+
+    if dtype.itemsize <= 4:
+        return chunk_apply(Tt, C)
+
+    chunk = 8
+    while (chunk * 2 <= r_pad and r_pad % (chunk * 2) == 0
+           and 64 * (chunk * 2) * m_pad * 2 <= (1 << 30)):
+        chunk *= 2
+    if chunk >= r_pad:
+        return chunk_apply(Tt, C)
+    n_chunks = r_pad // chunk
+
+    def body(i, Tt):
+        sl = lax.dynamic_slice_in_dim(Tt, i * chunk, chunk, 1)
+        Ci = lax.dynamic_slice_in_dim(C, i * chunk, chunk, 1)
+        return lax.dynamic_update_slice_in_dim(
+            Tt, chunk_apply(sl, Ci), i * chunk, 1)
+
+    return lax.fori_loop(0, n_chunks, body, Tt)
+
+
+class BlockedLoopState(NamedTuple):
+    """solve_loop_blocked carry. ``Tt`` is the *stale* tableau stored
+    TRANSPOSED — (M_pad, R_pad), constraint-major — so the per-pivot
+    leaving-column fetch is a contiguous row read; the live tableau is
+    implicitly ``Tt^T - C^T @ F``. costs/b/z/base are always current."""
+
+    Tt: jax.Array
+    b: jax.Array
+    costs: jax.Array
+    z: jax.Array
+    base: jax.Array
     status: jax.Array
     iterations: jax.Array
     stall: jax.Array
@@ -355,24 +395,35 @@ def solve_loop_blocked(tab: Tableau, options: SolverOptions,
                        max_iter: int) -> tuple[Tableau, jax.Array, jax.Array]:
     """Deferred block-pivot loop: the TPU-first redesign of the hot loop.
 
-    The reference (and the L=1 paths here) stream the whole tableau through
-    HBM once per pivot (rank-1 update, solver.cu:34-46) — at large sizes
-    that is the entire runtime (>99%, relazione.Rmd:506) and is memory-
-    bound. This loop instead keeps the tableau STALE for a window of
-    ``L = options.block_pivots`` pivots, accumulating each pivot's eta pair
+    The reference (and the L=1 paths here) stream the whole tableau
+    through HBM once per pivot (rank-1 update, solver.cu:34-46) — at
+    large sizes that is the entire runtime (>99%, relazione.Rmd:506) and
+    is memory-bound. This loop instead keeps the tableau STALE for a
+    window of ``L = options.block_pivots`` pivots, accumulating each
+    pivot's eta pair
 
-        C[:, t] = colk_t   (live leaving column),
+        C[t, :] = colk_t   (live leaving column),
         F[t, :] = v_t      (live entering row / p, with v_t[k] = 1 - 1/p)
 
-    and applies ``T <- T - C @ F`` ONCE per window — a (R x L)(L x M)
-    matmul on the MXU, amortising the 2-pass HBM cost of the update over L
-    pivots. Within the window every quantity the algorithm needs is
-    computed EXACTLY against the live (virtual) tableau:
+    and applies ``T <- T - C^T... i.e. Tt -= F^T @ C`` ONCE per window —
+    an MXU matmul — amortising the 2-pass HBM cost of the update over L
+    pivots. Within the window every quantity is computed EXACTLY against
+    the live (virtual) tableau:
 
-        live column j:  T0[:, j] - C @ F[:, j]      (O(R L) matvec)
-        live row h:     T0[h, :] - C[h, :] @ F      (O(L M) matvec)
+        live column j:  Tt[j, :] - F[:, j] @ C     (contiguous row + O(RL))
+        live row h:     Tt[:, h] - C[:, h] @ F     (small stride + O(LM))
 
     while costs, b, z and base are updated exactly every pivot (O(R+M)).
+
+    Layout note (why transposed): in the reference's variable-major
+    layout the leaving column T[:, k] is a strided gather that reads a
+    whole (8, 128) tile per 8 elements — ~60 MB of traffic for a 0.5 MB
+    vector at the north-star size, dominating the amortised loop. Stored
+    constraint-major, that fetch is one contiguous row (0.5 MB) and the
+    much shorter entering-row fetch takes the stride penalty (~5 MB).
+    The two physical transposes per phase are amortised over thousands
+    of pivots.
+
     The pivot *choices* (Dantzig/Bland entering, ratio test, statuses,
     eps discipline) are identical to solve_loop; only floating-point
     summation order differs.
@@ -383,38 +434,52 @@ def solve_loop_blocked(tab: Tableau, options: SolverOptions,
     L = int(options.block_pivots or 1)
     r_pad, m_pad = tab.T.shape
     dtype = tab.T.dtype
+    row_iota = jnp.arange(r_pad)
+    row_mask = row_iota < tab.r
+
+    def entering(costs, bland_flag):
+        """choose_entering on the bare cost vector (same semantics)."""
+        masked = jnp.where(row_mask, costs, jnp.inf)
+        h_dantzig = jnp.argmin(masked)
+        eligible = masked <= -eps
+        h_bland = jnp.argmin(jnp.where(eligible, row_iota, r_pad))
+        h = jnp.where(bland_flag & eligible.any(), h_bland, h_dantzig)
+        h = h.astype(jnp.int32)
+        return h, masked[h]
 
     def inner(t, carry):
         """One pivot against the virtual tableau; no-op once finished."""
         C, F, s = carry
-        tab = s.tab
         active = s.status == int(Status.RUNNING)
 
-        h, minc = choose_entering(tab, s.bland, eps)
+        h, minc = entering(s.costs, s.bland)
         optimal = minc > -eps
 
-        a_h = tab.T[h] - jnp.dot(C[h, :], F,
-                                 precision=_dot_precision(dtype))
-        k, unbounded = ratio_test(tab, a_h, eps)
+        a_h = s.Tt[:, h] - jnp.dot(C[:, h], F,
+                                   precision=_dot_precision(dtype))
+        mask = a_h >= eps
+        unbounded = ~mask.any()
+        ratios = jnp.where(mask, s.b / jnp.where(mask, a_h, 1.0), jnp.inf)
+        k = jnp.argmin(ratios).astype(jnp.int32)
         do = active & ~(optimal | unbounded)
 
         p_raw = a_h[k]
         p = jnp.where(do, p_raw, jnp.ones_like(p_raw))
-        colk = tab.T[:, k] - jnp.dot(C, F[:, k],
-                                     precision=_dot_precision(dtype))
-        bk = tab.b[k]
+        colk = s.Tt[k, :] - jnp.dot(F[:, k], C,
+                                    precision=_dot_precision(dtype))
+        bk = s.b[k]
 
-        costs2 = jnp.where(do, tab.costs - (minc / p) * colk, tab.costs)
-        z2 = jnp.where(do, tab.z - (minc / p) * bk, tab.z)
+        costs2 = jnp.where(do, s.costs - (minc / p) * colk, s.costs)
+        z2 = jnp.where(do, s.z - (minc / p) * bk, s.z)
         is_k = jnp.arange(m_pad) == k
         b2 = jnp.where(do,
-                       jnp.where(is_k, bk / p, tab.b - bk * (a_h / p)),
-                       tab.b)
-        base2 = jnp.where(do, tab.base.at[k].set(h.astype(tab.base.dtype)),
-                          tab.base)
+                       jnp.where(is_k, bk / p, s.b - bk * (a_h / p)),
+                       s.b)
+        base2 = jnp.where(do, s.base.at[k].set(h.astype(s.base.dtype)),
+                          s.base)
 
         v = (a_h / p).at[k].set(1.0 - 1.0 / p)             # eta row
-        C2 = C.at[:, t].set(jnp.where(do, colk, jnp.zeros_like(colk)))
+        C2 = C.at[t, :].set(jnp.where(do, colk, jnp.zeros_like(colk)))
         F2 = F.at[t, :].set(jnp.where(do, v, jnp.zeros_like(v)))
 
         status = jnp.where(
@@ -424,7 +489,7 @@ def solve_loop_blocked(tab: Tableau, options: SolverOptions,
                                 int(Status.RUNNING))),
             s.status).astype(jnp.int32)
 
-        improved = jnp.abs(z2 - tab.z) >= eps
+        improved = jnp.abs(z2 - s.z) >= eps
         stall = jnp.where(do, jnp.where(improved, 0, s.stall + 1),
                           s.stall).astype(jnp.int32)
         if bland_static:
@@ -435,31 +500,30 @@ def solve_loop_blocked(tab: Tableau, options: SolverOptions,
             bland = jnp.where(do, jnp.where(improved, False,
                                             stall >= threshold), s.bland)
 
-        tab2 = dataclasses.replace(tab, costs=costs2, b=b2, z=z2,
-                                   base=base2)
         return (C2, F2, BlockedLoopState(
-            tab2, status, s.iterations + do.astype(jnp.int32), stall,
-            bland))
+            s.Tt, b2, costs2, z2, base2, status,
+            s.iterations + do.astype(jnp.int32), stall, bland))
 
     def outer(s: BlockedLoopState):
-        C = jnp.zeros((r_pad, L), dtype)
+        C = jnp.zeros((L, r_pad), dtype)
         F = jnp.zeros((L, m_pad), dtype)
         C, F, s = lax.fori_loop(0, L, inner, (C, F, s))
-        # Apply the window: one MXU matmul over the whole tableau
-        # (row-chunked for emulated f64, see apply_window).
-        T2 = apply_window(s.tab.T, C, F)
-        return BlockedLoopState(dataclasses.replace(s.tab, T=T2),
-                                s.status, s.iterations, s.stall, s.bland)
+        Tt2 = apply_window_T(s.Tt, C, F)
+        return s._replace(Tt=Tt2)
 
     def cond(s: BlockedLoopState):
         return (s.status == int(Status.RUNNING)) & (s.iterations < max_iter)
 
     init = BlockedLoopState(
-        tab, jnp.asarray(int(Status.RUNNING), jnp.int32),
+        tab.T.T, tab.b, tab.costs, tab.z, tab.base,
+        jnp.asarray(int(Status.RUNNING), jnp.int32),
         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
         jnp.asarray(bland_static))
     final = lax.while_loop(cond, outer, init)
-    return final.tab, final.status, final.iterations
+    out_tab = dataclasses.replace(
+        tab, T=final.Tt.T, b=final.b, costs=final.costs, z=final.z,
+        base=final.base)
+    return out_tab, final.status, final.iterations
 
 
 def use_pallas(options: SolverOptions) -> bool:
