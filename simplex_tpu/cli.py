@@ -70,6 +70,12 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="abort DEGENERATE like the reference instead of "
                         "resolving via Bland's rule")
     p.add_argument("--max-iter", type=int, default=None)
+    p.add_argument("--eps", type=float, default=None,
+                   help="comparison epsilon (default: 1e-9 for float64 "
+                        "matching the reference, 1e-4 for float32)")
+    p.add_argument("--block", type=int, default=None, metavar="L",
+                   help="deferred block-pivot window (see BENCHMARKS.md); "
+                        "default: plain reference-semantics loop")
     p.add_argument("--limit", type=int, default=8192,
                    help="benchmark sweep upper size")
     p.add_argument("--debug", action="store_true",
@@ -82,9 +88,14 @@ def _build_parser() -> argparse.ArgumentParser:
 
 
 def _options(args) -> SolverOptions:
+    eps = args.eps
+    if eps is None:
+        eps = 1e-9 if args.dtype == "float64" else 1e-4
     return SolverOptions(
         dtype=np.dtype(args.dtype),
+        eps=eps,
         max_iter=args.max_iter,
+        block_pivots=args.block,
         degeneracy="reference" if args.reference_degeneracy else "continue",
     )
 

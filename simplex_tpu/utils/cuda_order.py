@@ -99,6 +99,27 @@ def _scan_phase(values: np.ndarray, n_blocks: int, eps: float):
     return best_v, best_i
 
 
+def _scan_pairs(vals: np.ndarray, idxs: np.ndarray, eps: float):
+    """Thread-local grid-stride scan of a single 512-thread block over
+    (value, original-index) pairs — the second deviceReduceKernel launch
+    (isFirstExecution=false, reduction.cu:55-66 with g_index carried):
+    thread t covers t, t+512, ... ascending; strict eps-less replaces."""
+    n = vals.shape[0]
+    cols = (n + THREADS - 1) // THREADS
+    pv = np.full(THREADS * cols, DBL_MAX)
+    pi = np.full(THREADS * cols, -1, dtype=np.int64)
+    pv[:n] = vals
+    pi[:n] = idxs
+    pv = pv.reshape(cols, THREADS)
+    pi = pi.reshape(cols, THREADS)
+    best_v, best_i = pv[0].copy(), pi[0].copy()
+    for j in range(1, cols):
+        take = _eps_less(pv[j], best_v, eps)
+        best_v = np.where(take, pv[j], best_v)
+        best_i = np.where(take, pi[j], best_i)
+    return best_v, best_i
+
+
 def cuda_argmin(values: np.ndarray, eps: float = 1e-9) -> tuple[int, float]:
     """minElement (reduction.cu:82-104): two passes of
     deviceReduceKernel, returning (index, value) with the reference GPU's
@@ -109,12 +130,9 @@ def cuda_argmin(values: np.ndarray, eps: float = 1e-9) -> tuple[int, float]:
     sv, si = _scan_phase(values, nb, eps)
     bv, bi = _block_pass(sv, si, nb, eps)
 
-    # Second pass: <<<1, THREADS>>> over the nb block results, with the
-    # original indices carried through (reduction.cu:93-99).
-    sv2 = np.full(THREADS, DBL_MAX)
-    si2 = np.full(THREADS, -1, dtype=np.int64)
-    sv2[:nb] = bv
-    si2[:nb] = bi
+    # Second pass: <<<1, THREADS>>> over the nb block results (nb can be
+    # up to 1024 -> each thread may scan two), original indices carried.
+    sv2, si2 = _scan_pairs(bv, bi, eps)
     fv, fi = _block_pass(sv2, si2, 1, eps)
     return int(fi[0]), float(fv[0])
 

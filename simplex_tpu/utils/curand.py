@@ -1,4 +1,5 @@
-"""ctypes wrapper around the native XORWOW generator (native/xorwow.cpp).
+"""ctypes wrapper around the native XORWOW generator
+(simplex_tpu/native/xorwow.cpp).
 
 Bit-exact cuRAND XORWOW so the reference's seed-file benchmark instances
 (reference data/examples/benchmark_problems/*.txt; generation protocol
@@ -19,7 +20,7 @@ import tempfile
 
 import numpy as np
 
-_SRC = pathlib.Path(__file__).resolve().parents[2] / "native" / "xorwow.cpp"
+_SRC = pathlib.Path(__file__).resolve().parents[1] / "native" / "xorwow.cpp"
 _LIB_CACHE: ctypes.CDLL | None = None
 _BUILD_FAILED = False
 

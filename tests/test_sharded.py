@@ -88,3 +88,18 @@ def test_sharded_blocked_matches_unsharded_blocked():
     assert sharded.status == single.status == Status.OPTIMAL
     assert sharded.iterations_phase1 == single.iterations_phase1
     assert sharded.objective == pytest.approx(single.objective, rel=1e-9)
+
+
+def test_batch_sharded_over_mesh():
+    """Data-parallel scenario fleet: the batch axis sharded across the
+    mesh (one device per group of LPs, no cross-LP communication)."""
+    from simplex_tpu.batch import solve_batched
+
+    problems = [generate_random_problem(30, 12, s, 1, 100)
+                for s in range(8)]
+    mesh = Mesh(np.array(jax.devices()[:4]), ("batch",))
+    got = solve_batched(problems, mesh=mesh)
+    for p, r in zip(problems, got):
+        want = solve_oracle(p)
+        assert r.status == want.status == Status.OPTIMAL
+        assert r.objective == pytest.approx(want.objective, rel=1e-9)
