@@ -32,6 +32,7 @@ REFERENCE_GBPS = 166.0  # BASELINE.md: RTX 2070 Super, 8192x8192 fp64
 
 
 def build_bench_state(n: int, m: int, dtype, options):
+    # vectors take options.vector_dtype inside build_phase1
     import jax
     import jax.numpy as jnp
 
@@ -58,6 +59,11 @@ def main() -> int:
     parser.add_argument("--constraints", type=int, default=10_000)
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "float64"])
+    parser.add_argument("--vector-dtype", default="float64",
+                        choices=["float32", "float64"],
+                        help="dtype of b/costs/z (mixed precision: f32 "
+                             "tableau + f64 vectors is the robust speed "
+                             "mode)")
     parser.add_argument("--iters", type=int, default=512,
                         help="timed pivot iterations")
     parser.add_argument("--repeats", type=int, default=3)
@@ -69,7 +75,7 @@ def main() -> int:
 
     import jax
 
-    if args.dtype == "float64":
+    if "float64" in (args.dtype, args.vector_dtype):
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
@@ -82,6 +88,7 @@ def main() -> int:
     n, m, K = args.vars, args.constraints, args.iters
     dtype = jnp.dtype(args.dtype)
     options = SolverOptions(dtype=np.dtype(args.dtype),
+                            vector_dtype=np.dtype(args.vector_dtype),
                             use_pallas=not args.no_pallas,
                             block_pivots=args.block or None)
 

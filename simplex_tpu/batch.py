@@ -56,7 +56,7 @@ def solve_batched(problems, options: SolverOptions | None = None,
     options = options or DEFAULT_OPTIONS
     if replacements:
         options = dataclasses.replace(options, **replacements)
-    if options.dtype == np.float64:
+    if options.needs_x64:
         jax.config.update("jax_enable_x64", True)
 
     if not problems:

@@ -92,7 +92,7 @@ def solve_resumable(problem: Problem, checkpoint_path: str,
     options = options or DEFAULT_OPTIONS
     if replacements:
         options = dataclasses.replace(options, **replacements)
-    if options.dtype == np.float64:
+    if options.needs_x64:
         jax.config.update("jax_enable_x64", True)
 
     m, n = problem.constraints, problem.vars
@@ -120,7 +120,8 @@ def solve_resumable(problem: Problem, checkpoint_path: str,
         if status1 == int(Status.RUNNING):
             return SolveResult(Status.MAXITER, None, float(tab.z), done, 0)
         z1 = float(phase1_objective(tab))
-        if z1 <= -eps:
+        b_scale = 1.0 + float(np.max(np.abs(problem.b)))
+        if z1 <= -eps * b_scale:
             if os.path.exists(checkpoint_path):
                 os.unlink(checkpoint_path)
             return SolveResult(Status.INFEASIBLE, None, z1, done, 0)

@@ -82,6 +82,15 @@ class SolverOptions:
     #: Epsilon for all comparisons (reference macro.h:28).
     eps: float = EPS
 
+    #: Dtype for the small solver vectors (b, reduced costs, z). Defaults
+    #: to ``dtype``. Setting float64 with a float32 tableau gives the
+    #: mixed-precision mode: the tableau keeps f32 memory/bandwidth (the
+    #: whole footprint) while the vectors that accumulate per-pivot
+    #: updates stay drift-free — f32-only runs were observed to
+    #: accumulate O(0.1) absolute error in b over ~5k pivots, enough to
+    #: misclassify feasible problems.
+    vector_dtype: Optional[np.dtype] = None
+
     #: Pivot-iteration fuse per phase. None -> 50 * (rows + cols), a
     #: generous bound (reference benchmark instances need < 3 * rows).
     max_iter: Optional[int] = None
@@ -130,6 +139,15 @@ class SolverOptions:
         if self.degeneracy not in ("continue", "reference"):
             raise ValueError(f"unknown degeneracy policy {self.degeneracy!r}")
         object.__setattr__(self, "dtype", np.dtype(self.dtype))
+        object.__setattr__(
+            self, "vector_dtype",
+            np.dtype(self.vector_dtype) if self.vector_dtype is not None
+            else np.dtype(self.dtype))
+
+    @property
+    def needs_x64(self) -> bool:
+        return (self.dtype == np.float64
+                or self.vector_dtype == np.float64)
 
 
 DEFAULT_OPTIONS = SolverOptions()

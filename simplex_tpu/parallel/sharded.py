@@ -48,7 +48,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import DEFAULT_OPTIONS, SolverOptions, Status
 from ..solver import LoopState, _dot_precision, apply_window
-from ..tableau import Tableau, round_up
+from ..tableau import Tableau, accum_matvec, round_up
 
 AXIS = "vars"
 
@@ -256,7 +256,7 @@ def broadcast_live_row(tab: Tableau, C: jax.Array, F: jax.Array,
 
 
 def solve_loop_blocked_sharded(tab: Tableau, options: SolverOptions,
-                               max_iter: int):
+                               max_iter: int, costs0=None):
     """Sharded deferred block pivoting (see solver.solve_loop_blocked):
     the stale T shard and the eta columns C shard together along the vars
     axis; the eta rows F are replicated (computed identically everywhere
@@ -270,6 +270,8 @@ def solve_loop_blocked_sharded(tab: Tableau, options: SolverOptions,
     L = int(options.block_pivots or 1)
     R_loc, m_pad = tab.T.shape
     dtype = tab.T.dtype
+    if jnp.dtype(dtype).itemsize >= 8:
+        costs0 = None        # see solver.solve_loop_blocked
 
     def inner(t, carry):
         C, F, s = carry
@@ -331,8 +333,30 @@ def solve_loop_blocked_sharded(tab: Tableau, options: SolverOptions,
         F = jnp.zeros((L, m_pad), dtype)
         C, F, s = lax.fori_loop(0, L, inner, (C, F, s))
         T2 = apply_window(s.tab.T, C, F)
-        return LoopState(dataclasses.replace(s.tab, T=T2),
-                         s.status, s.iterations, s.stall, s.bland)
+        tab2 = dataclasses.replace(s.tab, T=T2)
+        status = s.status
+        if costs0 is not None:
+            # Window-boundary exact re-pricing (see the single-chip
+            # solve_loop_blocked): basic-cost gather is one psum, the
+            # reprice a local matvec; a premature OPTIMAL on drifted
+            # costs is reverted if exact pricing still improves.
+            offset = _global_row_offset(tab2)
+            local_idx = tab2.base - offset
+            own = ((local_idx >= 0) & (local_idx < R_loc)
+                   & (tab2.base < tab2.r))
+            vals = costs0[jnp.clip(local_idx, 0, R_loc - 1)]
+            coeffs = lax.psum(jnp.where(own, vals, 0.0), AXIS)
+            costs_exact = costs0 - accum_matvec(
+                tab2.T, coeffs, 1, costs0.dtype)
+            lmin = jnp.min(jnp.where(_local_row_mask(tab2), costs_exact,
+                                     jnp.inf))
+            vmin = lax.pmin(lmin, AXIS)
+            premature = (status == int(Status.OPTIMAL)) & (
+                vmin <= -float(options.eps))
+            status = jnp.where(premature, int(Status.RUNNING),
+                               status).astype(jnp.int32)
+            tab2 = dataclasses.replace(tab2, costs=costs_exact)
+        return LoopState(tab2, status, s.iterations, s.stall, s.bland)
 
     def cond(s: LoopState):
         return (s.status == int(Status.RUNNING)) & (s.iterations < max_iter)
@@ -345,9 +369,9 @@ def solve_loop_blocked_sharded(tab: Tableau, options: SolverOptions,
 
 
 def run_solve_loop_sharded(tab: Tableau, options: SolverOptions,
-                           max_iter: int):
+                           max_iter: int, costs0=None):
     if options.block_pivots and int(options.block_pivots) > 1:
-        return solve_loop_blocked_sharded(tab, options, max_iter)
+        return solve_loop_blocked_sharded(tab, options, max_iter, costs0)
     return solve_loop_sharded(tab, options, max_iter)
 
 
@@ -362,9 +386,10 @@ def gaussian_eliminate_sharded(tab: Tableau) -> Tableau:
     own = (local_idx >= 0) & (local_idx < R_loc) & (tab.base < tab.r)
     vals = tab.costs[jnp.clip(local_idx, 0, R_loc - 1)]
     coeffs = lax.psum(jnp.where(own, vals, 0.0), AXIS)      # (M_pad,)
+    delta = accum_matvec(tab.T, coeffs, 1, tab.costs.dtype)
     return dataclasses.replace(
         tab,
-        costs=tab.costs - tab.T @ coeffs,
+        costs=tab.costs - delta,
         z=tab.z - tab.b @ coeffs,
     )
 
@@ -375,7 +400,8 @@ def _phase2_costs_local(tab: Tableau, c: jax.Array) -> jax.Array:
     index — rows >= n (slack + masked artificials) get 0."""
     gi = _global_row_offset(tab) + jnp.arange(_local_rows(tab))
     c_val = c[jnp.clip(gi, 0, tab.n - 1)].astype(tab.costs.dtype)
-    return jnp.where(gi < tab.n, -c_val, 0.0)
+    return jnp.where(gi < tab.n, -c_val,
+                     jnp.zeros((), tab.costs.dtype))
 
 
 def extract_solution_replicated(tab: Tableau) -> jax.Array:
@@ -404,22 +430,28 @@ def _two_phase_core(tab: Tableau, c: jax.Array, options: SolverOptions,
     eps = float(options.eps)
     n, m = tab.n, tab.m
 
+    costs0_1 = tab.costs
     tab = gaussian_eliminate_sharded(tab)
-    tab, status1, iters1 = run_solve_loop_sharded(tab, options, max_iter)
+    tab, status1, iters1 = run_solve_loop_sharded(tab, options, max_iter,
+                                                  costs0_1)
 
     # Exact phase-1 objective from the basis (drift-immune; see
-    # tableau.phase1_objective).
+    # tableau.phase1_objective), with the b-scaled threshold of
+    # two_phase.solve_device.
     in_range = (tab.base >= n + m) & (tab.base < n + 2 * m)
     z_phase1 = -jnp.sum(jnp.where(in_range, tab.b, 0.0))
-    infeasible = z_phase1 <= -eps
+    b_scale = 1.0 + jnp.max(jnp.abs(tab.b))
+    infeasible = z_phase1 <= -eps * b_scale
     n_art = jnp.sum(in_range.astype(jnp.int32))
     degenerate = n_art > 0
 
     # Phase 2: keep the row allocation, mask artificials via r = n + m.
     tab2 = dataclasses.replace(
         tab, costs=_phase2_costs_local(tab, c), r=n + m)
+    costs0_2 = tab2.costs
     tab2 = gaussian_eliminate_sharded(tab2)
-    tab2, status2, iters2 = run_solve_loop_sharded(tab2, options, max_iter)
+    tab2, status2, iters2 = run_solve_loop_sharded(tab2, options, max_iter,
+                                                   costs0_2)
 
     x = extract_solution_replicated(tab2)
 
@@ -447,12 +479,13 @@ def build_phase1_sharded(A, b, n: int, m: int, n_shards: int,
     Same construction as tableau.build_phase1 (reference fillTableu,
     twoPhaseMethod.cu:145-200)."""
     dtype = jnp.dtype(options.dtype)
+    vdtype = jnp.dtype(options.vector_dtype)
     eps = options.eps
     R_pad, M_pad = sharded_padded_dims(n, m, n_shards, options)
     r = n + 2 * m
 
     A = A.astype(dtype)
-    b = b.astype(dtype)
+    b = b.astype(vdtype)
     flip = b <= -eps
     sign = jnp.where(flip, -1.0, 1.0).astype(dtype)
     eye = jnp.eye(m, dtype=dtype)
@@ -462,11 +495,12 @@ def build_phase1_sharded(A, b, n: int, m: int, n_shards: int,
         eye,
     ], axis=0)
     T = jnp.zeros((R_pad, M_pad), dtype=dtype).at[:r, :m].set(T_real)
-    b_pad = jnp.zeros((M_pad,), dtype=dtype).at[:m].set(b * sign)
-    costs = jnp.zeros((R_pad,), dtype=dtype).at[n + m:r].set(1.0)
+    b_pad = jnp.zeros((M_pad,), dtype=vdtype).at[:m].set(
+        b * sign.astype(vdtype))
+    costs = jnp.zeros((R_pad,), dtype=vdtype).at[n + m:r].set(1.0)
     base = jnp.full((M_pad,), R_pad, dtype=jnp.int32).at[:m].set(
         jnp.arange(n + m, n + 2 * m, dtype=jnp.int32))
-    return Tableau(T=T, b=b_pad, costs=costs, z=jnp.zeros((), dtype),
+    return Tableau(T=T, b=b_pad, costs=costs, z=jnp.zeros((), vdtype),
                    base=base, n=n, m=m, r=r)
 
 
@@ -514,7 +548,7 @@ def solve_sharded(problem, mesh: Mesh,
     SolveResult like two_phase.solve."""
     from ..result import SolveResult
 
-    if options.dtype == np.float64:
+    if options.needs_x64:
         jax.config.update("jax_enable_x64", True)
     m, n = problem.constraints, problem.vars
     fn = make_sharded_solver(mesh, n, m, options)

@@ -37,7 +37,7 @@ import numpy as np
 from jax import lax
 
 from .config import SolverOptions, Status
-from .tableau import Tableau
+from .tableau import Tableau, accum_matvec
 
 
 class LoopState(NamedTuple):
@@ -392,8 +392,13 @@ class BlockedLoopState(NamedTuple):
 
 
 def solve_loop_blocked(tab: Tableau, options: SolverOptions,
-                       max_iter: int) -> tuple[Tableau, jax.Array, jax.Array]:
+                       max_iter: int, costs0: jax.Array | None = None
+                       ) -> tuple[Tableau, jax.Array, jax.Array]:
     """Deferred block-pivot loop: the TPU-first redesign of the hot loop.
+
+    ``costs0`` — the phase's ORIGINAL (pre-Gaussian-elimination) cost
+    vector — enables exact re-pricing at every window boundary; pass it
+    whenever available (two_phase does) to make f32 runs drift-immune.
 
     The reference (and the L=1 paths here) stream the whole tableau
     through HBM once per pivot (rank-1 update, solver.cu:34-46) — at
@@ -436,6 +441,11 @@ def solve_loop_blocked(tab: Tableau, options: SolverOptions,
     dtype = tab.T.dtype
     row_iota = jnp.arange(r_pad)
     row_mask = row_iota < tab.r
+    # Re-price only for drift-prone (narrow-tableau) configs: f64
+    # incremental updates drift ~1e-13, while re-pricing through the
+    # TPU's emulated f64 matmul would inject ~1e-7 absolute noise.
+    if jnp.dtype(dtype).itemsize >= 8:
+        costs0 = None
 
     def entering(costs, bland_flag):
         """choose_entering on the bare cost vector (same semantics)."""
@@ -509,7 +519,27 @@ def solve_loop_blocked(tab: Tableau, options: SolverOptions,
         F = jnp.zeros((L, m_pad), dtype)
         C, F, s = lax.fori_loop(0, L, inner, (C, F, s))
         Tt2 = apply_window_T(s.Tt, C, F)
-        return s._replace(Tt=Tt2)
+        s = s._replace(Tt=Tt2)
+        if costs0 is not None:
+            # Window-boundary re-pricing: the incrementally-maintained
+            # reduced costs accumulate O(sqrt(pivots)) ulp drift — enough
+            # in f32 to stop phase 1 prematurely (observed false
+            # INFEASIBLE at 2048^2 after ~5k pivots). Recompute them
+            # EXACTLY from the freshly applied tableau (one matvec), and
+            # if the loop just declared OPTIMAL on drifted costs while
+            # exact pricing still shows an improving direction, keep
+            # running.
+            valid = s.base < tab.r
+            coeffs = jnp.where(
+                valid, costs0[jnp.minimum(s.base, r_pad - 1)], 0.0)
+            costs_exact = costs0 - accum_matvec(
+                Tt2, coeffs, 0, costs0.dtype)
+            vmin = jnp.min(jnp.where(row_mask, costs_exact, jnp.inf))
+            premature = (s.status == int(Status.OPTIMAL)) & (vmin <= -eps)
+            status = jnp.where(premature, int(Status.RUNNING),
+                               s.status).astype(jnp.int32)
+            s = s._replace(costs=costs_exact, status=status)
+        return s
 
     def cond(s: BlockedLoopState):
         return (s.status == int(Status.RUNNING)) & (s.iterations < max_iter)
@@ -535,16 +565,21 @@ def use_pallas(options: SolverOptions) -> bool:
     mode)."""
     if np.dtype(options.dtype).itemsize != 4:
         return False
+    if np.dtype(options.vector_dtype) != np.dtype(options.dtype):
+        return False   # the fused kernel is single-dtype
     if options.use_pallas == "auto":
         return jax.default_backend() == "tpu"
     return bool(options.use_pallas)
 
 
-def run_solve_loop(tab: Tableau, options: SolverOptions, max_iter: int):
+def run_solve_loop(tab: Tableau, options: SolverOptions, max_iter: int,
+                   costs0=None):
     """Dispatch: deferred block-pivot loop when configured, else the
-    Pallas-fused or pure-XLA single-pivot loop."""
+    Pallas-fused or pure-XLA single-pivot loop. ``costs0`` (the phase's
+    pre-elimination cost vector) enables the blocked loop's exact
+    window-boundary re-pricing; ignored by the single-pivot loops."""
     if options.block_pivots and int(options.block_pivots) > 1:
-        return solve_loop_blocked(tab, options, max_iter)
+        return solve_loop_blocked(tab, options, max_iter, costs0)
     if use_pallas(options):
         return solve_loop_pallas(tab, options, max_iter)
     return solve_loop(tab, options, max_iter)

@@ -43,6 +43,44 @@ def round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
+def accum_matvec(A: jax.Array, v: jax.Array, contract_axis: int,
+                 out_dtype) -> jax.Array:
+    """Matrix-vector product contracting ``contract_axis`` of A with v,
+    accumulating in ``out_dtype``. When the accumulator is wider than A's
+    dtype, XLA:TPU materialises an f32[8, *A.shape] temporary (38 GB at
+    the north-star size), so the product is chunked along the kept axis
+    to bound it; same-width products go through one plain dot."""
+    out_dtype = jnp.dtype(out_dtype)
+    v = v.astype(A.dtype)
+
+    def piece(Ai):
+        return jax.lax.dot_general(
+            Ai, v, (((contract_axis,), (0,)), ((), ())),
+            preferred_element_type=out_dtype)
+
+    if out_dtype.itemsize <= A.dtype.itemsize:
+        return piece(A)
+
+    keep_axis = 1 - contract_axis
+    K = A.shape[keep_axis]
+    # temp ~ 8 * chunk * contract_dim * 4 bytes; keep under ~512 MB.
+    chunk = 8
+    while (chunk * 2 <= K and K % (chunk * 2) == 0
+           and 32 * (chunk * 2) * A.shape[contract_axis] <= (1 << 29)):
+        chunk *= 2
+    if chunk >= K:
+        return piece(A)
+
+    out = jnp.zeros((K,), out_dtype)
+
+    def body(i, out):
+        Ai = jax.lax.dynamic_slice_in_dim(A, i * chunk, chunk, keep_axis)
+        return jax.lax.dynamic_update_slice_in_dim(
+            out, piece(Ai), i * chunk, 0)
+
+    return jax.lax.fori_loop(0, K // chunk, body, out)
+
+
 @partial(jax.tree_util.register_dataclass,
          data_fields=("T", "b", "costs", "z", "base"),
          meta_fields=("n", "m", "r"))
@@ -102,12 +140,13 @@ def build_phase1(A: jax.Array, b: jax.Array, n: int, m: int,
     problem.cu:41).
     """
     dtype = jnp.dtype(options.dtype)
+    vdtype = jnp.dtype(options.vector_dtype)
     eps = options.eps
     R_pad, _, M_pad = padded_dims(n, m, options)
     r = n + 2 * m
 
     A = A.astype(dtype)
-    b = b.astype(dtype)
+    b = b.astype(vdtype)
 
     # Sign fix for negative right-hand sides: negate structural+slack row
     # entries and b, keep the artificial block +1 (see module docstring).
@@ -121,13 +160,14 @@ def build_phase1(A: jax.Array, b: jax.Array, n: int, m: int,
         eye,                               # artificial identity (m, m)
     ], axis=0)
     T = jnp.zeros((R_pad, M_pad), dtype=dtype).at[:r, :m].set(T_real)
-    b_pad = jnp.zeros((M_pad,), dtype=dtype).at[:m].set(b * sign)
+    b_pad = jnp.zeros((M_pad,), dtype=vdtype).at[:m].set(
+        b * sign.astype(vdtype))
 
-    costs = jnp.zeros((R_pad,), dtype=dtype).at[n + m:r].set(1.0)
+    costs = jnp.zeros((R_pad,), dtype=vdtype).at[n + m:r].set(1.0)
     # Padded base entries point past every row -> dropped by masked scatters.
     base = jnp.full((M_pad,), R_pad, dtype=jnp.int32).at[:m].set(
         jnp.arange(n + m, n + 2 * m, dtype=jnp.int32))
-    return Tableau(T=T, b=b_pad, costs=costs, z=jnp.zeros((), dtype),
+    return Tableau(T=T, b=b_pad, costs=costs, z=jnp.zeros((), vdtype),
                    base=base, n=n, m=m, r=r)
 
 
@@ -144,9 +184,13 @@ def gaussian_eliminate(tab: Tableau) -> Tableau:
     valid = tab.base < tab.r
     coeffs = jnp.where(
         valid, tab.costs[jnp.minimum(tab.base, R_pad - 1)], 0.0)
+    # Accumulate in the vector dtype over the (possibly narrower) tableau
+    # dtype without materialising a promoted copy of T (chunked if the
+    # accumulator is wider - see accum_matvec).
+    delta = accum_matvec(tab.T, coeffs, 1, tab.costs.dtype)
     return dataclasses.replace(
         tab,
-        costs=tab.costs - tab.T @ coeffs,
+        costs=tab.costs - delta,
         z=tab.z - tab.b @ coeffs,
     )
 
@@ -161,8 +205,8 @@ def phase2_reset(tab: Tableau, c: jax.Array,
     n, m = tab.n, tab.m
     _, R2_pad, _ = padded_dims(n, m, options)
     r2 = n + m
-    dtype = tab.T.dtype
-    costs = jnp.zeros((R2_pad,), dtype=dtype).at[:n].set(-c.astype(dtype))
+    vdtype = tab.costs.dtype
+    costs = jnp.zeros((R2_pad,), dtype=vdtype).at[:n].set(-c.astype(vdtype))
     return Tableau(T=tab.T[:R2_pad], b=tab.b, costs=costs, z=tab.z,
                    base=tab.base, n=n, m=m, r=r2)
 

@@ -54,8 +54,8 @@ def _gauss(tab):
 
 
 @partial(jax.jit, static_argnames=("options", "max_iter"))
-def _solve(tab, options, max_iter):
-    return run_solve_loop(tab, options, max_iter)
+def _solve(tab, options, max_iter, costs0=None):
+    return run_solve_loop(tab, options, max_iter, costs0)
 
 
 @partial(jax.jit, static_argnames=("options",))
@@ -75,11 +75,12 @@ def _timed(chrono, rows, cols, op, fn, *args):
     return out
 
 
-def _run_solve(tab, options, max_iter, chrono, rows_csv, per_iteration):
+def _run_solve(tab, options, max_iter, chrono, rows_csv, per_iteration,
+               costs0=None):
     if not per_iteration:
         chrono.start(rows_csv, tab.m, "solve")
         tab, status, iters = jax.block_until_ready(
-            _solve(tab, options, max_iter))
+            _solve(tab, options, max_iter, costs0))
         chrono.stop()
         chrono.row(rows_csv, tab.m, "solveIterations", int(iters) / 1e6)
         return tab, int(status), int(iters)
@@ -109,7 +110,7 @@ def solve_timed(problem: Problem, options: SolverOptions | None = None,
     options = options or DEFAULT_OPTIONS
     if replacements:
         options = dataclasses.replace(options, **replacements)
-    if options.dtype == np.float64:
+    if options.needs_x64:
         jax.config.update("jax_enable_x64", True)
     chrono = chrono or NullChrono()
 
@@ -132,15 +133,20 @@ def solve_timed(problem: Problem, options: SolverOptions | None = None,
     # ---- Phase 1 ----
     tab = _timed(chrono, r1, m, "fillTableau", _build, A, b, n, m, options)
     dump("fillTableau", tab)
+    costs0_1 = tab.costs
     tab = _timed(chrono, r1, m, "gauss1", _gauss, tab)
     dump("gauss1", tab)
     tab, status1, iters1 = _run_solve(tab, options, max_iter, chrono, r1,
-                                      per_iteration)
+                                      per_iteration, costs0_1)
     dump("phase1 solved", tab)
     if status1 == int(Status.RUNNING):
         return SolveResult(Status.MAXITER, None, float(tab.z), iters1, 0)
-    if float(tab.z) <= -eps:
-        return SolveResult(Status.INFEASIBLE, None, float(tab.z), iters1, 0)
+    from .tableau import phase1_objective
+
+    z1 = float(phase1_objective(tab))
+    b_scale = 1.0 + float(np.max(np.abs(problem.b)))
+    if z1 <= -eps * b_scale:
+        return SolveResult(Status.INFEASIBLE, None, z1, iters1, 0)
 
     chrono.start(r1, m, "checkDegeneracy")
     n_art = int(jax.block_until_ready(count_basic_artificials(tab)))
@@ -156,10 +162,11 @@ def solve_timed(problem: Problem, options: SolverOptions | None = None,
 
     # ---- Phase 2 ----
     tab = _timed(chrono, r2, m, "costsVector", _phase2, tab, c, options)
+    costs0_2 = tab.costs
     tab = _timed(chrono, r2, m, "gauss2", _gauss, tab)
     dump("gauss2", tab)
     tab, status2, iters2 = _run_solve(tab, options, max_iter, chrono, r2,
-                                      per_iteration)
+                                      per_iteration, costs0_2)
     dump("phase2 solved", tab)
     if status2 == int(Status.RUNNING):
         return SolveResult(Status.MAXITER, None, float(tab.z), iters1,

@@ -112,14 +112,20 @@ def solve_device(A: jax.Array, b: jax.Array, c: jax.Array, n: int, m: int,
 
     # ---- Phase 1 (twoPhaseMethod.cu:225-283) ----
     tab = build_phase1(A, b, n, m, options)
+    costs0_1 = tab.costs                 # pre-elimination (re-pricing)
     tab = gaussian_eliminate(tab)
-    tab, status1, iters1 = run_solve_loop(tab, options, max_iter)
+    tab, status1, iters1 = run_solve_loop(tab, options, max_iter, costs0_1)
 
     # Infeasibility test on the exactly-recomputed phase-1 objective
     # (reference costs[0] < 0 check, twoPhaseMethod.cu:264-268; see
-    # tableau.phase1_objective for why not the running z).
+    # tableau.phase1_objective for why not the running z). The threshold
+    # scales with the right-hand side's magnitude: an artificial residual
+    # of ~1e-9 against b values of ~100 is a degenerate zero, not
+    # infeasibility (the reference's absolute eps misclassifies such
+    # knife-edge vertices).
     z_phase1 = phase1_objective(tab)
-    infeasible = z_phase1 <= -eps
+    b_scale = 1.0 + jnp.max(jnp.abs(b))
+    infeasible = z_phase1 <= -eps * b_scale
     n_art = count_basic_artificials(tab)
     degenerate = n_art > 0
 
@@ -133,8 +139,10 @@ def solve_device(A: jax.Array, b: jax.Array, c: jax.Array, n: int, m: int,
 
     # ---- Phase 2 (twoPhaseMethod.cu:285-356) ----
     tab2 = phase2_reset(tab, c, options)
+    costs0_2 = tab2.costs
     tab2 = gaussian_eliminate(tab2)
-    tab2, status2, iters2 = run_solve_loop(tab2, options, max_iter)
+    tab2, status2, iters2 = run_solve_loop(tab2, options, max_iter,
+                                           costs0_2)
 
     x = extract_solution(tab2)
 
@@ -183,7 +191,7 @@ def solve(problem: Problem, options: SolverOptions | None = None,
     options = options or DEFAULT_OPTIONS
     if replacements:
         options = dataclasses.replace(options, **replacements)
-    if options.dtype == np.float64:
+    if options.needs_x64:
         jax.config.update("jax_enable_x64", True)
 
     m, n = problem.constraints, problem.vars

@@ -106,3 +106,30 @@ class TestBlockedLoop:
     def test_infeasible(self, infeasible_problem):
         got = solve(infeasible_problem, block_pivots=8)
         assert got.status == Status.INFEASIBLE
+
+
+class TestMixedPrecision:
+    """f32 tableau + f64 vectors (SolverOptions.vector_dtype): the
+    vectors that integrate per-pivot updates stay drift-free while the
+    tableau keeps f32 memory/bandwidth."""
+
+    def test_dtypes(self):
+        from simplex_tpu.tableau import build_phase1 as bp
+
+        opt = SolverOptions(dtype=np.float32, vector_dtype=np.float64)
+        tab, _ = _tableau(n=20, m=8, dtype=np.float32)
+        tab2 = bp(jnp.asarray(np.ones((8, 20))),
+                  jnp.asarray(np.ones(8)), 20, 8, opt)
+        assert tab2.T.dtype == jnp.float32
+        assert tab2.b.dtype == jnp.float64
+        assert tab2.costs.dtype == jnp.float64
+        assert tab2.z.dtype == jnp.float64
+
+    @pytest.mark.parametrize("L", [None, 16])
+    def test_matches_oracle(self, L):
+        problem = generate_random_problem(150, 60, 9, 1, 100)
+        want = solve_oracle(problem)
+        got = solve(problem, dtype=np.float32, vector_dtype=np.float64,
+                    eps=1e-5, block_pivots=L)
+        assert got.status == Status.OPTIMAL
+        assert got.objective == pytest.approx(want.objective, rel=1e-4)
