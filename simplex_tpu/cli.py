@@ -81,6 +81,9 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug", action="store_true",
                    help="print the parsed/generated problem and the "
                         "tableau after every stage (reference -D DEBUG)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="write a jax.profiler (TensorBoard) trace of the "
+                        "solve to DIR")
     p.add_argument("--batch", type=int, default=1, metavar="B",
                    help="with -r/-rs/-rf: solve B instances (seeds "
                         "seed..seed+B-1) in one vmapped device call")
@@ -214,7 +217,14 @@ def main(argv: list[str] | None = None) -> int:
                                                    "measures"))
               if args.timer else NullChrono())
     print("Resolving....")
-    with chrono:
+    import contextlib
+
+    profiler_cm = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        profiler_cm = jax.profiler.trace(args.profile)
+    with profiler_cm, chrono:
         result = solve_timed(problem, options, chrono,
                              per_iteration=args.per_iteration,
                              debug=args.debug)
