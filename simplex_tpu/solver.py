@@ -312,9 +312,13 @@ def apply_window(T: jax.Array, C: jax.Array, F: jax.Array) -> jax.Array:
     r_pad, m_pad = T.shape
     L = C.shape[1]
 
+    dims = (((1,), (0,)), ((), ()))
+
     def chunk_apply(Ti, Ci):
+        if dtype.itemsize >= 8:
+            return Ti - _split_dot(Ci, F, dims)
         return Ti - lax.dot_general(
-            Ci, F, (((1,), (0,)), ((), ())),
+            Ci, F, dims,
             preferred_element_type=dtype,
             precision=_dot_precision(dtype))
 
@@ -340,17 +344,41 @@ def apply_window(T: jax.Array, C: jax.Array, F: jax.Array) -> jax.Array:
     return lax.fori_loop(0, n_chunks, body, T)
 
 
+def _split_dot(A64: jax.Array, B64: jax.Array, dims) -> jax.Array:
+    """Double-f32 (Dekker-split) f64 matmul: A and B split into f32
+    hi+lo parts, three exact-f32-product MXU matmuls accumulated in f64.
+    Error ~2^-48 relative (the dropped lo*lo term) — ~1000x tighter than
+    XLA's emulated f64 dot (~3e-11), whose noise otherwise propagates
+    through b and costs the blocked-f64 mode ~1e-6 of objective
+    accuracy."""
+    A1 = A64.astype(jnp.float32)
+    A2 = (A64 - A1).astype(jnp.float32)
+    B1 = B64.astype(jnp.float32)
+    B2 = (B64 - B1).astype(jnp.float32)
+
+    def d(a, b):
+        return lax.dot_general(a, b, dims,
+                               preferred_element_type=jnp.float64,
+                               precision=lax.Precision.HIGHEST)
+
+    return d(A1, B1) + (d(A1, B2) + d(A2, B1))
+
+
 def apply_window_T(Tt: jax.Array, C: jax.Array, F: jax.Array) -> jax.Array:
     """``Tt - F^T @ C`` for the transposed blocked loop: Tt (M_pad,
     R_pad), C (L, R_pad) holds the eta columns as rows, F (L, M_pad) the
-    eta rows. f64 chunks along the (large) variable axis to bound the
-    emulated-matmul temporaries (see apply_window)."""
+    eta rows. f64 goes through the Dekker-split matmul (exact to ~2^-48),
+    chunked along the (large) variable axis to bound the f64-accumulation
+    temporaries (see apply_window)."""
     dtype = Tt.dtype
     m_pad, r_pad = Tt.shape
+    dims = (((0,), (0,)), ((), ()))
 
     def chunk_apply(Ti, Ci):
+        if dtype.itemsize >= 8:
+            return Ti - _split_dot(F, Ci, dims)
         return Ti - lax.dot_general(
-            F, Ci, (((0,), (0,)), ((), ())),
+            F, Ci, dims,
             preferred_element_type=dtype,
             precision=_dot_precision(dtype))
 
@@ -444,8 +472,19 @@ def solve_loop_blocked(tab: Tableau, options: SolverOptions,
     # Re-price only for drift-prone (narrow-tableau) configs: f64
     # incremental updates drift ~1e-13, while re-pricing through the
     # TPU's emulated f64 matmul would inject ~1e-7 absolute noise.
-    if jnp.dtype(dtype).itemsize >= 8:
+    wide = jnp.dtype(dtype).itemsize >= 8
+    if wide:
         costs0 = None
+
+    def corr_vec(Ct, w):
+        """w (L,) against Ct (L, K) -> (K,): the per-pivot eta
+        correction. For f64 use elementwise multiply+sum — TPU f64
+        *elementwise* emulation is exactly rounded, while the emulated
+        f64 MXU dot carries ~3e-11 relative error, enough to walk the
+        pivot path off the oracle's by ~1e-6 in objective."""
+        if wide:
+            return (Ct * w[:, None]).sum(axis=0)
+        return jnp.dot(w, Ct, precision=_dot_precision(dtype))
 
     def entering(costs, bland_flag):
         """choose_entering on the bare cost vector (same semantics)."""
@@ -465,8 +504,7 @@ def solve_loop_blocked(tab: Tableau, options: SolverOptions,
         h, minc = entering(s.costs, s.bland)
         optimal = minc > -eps
 
-        a_h = s.Tt[:, h] - jnp.dot(C[:, h], F,
-                                   precision=_dot_precision(dtype))
+        a_h = s.Tt[:, h] - corr_vec(F, C[:, h])
         mask = a_h >= eps
         unbounded = ~mask.any()
         ratios = jnp.where(mask, s.b / jnp.where(mask, a_h, 1.0), jnp.inf)
@@ -475,8 +513,7 @@ def solve_loop_blocked(tab: Tableau, options: SolverOptions,
 
         p_raw = a_h[k]
         p = jnp.where(do, p_raw, jnp.ones_like(p_raw))
-        colk = s.Tt[k, :] - jnp.dot(F[:, k], C,
-                                    precision=_dot_precision(dtype))
+        colk = s.Tt[k, :] - corr_vec(C, F[:, k])
         bk = s.b[k]
 
         costs2 = jnp.where(do, s.costs - (minc / p) * colk, s.costs)

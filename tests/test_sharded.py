@@ -103,3 +103,15 @@ def test_batch_sharded_over_mesh():
         want = solve_oracle(p)
         assert r.status == want.status == Status.OPTIMAL
         assert r.objective == pytest.approx(want.objective, rel=1e-9)
+
+
+def test_sharded_mixed_precision():
+    from simplex_tpu.config import SolverOptions
+
+    problem = generate_random_problem(72, 28, seed=13, lo=1.0, hi=100.0)
+    want = solve_oracle(problem)
+    got = solve_sharded(problem, mesh_of(4), SolverOptions(
+        dtype=np.float32, vector_dtype=np.float64, eps=1e-5,
+        block_pivots=8))
+    assert got.status == Status.OPTIMAL
+    assert got.objective == pytest.approx(want.objective, rel=1e-4)
