@@ -62,6 +62,11 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="output root (solution.txt, examples/, measures/)")
     p.add_argument("--dtype", default="float64",
                    choices=["float32", "float64"])
+    p.add_argument("--vector-dtype", default="float64",
+                   choices=["float32", "float64"],
+                   help="dtype of b/costs/z; float64 over a float32 "
+                        "tableau is the robust mixed-precision mode "
+                        "(default)")
     p.add_argument("--timer", action="store_true",
                    help="write per-operation timing CSV (reference -D TIMER)")
     p.add_argument("--per-iteration", action="store_true",
@@ -96,6 +101,7 @@ def _options(args) -> SolverOptions:
         eps = 1e-9 if args.dtype == "float64" else 1e-4
     return SolverOptions(
         dtype=np.dtype(args.dtype),
+        vector_dtype=np.dtype(args.vector_dtype),
         eps=eps,
         max_iter=args.max_iter,
         block_pivots=args.block,
