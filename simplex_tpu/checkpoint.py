@@ -62,12 +62,33 @@ def load_state(path: str) -> tuple[Tableau, int, int, int]:
     return tab, phase, iterations, iters1
 
 
+def _phase_costs0(tab: Tableau, problem, phase: int):
+    """The phase's pre-elimination cost vector, reconstructed
+    deterministically (phase 1: ones on the artificials; phase 2:
+    [-c | 0]) so the blocked loop's window-boundary re-pricing works on
+    the resume path too."""
+    vdtype = tab.costs.dtype
+    r_pad = tab.costs.shape[0]
+    n, m = tab.n, tab.m
+    if phase == 1:
+        return jnp.zeros((r_pad,), vdtype).at[n + m:n + 2 * m].set(1.0)
+    c = jnp.asarray(problem.c, vdtype)
+    return jnp.zeros((r_pad,), vdtype).at[:n].set(-c)
+
+
 def _run_windows(tab: Tableau, options: SolverOptions, max_iter: int,
                  path: str, phase: int, done: int, every: int,
-                 iters1: int = 0):
+                 costs0, iters1: int = 0):
     """Run the solve loop ``every`` pivots at a time, checkpointing after
-    each window. Returns (tab, status:int, total_iterations)."""
-    run = jax.jit(lambda t: run_solve_loop(t, options, every))
+    each window. Returns (tab, status:int, total_iterations).
+
+    Limitation (documented): the stall counter behind the Bland
+    anti-cycling fallback resets at window boundaries, so ``every`` is
+    clamped to at least 4x the Bland threshold to leave room for the
+    fallback to trigger within one window."""
+    if options.bland_threshold and options.pivot_rule == "dantzig":
+        every = max(every, 4 * int(options.bland_threshold))
+    run = jax.jit(lambda t: run_solve_loop(t, options, every, costs0))
     while True:
         if max_iter - done <= 0:
             return tab, int(Status.RUNNING), done
@@ -108,6 +129,11 @@ def solve_resumable(problem: Problem, checkpoint_path: str,
             raise ValueError(
                 f"checkpoint is for a {tab.n}x{tab.m} problem, "
                 f"got {n}x{m}")
+        if (tab.T.dtype != jnp.dtype(options.dtype)
+                or tab.b.dtype != jnp.dtype(options.vector_dtype)):
+            raise ValueError(
+                f"checkpoint dtypes ({tab.T.dtype}/{tab.b.dtype}) do not "
+                f"match options ({options.dtype}/{options.vector_dtype})")
     else:
         tab = gaussian_eliminate(build_phase1(A, b, n, m, options))
         phase, done, iters1 = 1, 0, 0
@@ -116,7 +142,7 @@ def solve_resumable(problem: Problem, checkpoint_path: str,
     if phase == 1:
         tab, status1, done = _run_windows(
             tab, options, max_iter, checkpoint_path, 1, done,
-            checkpoint_every)
+            checkpoint_every, _phase_costs0(tab, problem, 1))
         if status1 == int(Status.RUNNING):
             return SolveResult(Status.MAXITER, None, float(tab.z), done, 0)
         z1 = float(phase1_objective(tab))
@@ -140,11 +166,12 @@ def solve_resumable(problem: Problem, checkpoint_path: str,
 
     tab, status2, done = _run_windows(
         tab, options, max_iter, checkpoint_path, 2, done,
-        checkpoint_every, iters1)
+        checkpoint_every, _phase_costs0(tab, problem, 2), iters1)
+    if status2 == int(Status.RUNNING):
+        # Keep the checkpoint: rerunning with a larger max_iter resumes.
+        return SolveResult(Status.MAXITER, None, float(tab.z), iters1, done)
     if os.path.exists(checkpoint_path):
         os.unlink(checkpoint_path)
-    if status2 == int(Status.RUNNING):
-        return SolveResult(Status.MAXITER, None, float(tab.z), iters1, done)
     if status2 != int(Status.OPTIMAL):
         return SolveResult(Status(status2), None, float(tab.z), iters1,
                            done, degenerate=degenerate)

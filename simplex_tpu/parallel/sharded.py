@@ -422,11 +422,58 @@ class ShardedSolveOutput(NamedTuple):
     n_artificial_in_base: jax.Array
 
 
-def _two_phase_core(tab: Tableau, c: jax.Array, options: SolverOptions,
+def pivot_out_artificials_sharded(tab: Tableau,
+                                  options: SolverOptions) -> Tableau:
+    """Sharded mirror of two_phase.pivot_out_artificials: one full pivot
+    (or redundant-constraint drop) per basic artificial, with the entering
+    row found by the same local-argmin + gather pattern as the solve loop
+    and the pivot applied shard-locally."""
+    eps = float(options.eps)
+    n, m = tab.n, tab.m
+    R_loc = _local_rows(tab)
+    none = jnp.int32(tab.cols_padded)
+    big = jnp.iinfo(jnp.int32).max
+
+    def first_artificial(t):
+        is_art = (t.base >= (n + m)) & (t.base < n + 2 * m)
+        k = jnp.argmax(is_art).astype(jnp.int32)
+        return jnp.where(is_art.any(), k, none)
+
+    def cond(carry):
+        t, fixes = carry
+        return (first_artificial(t) < none) & (fixes < m)
+
+    def body(carry):
+        t, fixes = carry
+        k = first_artificial(t)
+        colk = t.T[:, k]
+        offset = _global_row_offset(t)
+        gi = offset + jnp.arange(R_loc)
+        cand = (gi < (n + m)) & (jnp.abs(colk) >= eps)
+        lh = jnp.min(jnp.where(cand, gi, big))
+        h = lax.pmin(lh, AXIS).astype(jnp.int32)   # lowest global row
+        has_pivot = h < big
+
+        a_h = broadcast_entering_column(t, jnp.minimum(h, t.r - 1))
+        minc = gather_cost_at(t, jnp.minimum(h, t.r - 1))
+        pivoted = pivot_update_sharded(t, a_h, h, k, minc)
+        dropped = dataclasses.replace(
+            t, T=t.T.at[:, k].set(0.0), b=t.b.at[k].set(0.0),
+            base=t.base.at[k].set(t.rows_padded))
+        t2 = jax.tree.map(
+            lambda a, b: jnp.where(has_pivot, a, b), pivoted, dropped)
+        return t2, fixes + 1
+
+    out, _ = lax.while_loop(cond, body, (tab, jnp.zeros((), jnp.int32)))
+    return out
+
+
+def _two_phase_core(tab: Tableau, c: jax.Array, b_scale,
+                    options: SolverOptions,
                     max_iter: int) -> ShardedSolveOutput:
     """Both phases under one shard_map (mirror of
-    two_phase.solve_device's device core, minus the 'continue' degeneracy
-    repair — sharded mode reports DEGENERATE like the reference)."""
+    two_phase.solve_device's device core, incl. the 'continue' degeneracy
+    repair)."""
     eps = float(options.eps)
     n, m = tab.n, tab.m
 
@@ -437,13 +484,18 @@ def _two_phase_core(tab: Tableau, c: jax.Array, options: SolverOptions,
 
     # Exact phase-1 objective from the basis (drift-immune; see
     # tableau.phase1_objective), with the b-scaled threshold of
-    # two_phase.solve_device.
+    # two_phase.solve_device (b_scale from the ORIGINAL right-hand side,
+    # passed in by the caller).
     in_range = (tab.base >= n + m) & (tab.base < n + 2 * m)
     z_phase1 = -jnp.sum(jnp.where(in_range, tab.b, 0.0))
-    b_scale = 1.0 + jnp.max(jnp.abs(tab.b))
     infeasible = z_phase1 <= -eps * b_scale
     n_art = jnp.sum(in_range.astype(jnp.int32))
     degenerate = n_art > 0
+
+    if options.degeneracy == "continue":
+        tab = lax.cond(degenerate & ~infeasible,
+                       lambda t: pivot_out_artificials_sharded(t, options),
+                       lambda t: t, tab)
 
     # Phase 2: keep the row allocation, mask artificials via r = n + m.
     tab2 = dataclasses.replace(
@@ -458,12 +510,15 @@ def _two_phase_core(tab: Tableau, c: jax.Array, options: SolverOptions,
     fuse1 = status1 == int(Status.RUNNING)
     fuse2 = status2 == int(Status.RUNNING)
     status = jnp.where(fuse2, int(Status.MAXITER), status2)
-    status = jnp.where(degenerate, int(Status.DEGENERATE), status)
+    if options.degeneracy == "reference":
+        status = jnp.where(degenerate, int(Status.DEGENERATE), status)
     status = jnp.where(infeasible, int(Status.INFEASIBLE), status)
     status = jnp.where(fuse1, int(Status.MAXITER), status)
     status = status.astype(jnp.int32)
 
-    phase1_failed = infeasible | fuse1 | degenerate
+    phase1_failed = infeasible | fuse1
+    if options.degeneracy == "reference":
+        phase1_failed = phase1_failed | degenerate
     objective = jnp.where(phase1_failed, z_phase1, tab2.z)
     x = jnp.where(status == int(Status.OPTIMAL), x, jnp.zeros_like(x))
     iters2 = jnp.where(phase1_failed, 0, iters2)
@@ -476,32 +531,11 @@ def build_phase1_sharded(A, b, n: int, m: int, n_shards: int,
                          options: SolverOptions) -> Tableau:
     """Phase-1 tableau with rows padded for the shard count (global build;
     the caller's jit + sharding constraints lay it out across the mesh).
-    Same construction as tableau.build_phase1 (reference fillTableu,
-    twoPhaseMethod.cu:145-200)."""
-    dtype = jnp.dtype(options.dtype)
-    vdtype = jnp.dtype(options.vector_dtype)
-    eps = options.eps
-    R_pad, M_pad = sharded_padded_dims(n, m, n_shards, options)
-    r = n + 2 * m
+    Delegates to tableau.build_phase1 with the shard-divisible padding."""
+    from ..tableau import build_phase1
 
-    A = A.astype(dtype)
-    b = b.astype(vdtype)
-    flip = b <= -eps
-    sign = jnp.where(flip, -1.0, 1.0).astype(dtype)
-    eye = jnp.eye(m, dtype=dtype)
-    T_real = jnp.concatenate([
-        A.T * sign[None, :],
-        eye * sign[None, :],
-        eye,
-    ], axis=0)
-    T = jnp.zeros((R_pad, M_pad), dtype=dtype).at[:r, :m].set(T_real)
-    b_pad = jnp.zeros((M_pad,), dtype=vdtype).at[:m].set(
-        b * sign.astype(vdtype))
-    costs = jnp.zeros((R_pad,), dtype=vdtype).at[n + m:r].set(1.0)
-    base = jnp.full((M_pad,), R_pad, dtype=jnp.int32).at[:m].set(
-        jnp.arange(n + m, n + 2 * m, dtype=jnp.int32))
-    return Tableau(T=T, b=b_pad, costs=costs, z=jnp.zeros((), vdtype),
-                   base=base, n=n, m=m, r=r)
+    dims = sharded_padded_dims(n, m, n_shards, options)
+    return build_phase1(A, b, n, m, options, dims=dims)
 
 
 def make_sharded_solver(mesh: Mesh, n: int, m: int,
@@ -523,7 +557,7 @@ def make_sharded_solver(mesh: Mesh, n: int, m: int,
         partial(_two_phase_core, options=options,
                 max_iter=resolved_max_iter),
         mesh=mesh,
-        in_specs=(tab_specs, P(None)),
+        in_specs=(tab_specs, P(None), P()),
         out_specs=ShardedSolveOutput(
             P(), P(None), P(), P(), P(), P()),
         check_vma=False,
@@ -537,7 +571,10 @@ def make_sharded_solver(mesh: Mesh, n: int, m: int,
                 lambda s: NamedSharding(mesh, s) if isinstance(s, P) else s,
                 tab_specs,
                 is_leaf=lambda x: isinstance(x, P)))
-        return core(tab, c.astype(jnp.dtype(options.dtype)))
+        b_scale = 1.0 + jnp.max(jnp.abs(
+            b.astype(jnp.dtype(options.vector_dtype))))
+        return core(tab, c.astype(jnp.dtype(options.vector_dtype)),
+                    b_scale)
 
     return solve_fn
 

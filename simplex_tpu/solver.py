@@ -37,7 +37,7 @@ import numpy as np
 from jax import lax
 
 from .config import SolverOptions, Status
-from .tableau import Tableau, accum_matvec
+from .tableau import Tableau, accum_matvec, pow2_chunk
 
 
 class LoopState(NamedTuple):
@@ -327,10 +327,7 @@ def apply_window(T: jax.Array, C: jax.Array, F: jax.Array) -> jax.Array:
 
     # Largest power-of-two row chunk that divides R_pad and keeps the
     # emulation temporaries (~2 x 8 x chunk x M x 4 bytes) under ~1 GB.
-    chunk = 8
-    while (chunk * 2 <= r_pad and r_pad % (chunk * 2) == 0
-           and 64 * (chunk * 2) * m_pad * 2 <= (1 << 30)):
-        chunk *= 2
+    chunk = pow2_chunk(r_pad, m_pad, 128, 1 << 30)
     if chunk >= r_pad:
         return chunk_apply(T, C)
     n_chunks = r_pad // chunk
@@ -385,10 +382,7 @@ def apply_window_T(Tt: jax.Array, C: jax.Array, F: jax.Array) -> jax.Array:
     if dtype.itemsize <= 4:
         return chunk_apply(Tt, C)
 
-    chunk = 8
-    while (chunk * 2 <= r_pad and r_pad % (chunk * 2) == 0
-           and 64 * (chunk * 2) * m_pad * 2 <= (1 << 30)):
-        chunk *= 2
+    chunk = pow2_chunk(r_pad, m_pad, 128, 1 << 30)
     if chunk >= r_pad:
         return chunk_apply(Tt, C)
     n_chunks = r_pad // chunk

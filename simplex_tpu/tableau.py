@@ -43,6 +43,19 @@ def round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
+def pow2_chunk(total: int, other_dim: int, bytes_per_elem: int,
+               budget: int) -> int:
+    """Largest power-of-two chunk (>= 8) dividing ``total`` whose
+    (chunk x other_dim) slab of ``bytes_per_elem`` elements stays under
+    ``budget`` bytes. Shared by every place that bounds XLA's f64
+    emulation temporaries (apply_window*, accum_matvec)."""
+    chunk = 8
+    while (chunk * 2 <= total and total % (chunk * 2) == 0
+           and (chunk * 2) * other_dim * bytes_per_elem <= budget):
+        chunk *= 2
+    return chunk
+
+
 def accum_matvec(A: jax.Array, v: jax.Array, contract_axis: int,
                  out_dtype) -> jax.Array:
     """Matrix-vector product contracting ``contract_axis`` of A with v,
@@ -64,10 +77,7 @@ def accum_matvec(A: jax.Array, v: jax.Array, contract_axis: int,
     keep_axis = 1 - contract_axis
     K = A.shape[keep_axis]
     # temp ~ 8 * chunk * contract_dim * 4 bytes; keep under ~512 MB.
-    chunk = 8
-    while (chunk * 2 <= K and K % (chunk * 2) == 0
-           and 32 * (chunk * 2) * A.shape[contract_axis] <= (1 << 29)):
-        chunk *= 2
+    chunk = pow2_chunk(K, A.shape[contract_axis], 32, 1 << 29)
     if chunk >= K:
         return piece(A)
 
@@ -129,7 +139,8 @@ def padded_dims(n: int, m: int, options: SolverOptions) -> tuple[int, int, int]:
 
 
 def build_phase1(A: jax.Array, b: jax.Array, n: int, m: int,
-                 options: SolverOptions) -> Tableau:
+                 options: SolverOptions,
+                 dims: tuple[int, int] | None = None) -> Tableau:
     """Build the Phase-1 tableau (reference fillTableu,
     twoPhaseMethod.cu:145-200): stored rows [structural | slack |
     artificial], artificial basis ``base = [n+m .. n+2m-1]``
@@ -137,12 +148,16 @@ def build_phase1(A: jax.Array, b: jax.Array, n: int, m: int,
 
     ``A`` is (m, n) constraint-major; it is transposed here into the
     variable-major tableau (the reference receives it already column-major,
-    problem.cu:41).
+    problem.cu:41). ``dims`` overrides the (R_pad, M_pad) padding — the
+    sharded path needs the row count divisible by the shard count.
     """
     dtype = jnp.dtype(options.dtype)
     vdtype = jnp.dtype(options.vector_dtype)
     eps = options.eps
-    R_pad, _, M_pad = padded_dims(n, m, options)
+    if dims is None:
+        R_pad, _, M_pad = padded_dims(n, m, options)
+    else:
+        R_pad, M_pad = dims
     r = n + 2 * m
 
     A = A.astype(dtype)

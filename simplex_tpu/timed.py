@@ -178,5 +178,8 @@ def solve_timed(problem: Problem, options: SolverOptions | None = None,
     chrono.start(r2, m, "solution")
     x = np.asarray(jax.block_until_ready(jax.jit(extract_solution)(tab)))
     chrono.stop()
-    return SolveResult(Status.OPTIMAL, x, float(tab.z), iters1, iters2,
+    # Same contract as two_phase.solve: report c @ x recomputed from the
+    # final basis, not the drift-prone running objective cell.
+    objective = float(np.dot(problem.c, x))
+    return SolveResult(Status.OPTIMAL, x, objective, iters1, iters2,
                        degenerate=degenerate)

@@ -149,6 +149,10 @@ def solve_device(A: jax.Array, b: jax.Array, c: jax.Array, n: int, m: int,
     # Status resolution, replacing the reference's host early-returns.
     fuse1 = status1 == int(Status.RUNNING)
     fuse2 = status2 == int(Status.RUNNING)
+    phase1_failed = infeasible | fuse1
+    if options.degeneracy == "reference":
+        phase1_failed = phase1_failed | degenerate
+
     status = jnp.where(fuse2, int(Status.MAXITER), status2)
     if options.degeneracy == "reference":
         status = jnp.where(degenerate, int(Status.DEGENERATE), status)
@@ -157,15 +161,15 @@ def solve_device(A: jax.Array, b: jax.Array, c: jax.Array, n: int, m: int,
     # Numeric guard (the error-handling layer of SURVEY.md C10): a
     # non-finite objective/solution means the tableau was poisoned (e.g.
     # a near-zero pivot divided through) — report NUMERIC instead of
-    # returning garbage. The reference has no fp guard at all.
-    finite = jnp.isfinite(tab2.z) & jnp.isfinite(x).all() & \
-        jnp.isfinite(z_phase1)
-    status = jnp.where(finite, status, int(Status.NUMERIC))
+    # returning garbage. The reference has no fp guard at all. When phase
+    # 1 already failed, the phase-2 tableau is semantically dead and its
+    # values must not override the phase-1 verdict.
+    finite = jnp.isfinite(tab2.z) & jnp.isfinite(x).all()
+    status = jnp.where(finite | phase1_failed, status,
+                       int(Status.NUMERIC))
+    status = jnp.where(jnp.isfinite(z_phase1), status,
+                       int(Status.NUMERIC))
     status = status.astype(jnp.int32)
-
-    phase1_failed = infeasible | fuse1
-    if options.degeneracy == "reference":
-        phase1_failed = phase1_failed | degenerate
     # Report c @ x recomputed from the final basis rather than the running
     # objective cell (identical in exact arithmetic; drift-immune).
     objective_opt = jnp.dot(c.astype(x.dtype), x,

@@ -67,3 +67,16 @@ def test_shape_mismatch_rejected(problem, tmp_path):
     other = generate_random_problem(60, 30, 5, 1, 100)
     with pytest.raises(ValueError, match="checkpoint is for"):
         solve_resumable(other, path)
+
+
+def test_dtype_mismatch_rejected(problem, tmp_path):
+    from simplex_tpu.config import SolverOptions
+
+    path = str(tmp_path / "state.npz")
+    tab = gaussian_eliminate(build_phase1(
+        jnp.asarray(problem.A), jnp.asarray(problem.b), problem.vars,
+        problem.constraints, DEFAULT_OPTIONS))
+    save_state(path, tab, phase=1, iterations=0)
+    with pytest.raises(ValueError, match="dtypes"):
+        solve_resumable(problem, path,
+                        options=SolverOptions(dtype=np.float32))

@@ -115,3 +115,20 @@ def test_sharded_mixed_precision():
         block_pivots=8))
     assert got.status == Status.OPTIMAL
     assert got.objective == pytest.approx(want.objective, rel=1e-4)
+
+
+def test_sharded_degenerate_continue():
+    """Sharded 'continue' policy repairs the basis like the single-chip
+    path (pivot_out_artificials_sharded)."""
+    from simplex_tpu.problem import Problem
+
+    A = np.array([[1.0, 1.0, 1.0],
+                  [1.0, 1.0, 1.0],      # redundant duplicate
+                  [1.0, -1.0, 0.0]])
+    problem = Problem(A=A, b=np.array([4.0, 4.0, 0.0]),
+                      c=np.array([2.0, 3.0, 1.0]))
+    want = solve_oracle(problem)
+    got = solve_sharded(problem, mesh_of(2))
+    assert want.status == Status.OPTIMAL
+    assert got.status == Status.OPTIMAL
+    assert got.objective == pytest.approx(want.objective, rel=1e-9)
