@@ -110,6 +110,14 @@ def solve_device(A: jax.Array, b: jax.Array, c: jax.Array, n: int, m: int,
     eps = float(options.eps)
     max_iter = options.resolved_max_iter(n + 2 * m, m)
 
+    # Pre-flight numeric guard: a non-finite entry anywhere in the input
+    # poisons the tableau silently (inf * 0 = nan in row updates, or a
+    # pivot column that never prices out, spinning the loop to MAXITER).
+    # One reduction up front is cheap against the solve and lets the
+    # post-hoc guard below stay output-focused.
+    inputs_finite = (jnp.isfinite(A).all() & jnp.isfinite(b).all()
+                     & jnp.isfinite(c).all())
+
     # ---- Phase 1 (twoPhaseMethod.cu:225-283) ----
     tab = build_phase1(A, b, n, m, options)
     costs0_1 = tab.costs                 # pre-elimination (re-pricing)
@@ -169,6 +177,7 @@ def solve_device(A: jax.Array, b: jax.Array, c: jax.Array, n: int, m: int,
                        int(Status.NUMERIC))
     status = jnp.where(jnp.isfinite(z_phase1), status,
                        int(Status.NUMERIC))
+    status = jnp.where(inputs_finite, status, int(Status.NUMERIC))
     status = status.astype(jnp.int32)
     # Report c @ x recomputed from the final basis rather than the running
     # objective cell (identical in exact arithmetic; drift-immune).

@@ -117,3 +117,13 @@ def test_bland_rule_terminates_on_cycling_prone():
     ro = solve_oracle(p)
     assert ro.status == Status.OPTIMAL
     assert ro.objective == pytest.approx(1.25, abs=1e-9)
+
+
+def test_numeric_guard_on_poisoned_input():
+    """Non-finite values propagating through the solve must surface as
+    Status.NUMERIC, not as a garbage OPTIMAL/INFEASIBLE verdict."""
+    A = np.array([[1.0, 2.0], [3.0, np.inf]])
+    p = Problem(A=A, b=np.array([4.0, 5.0]), c=np.array([1.0, 1.0]))
+    r = solve(p)
+    assert r.status == Status.NUMERIC
+    assert r.x is None
