@@ -10,8 +10,9 @@ column is the tableau row count *including* the cost row — n+2m+1 in
 phase 1, n+m+1 in phase 2 — exactly like the reference passes
 ``tabular->rows`` (chrono.cu:37).
 
-CUDA events become ``jax.block_until_ready`` + ``time.perf_counter``
-around each jitted operation (timed.py owns the operation boundaries).
+CUDA events become a device-sync (scalar readback, see timed._sync) +
+``time.perf_counter`` around each jitted operation (timed.py owns the
+operation boundaries).
 Two file modes, as in the reference: a timestamped ad-hoc file
 (``times_<stamp>.txt``, chrono.cu:8-22) and a benchmark-named file
 (``benchmark_<vars>_<constraints>.txt``, chrono.cu:24-33).

@@ -6,7 +6,8 @@ round-trips — the performance path), this driver splits the solve at the
 same operation boundaries the reference times (SURVEY.md C9):
 ``fillTableau``, ``gauss1``, ``solve``, ``checkDegeneracy``,
 ``costsVector``, ``gauss2``, ``solve``, ``solution`` — each a separate
-jitted call bracketed by ``block_until_ready`` host timing, rows appended
+jitted call bracketed by scalar-readback host timing (``_sync``; the
+axon tunnel can wedge inside ``jax.block_until_ready``), rows appended
 to the Chrono CSV with the reference's schema and row conventions.
 
 Two solve-timing modes:
@@ -68,9 +69,24 @@ def _phase2(tab, c, options):
     return phase2_reset(tab, c, options)
 
 
+def _sync(out):
+    """Wait for a jitted call's outputs via scalar readback.
+
+    The axon TPU tunnel can wedge inside ``jax.block_until_ready``
+    (bench.py carries the same workaround), so sync by converting one
+    scalar-sized leaf of the output to a host value: every output buffer
+    of a single executable becomes ready when the executable completes,
+    so reading any one of them waits for the whole computation."""
+    for leaf in jax.tree.leaves(out):
+        if getattr(leaf, "size", None) == 1:
+            np.asarray(leaf)
+            return out
+    return jax.block_until_ready(out)
+
+
 def _timed(chrono, rows, cols, op, fn, *args):
     chrono.start(rows, cols, op)
-    out = jax.block_until_ready(fn(*args))
+    out = _sync(fn(*args))
     chrono.stop()
     return out
 
@@ -79,20 +95,21 @@ def _run_solve(tab, options, max_iter, chrono, rows_csv, per_iteration,
                costs0=None):
     if not per_iteration:
         chrono.start(rows_csv, tab.m, "solve")
-        tab, status, iters = jax.block_until_ready(
-            _solve(tab, options, max_iter, costs0))
+        tab, status, iters = _solve(tab, options, max_iter, costs0)
+        status_i = int(status)          # scalar readback = sync point
         chrono.stop()
         chrono.row(rows_csv, tab.m, "solveIterations", int(iters) / 1e6)
-        return tab, int(status), int(iters)
+        return tab, status_i, int(iters)
 
     state = initial_state(tab, options)
     iters = 0
     while int(state.status) == int(Status.RUNNING) and iters < max_iter:
         chrono.start(rows_csv, tab.m, "solve")
-        state = jax.block_until_ready(_step(state, options))
+        state = _step(state, options)
+        status_i = int(state.status)    # scalar readback = sync point
         chrono.stop()
         iters = int(state.iterations)
-        if int(state.status) != int(Status.RUNNING):
+        if status_i != int(Status.RUNNING):
             break
     return state.tab, int(state.status), iters
 
@@ -149,14 +166,14 @@ def solve_timed(problem: Problem, options: SolverOptions | None = None,
         return SolveResult(Status.INFEASIBLE, None, z1, iters1, 0)
 
     chrono.start(r1, m, "checkDegeneracy")
-    n_art = int(jax.block_until_ready(count_basic_artificials(tab)))
+    n_art = int(count_basic_artificials(tab))
     chrono.stop()
     degenerate = n_art > 0
     if degenerate:
         if options.degeneracy == "reference":
             return SolveResult(Status.DEGENERATE, None, float(tab.z),
                                iters1, 0, degenerate=True)
-        tab = jax.block_until_ready(
+        tab = _sync(
             jax.jit(pivot_out_artificials, static_argnames=("options",))(
                 tab, options))
 
@@ -176,7 +193,7 @@ def solve_timed(problem: Problem, options: SolverOptions | None = None,
                            iters2, degenerate=degenerate)
 
     chrono.start(r2, m, "solution")
-    x = np.asarray(jax.block_until_ready(jax.jit(extract_solution)(tab)))
+    x = np.asarray(jax.jit(extract_solution)(tab))   # readback = sync
     chrono.stop()
     # Same contract as two_phase.solve: report c @ x recomputed from the
     # final basis, not the drift-prone running objective cell.

@@ -119,11 +119,21 @@ def test_bland_rule_terminates_on_cycling_prone():
     assert ro.objective == pytest.approx(1.25, abs=1e-9)
 
 
-def test_numeric_guard_on_poisoned_input():
-    """Non-finite values propagating through the solve must surface as
-    Status.NUMERIC, not as a garbage OPTIMAL/INFEASIBLE verdict."""
-    A = np.array([[1.0, 2.0], [3.0, np.inf]])
-    p = Problem(A=A, b=np.array([4.0, 5.0]), c=np.array([1.0, 1.0]))
-    r = solve(p)
+@pytest.mark.parametrize("field,bad", [
+    ("A", np.inf), ("A", np.nan),
+    ("b", np.inf), ("b", np.nan),
+    ("c", np.inf), ("c", np.nan),
+])
+def test_numeric_guard_on_poisoned_input(field, bad):
+    """Non-finite values in ANY input array must surface as
+    Status.NUMERIC, not as a garbage OPTIMAL/INFEASIBLE verdict (the
+    pre-flight reduction in two_phase.solve_device)."""
+    A = np.array([[1.0, 2.0], [3.0, 4.0]])
+    b = np.array([4.0, 5.0])
+    c = np.array([1.0, 1.0])
+    arrays = {"A": A, "b": b, "c": c}
+    arrays[field] = arrays[field].copy()
+    arrays[field].reshape(-1)[-1] = bad
+    r = solve(Problem(A=arrays["A"], b=arrays["b"], c=arrays["c"]))
     assert r.status == Status.NUMERIC
     assert r.x is None
