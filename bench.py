@@ -50,7 +50,11 @@ def build_bench_state(n: int, m: int, dtype, options):
         tab = build_phase1(A.astype(dtype), b.astype(dtype), n, m, options)
         return gaussian_eliminate(tab)
 
-    return jax.block_until_ready(prep(A, b))
+    tab = prep(A, b)
+    # Sync via scalar readback — block_until_ready on multi-GB outputs
+    # can wedge the axon tunnel (see timed._sync for the same pattern).
+    float(tab.z)
+    return tab
 
 
 def main() -> int:
