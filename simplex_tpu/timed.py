@@ -69,6 +69,10 @@ def _phase2(tab, c, options):
     return phase2_reset(tab, c, options)
 
 
+_pivot_out = jax.jit(pivot_out_artificials, static_argnames=("options",))
+_extract = jax.jit(extract_solution)
+
+
 def _sync(out):
     """Wait for a jitted call's outputs via scalar readback.
 
@@ -77,11 +81,15 @@ def _sync(out):
     scalar-sized leaf of the output to a host value: every output buffer
     of a single executable becomes ready when the executable completes,
     so reading any one of them waits for the whole computation."""
-    for leaf in jax.tree.leaves(out):
-        if getattr(leaf, "size", None) == 1:
-            np.asarray(leaf)
-            return out
-    return jax.block_until_ready(out)
+    leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "ndim")]
+    if leaves:
+        leaf = next((l for l in leaves if l.size == 1), None)
+        if leaf is None:
+            # No scalar output: read one element through a device-side
+            # slice — still a scalar transfer, never the full array.
+            leaf = leaves[0][(0,) * leaves[0].ndim]
+        np.asarray(leaf)
+    return out
 
 
 def _timed(chrono, rows, cols, op, fn, *args):
@@ -173,9 +181,7 @@ def solve_timed(problem: Problem, options: SolverOptions | None = None,
         if options.degeneracy == "reference":
             return SolveResult(Status.DEGENERATE, None, float(tab.z),
                                iters1, 0, degenerate=True)
-        tab = _sync(
-            jax.jit(pivot_out_artificials, static_argnames=("options",))(
-                tab, options))
+        tab = _sync(_pivot_out(tab, options))
 
     # ---- Phase 2 ----
     tab = _timed(chrono, r2, m, "costsVector", _phase2, tab, c, options)
@@ -193,7 +199,7 @@ def solve_timed(problem: Problem, options: SolverOptions | None = None,
                            iters2, degenerate=degenerate)
 
     chrono.start(r2, m, "solution")
-    x = np.asarray(jax.jit(extract_solution)(tab))   # readback = sync
+    x = np.asarray(_extract(tab))   # readback = sync
     chrono.stop()
     # Same contract as two_phase.solve: report c @ x recomputed from the
     # final basis, not the drift-prone running objective cell.

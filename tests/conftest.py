@@ -20,6 +20,13 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import pathlib  # noqa: E402
+import sys  # noqa: E402
+
+# Bare `pytest` puts tests/ on sys.path but not the repo root; make
+# `import bench` (tests/test_bench.py) work either way.
+_ROOT = pathlib.Path(__file__).resolve().parent.parent
+if str(_ROOT) not in sys.path:
+    sys.path.insert(0, str(_ROOT))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
