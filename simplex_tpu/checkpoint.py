@@ -15,6 +15,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import tempfile
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -84,15 +85,33 @@ def _run_windows(tab: Tableau, options: SolverOptions, max_iter: int,
 
     Limitation (documented): the stall counter behind the Bland
     anti-cycling fallback resets at window boundaries, so ``every`` is
-    clamped to at least 4x the Bland threshold to leave room for the
-    fallback to trigger within one window."""
+    clamped (with a warning) to at least 4x the Bland threshold to leave
+    room for the fallback to trigger within one window. The final window
+    is capped to the remaining ``max_iter - done`` budget so the total
+    pivot count never overshoots ``max_iter`` (costing at most one extra
+    jit specialization for the shorter window)."""
     if options.bland_threshold and options.pivot_rule == "dantzig":
-        every = max(every, 4 * int(options.bland_threshold))
-    run = jax.jit(lambda t: run_solve_loop(t, options, every, costs0))
+        clamped = max(every, 4 * int(options.bland_threshold))
+        if clamped != every:
+            import warnings
+
+            warnings.warn(
+                f"checkpoint_every={every} raised to {clamped} (4x the "
+                f"Bland anti-cycling threshold of "
+                f"{options.bland_threshold}); pass bland_threshold=None "
+                "or a smaller threshold for finer checkpoints",
+                RuntimeWarning, stacklevel=3)
+        every = clamped
+
+    @partial(jax.jit, static_argnames=("window",))
+    def run(t, window):
+        return run_solve_loop(t, options, window, costs0)
+
     while True:
-        if max_iter - done <= 0:
+        window = min(every, max_iter - done)
+        if window <= 0:
             return tab, int(Status.RUNNING), done
-        tab, status, it = run(tab)
+        tab, status, it = run(tab, window)
         done += int(it)           # scalar readback syncs the executable
         status = int(status)
         if status != int(Status.RUNNING) or done >= max_iter:

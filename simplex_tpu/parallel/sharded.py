@@ -433,6 +433,13 @@ def pivot_out_artificials_sharded(tab: Tableau,
     R_loc = _local_rows(tab)
     none = jnp.int32(tab.cols_padded)
     big = jnp.iinfo(jnp.int32).max
+    # Sentinel for a dropped (redundant) constraint's base entry. Under
+    # shard_map ``tab.rows_padded`` is the LOCAL row count R_loc, which for
+    # R_loc < n aliases a real structural variable and silently corrupts
+    # the solution scatter — the sentinel must be globally out of range:
+    # >= tab.r (excluded from every validity mask ``base < tab.r``) and
+    # >= n (dropped by the solution scatter). n + 2m is both.
+    dropped_sentinel = jnp.int32(n + 2 * m)
 
     def first_artificial(t):
         is_art = (t.base >= (n + m)) & (t.base < n + 2 * m)
@@ -459,7 +466,7 @@ def pivot_out_artificials_sharded(tab: Tableau,
         pivoted = pivot_update_sharded(t, a_h, h, k, minc)
         dropped = dataclasses.replace(
             t, T=t.T.at[:, k].set(0.0), b=t.b.at[k].set(0.0),
-            base=t.base.at[k].set(t.rows_padded))
+            base=t.base.at[k].set(dropped_sentinel))
         t2 = jax.tree.map(
             lambda a, b: jnp.where(has_pivot, a, b), pivoted, dropped)
         return t2, fixes + 1

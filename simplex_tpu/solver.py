@@ -592,15 +592,16 @@ def use_pallas(options: SolverOptions) -> bool:
     backends for 32-bit tableaus only (the Mosaic TPU lowering cannot
     reduce f64 to SMEM scalars — f64 parity mode stays on the pure-XLA
     loop, which XLA already runs at the HBM ceiling), never under the
-    CPU/GPU fallbacks (tests exercise the kernel there via interpret
-    mode)."""
+    CPU/GPU fallbacks — including an explicit ``use_pallas=True``, which
+    would otherwise crash inside ``pl.pallas_call`` off-TPU (tests
+    exercise the kernel on CPU via interpret mode instead)."""
     if np.dtype(options.dtype).itemsize != 4:
         return False
     if np.dtype(options.vector_dtype) != np.dtype(options.dtype):
         return False   # the fused kernel is single-dtype
-    if options.use_pallas == "auto":
-        return jax.default_backend() == "tpu"
-    return bool(options.use_pallas)
+    if jax.default_backend() != "tpu":
+        return False
+    return options.use_pallas == "auto" or bool(options.use_pallas)
 
 
 def run_solve_loop(tab: Tableau, options: SolverOptions, max_iter: int,

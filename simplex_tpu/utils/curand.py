@@ -41,7 +41,20 @@ def _build_library() -> ctypes.CDLL | None:
                     check=True, capture_output=True)
                 os.replace(tmp, lib_path)
         lib = ctypes.CDLL(str(lib_path))
-    except (OSError, subprocess.CalledProcessError):
+    except (OSError, subprocess.CalledProcessError) as e:
+        # One-time diagnostic: the silent fallback is ~1000x slower, so a
+        # reference-scale regeneration (8192x8192 = 67M draws) would look
+        # like a hang with no explanation.
+        import warnings
+
+        detail = ""
+        if isinstance(e, subprocess.CalledProcessError) and e.stderr:
+            detail = ": " + e.stderr.decode(errors="replace").strip()
+        warnings.warn(
+            f"native XORWOW build failed ({e.__class__.__name__}{detail}); "
+            "falling back to the pure-Python generator, which is ~1000x "
+            "slower — large instances will take minutes to regenerate",
+            RuntimeWarning, stacklevel=3)
         _BUILD_FAILED = True
         return None
     lib.xorwow_raw.argtypes = [ctypes.c_uint64, ctypes.c_uint64,

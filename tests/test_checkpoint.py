@@ -58,6 +58,24 @@ def test_state_roundtrip(problem, tmp_path):
                                   np.asarray(tab2.base))
 
 
+def test_max_iter_never_overshoots(problem, tmp_path):
+    """The final window is capped to the remaining budget, so the total
+    pivot count cannot exceed max_iter (it previously overshot by up to
+    checkpoint_every - 1)."""
+    path = str(tmp_path / "state.npz")
+    got = solve_resumable(problem, path, checkpoint_every=40,
+                          max_iter=10, bland_threshold=None)
+    assert got.status == Status.MAXITER
+    assert got.iterations_phase1 == 10
+
+
+def test_checkpoint_every_clamp_warns(problem, tmp_path):
+    path = str(tmp_path / "state.npz")
+    with pytest.warns(RuntimeWarning, match="raised to"):
+        got = solve_resumable(problem, path, checkpoint_every=10)
+    assert got.status == Status.OPTIMAL
+
+
 def test_shape_mismatch_rejected(problem, tmp_path):
     path = str(tmp_path / "state.npz")
     tab = gaussian_eliminate(build_phase1(

@@ -54,6 +54,27 @@ def test_benchmark_sizes_matches_sweep():
     assert sizes[1] == (512, 256)
 
 
+def test_device_generator_subseed_flavor_matches_host():
+    """The device path must derive the SAME sub-seeds as the host path
+    for a given user seed (both default to 'msvc'); regression for a
+    silent glibc/msvc mismatch between the two."""
+    import inspect
+
+    from simplex_tpu.generator import generate_random_problem_device
+
+    sig = inspect.signature(generate_random_problem_device)
+    assert sig.parameters["rand_flavor"].default == "msvc"
+    # The jax stream differs from XORWOW by design, but the sub-seed
+    # derivation must be observably flavor-sensitive and default-msvc:
+    msvc = generate_random_problem_device(8, 4, 1, 1.0, 100.0)
+    msvc2 = generate_random_problem_device(8, 4, 1, 1.0, 100.0,
+                                           rand_flavor="msvc")
+    glibc = generate_random_problem_device(8, 4, 1, 1.0, 100.0,
+                                           rand_flavor="glibc")
+    np.testing.assert_array_equal(np.asarray(msvc[0]), np.asarray(msvc2[0]))
+    assert not np.array_equal(np.asarray(msvc[0]), np.asarray(glibc[0]))
+
+
 def test_seed_files_match_sweep():
     # The vendored seed files pin seed formula and [1,100] range (C13).
     import pathlib

@@ -133,3 +133,17 @@ class TestMixedPrecision:
                     eps=1e-5, block_pivots=L)
         assert got.status == Status.OPTIMAL
         assert got.objective == pytest.approx(want.objective, rel=1e-4)
+
+
+def test_use_pallas_gated_off_tpu():
+    """An explicit use_pallas=True must NOT enable the kernel path off
+    TPU (it would crash inside pl.pallas_call); tests cover the kernel
+    on CPU via interpret mode instead."""
+    from simplex_tpu.solver import use_pallas
+
+    assert jax.default_backend() != "tpu"   # conftest forces CPU
+    assert not use_pallas(SolverOptions(dtype=np.float32,
+                                        vector_dtype=np.float32,
+                                        use_pallas=True))
+    assert not use_pallas(SolverOptions(dtype=np.float32,
+                                        vector_dtype=np.float32))

@@ -56,11 +56,37 @@ class TestXorwow:
         assert native_available()
 
 
-@pytest.mark.parametrize("name,expect_obj", [
-    ("random_256_256", None),
-    ("random_512_256", None),
+def test_all_36_reference_measure_csvs_vendored():
+    """Every benchmark size's measure CSV is vendored (C13), so parity
+    can be asserted at any size in the sweep."""
+    from simplex_tpu.generator import benchmark_sizes
+
+    for n, m in benchmark_sizes():
+        assert (DATA / "reference_measures" /
+                f"benchmark_{n}_{m}.txt").exists(), (n, m)
+
+
+@pytest.mark.parametrize("name", [
+    "random_256_256",
+    "random_512_256",
+    "random_512_512",
+    "random_2048_256",
 ])
-def test_pivot_count_parity(name, expect_obj):
+def test_pivot_count_parity(name):
+    _assert_parity(name)
+
+
+@pytest.mark.slow
+def test_pivot_count_parity_1024_1024():
+    """Parity at a size whose entering argmin (N = n+2m = 3072, 6 blocks)
+    and ratio test (N = m = 1024, 2 blocks) both cross the reference's
+    multi-block two-pass reduction (src/reduction.cu:51-104) on real
+    data: 1,777 phase-1 + 76 phase-2 pivots reproduced exactly
+    (~25 s NumPy replay)."""
+    _assert_parity("random_1024_1024")
+
+
+def _assert_parity(name):
     n, m, seed, lo, hi = read_seed_file(
         DATA / "examples" / "benchmark_problems" / f"{name}.txt")
     want = reference_counts(n, m)

@@ -117,6 +117,48 @@ def test_sharded_mixed_precision():
     assert got.objective == pytest.approx(want.objective, rel=1e-4)
 
 
+def test_sharded_dropped_constraint_sentinel_no_alias():
+    """A redundant constraint dropped by pivot_out_artificials_sharded
+    must mark its base entry with a GLOBALLY out-of-range sentinel. Under
+    shard_map ``rows_padded`` is the local row count (R_loc = 8 on this
+    mesh), which aliases structural variable x8 — before the fix the
+    solution scatter silently zeroed x8's basic value."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from simplex_tpu.config import SolverOptions
+    from simplex_tpu.parallel import sharded as sh
+    from simplex_tpu.tableau import Tableau
+
+    options = SolverOptions()
+    n, m, n_shards = 40, 3, 8
+    R_pad, M_pad = sh.sharded_padded_dims(n, m, n_shards, options)
+    r = n + 2 * m
+    assert R_pad // n_shards == 8         # the aliasing configuration
+    T = np.zeros((R_pad, M_pad))
+    T[8, 0] = 1.0           # x8 basic in constraint 0, value 7.5
+    T[n + m + 1, 1] = 1.0   # artificial basic in an all-zero redundant row
+    T[12, 2] = 1.0          # x12 basic in constraint 2, value 3.0
+    b = np.zeros(M_pad)
+    b[0], b[2] = 7.5, 3.0
+    base = np.full(M_pad, r, np.int32)
+    base[:m] = [8, n + m + 1, 12]
+    tab = Tableau(T=jnp.asarray(T), b=jnp.asarray(b),
+                  costs=jnp.zeros((R_pad,)), z=jnp.zeros(()),
+                  base=jnp.asarray(base), n=n, m=m, r=r)
+    specs = Tableau(T=P("vars", None), b=P(None), costs=P("vars"), z=P(),
+                    base=P(None), n=n, m=m, r=r)
+    mesh = mesh_of(n_shards)
+    fn = jax.jit(jax.shard_map(
+        lambda t: sh.extract_solution_replicated(
+            sh.pivot_out_artificials_sharded(t, options)),
+        mesh=mesh, in_specs=(specs,), out_specs=P(None),
+        check_vma=False))
+    x = np.asarray(fn(tab))
+    assert x[8] == pytest.approx(7.5)
+    assert x[12] == pytest.approx(3.0)
+
+
 def test_sharded_degenerate_continue():
     """Sharded 'continue' policy repairs the basis like the single-chip
     path (pivot_out_artificials_sharded)."""

@@ -30,6 +30,22 @@ def test_unbounded():
     assert solve(p).status == Status.UNBOUNDED
 
 
+def test_unbounded_problem_golden():
+    """The reference's own unbounded example file, vendored verbatim
+    (reference data/examples/unboundedProblem.txt: max 2x0 + x1 s.t.
+    x0 - x1 <= 10, 2x0 - x1 <= 40 — x1 grows without bound)."""
+    from simplex_tpu import read_problem
+    from tests.conftest import DATA
+
+    p = read_problem(DATA / "unboundedProblem.txt")
+    assert (p.vars, p.constraints) == (2, 2)
+    assert solve(p).status == Status.UNBOUNDED
+    assert solve_oracle(p).status == Status.UNBOUNDED
+    from simplex_tpu.timed import solve_timed
+
+    assert solve_timed(p).status == Status.UNBOUNDED
+
+
 def test_matches_oracle_on_random_instances():
     for seed in (1, 7, 42, 99):
         p = generate_random_problem(50, 30, seed, 1, 100)
