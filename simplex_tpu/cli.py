@@ -21,7 +21,9 @@ Extensions beyond the reference (all optional flags): ``--dtype``
 (float32 TPU-speed mode), ``--timer``/``--per-iteration`` chrono control,
 ``--reference-degeneracy`` (abort on degeneracy like the reference
 instead of resolving it via Bland's rule), ``--limit`` for the sweep
-size, and ``--batch`` to solve one seeded instance many times vmapped.
+size, ``--batch`` to solve one seeded instance many times vmapped,
+``--checkpoint PATH [--checkpoint-every N]`` for a kill-safe resumable
+solve, and ``--platform`` to force the JAX backend.
 """
 
 from __future__ import annotations
@@ -92,6 +94,16 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch", type=int, default=1, metavar="B",
                    help="with -r/-rs/-rf: solve B instances (seeds "
                         "seed..seed+B-1) in one vmapped device call")
+    p.add_argument("--checkpoint", metavar="PATH", default=None,
+                   help="solve resumably, persisting the tableau to PATH "
+                        "every --checkpoint-every pivots; rerun the same "
+                        "command after a crash/kill to continue from the "
+                        "newest checkpoint")
+    p.add_argument("--checkpoint-every", type=int, default=1000,
+                   metavar="N", help="pivots per checkpoint window")
+    p.add_argument("--platform", choices=["tpu", "cpu"], default=None,
+                   help="force the JAX backend (default: environment "
+                        "default, normally TPU)")
     return p
 
 
@@ -163,6 +175,13 @@ def _sweep(args, options: SolverOptions) -> None:
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     print("Starting...")
+    if args.platform:
+        # Must run before any backend use; the axon boot hook ignores
+        # JAX_PLATFORMS in the environment, so this explicit config update
+        # is the only reliable backend override (see tests/conftest.py).
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     options = _options(args)
 
     if args.t:
@@ -218,6 +237,22 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.debug:
         print(format_problem(problem))
+
+    if args.checkpoint:
+        if args.timer or args.per_iteration:
+            raise SystemExit(
+                "--checkpoint is incompatible with --timer/--per-iteration "
+                "(the resumable solve runs in fused windows with no "
+                "per-operation boundaries)")
+        from .checkpoint import solve_resumable
+
+        if os.path.exists(args.checkpoint):
+            print(f"Resuming from checkpoint {args.checkpoint}")
+        result = solve_resumable(problem, args.checkpoint,
+                                 checkpoint_every=args.checkpoint_every,
+                                 options=options)
+        _report(result, problem, args.data_dir)
+        return 0
 
     chrono = (Chrono.open_timestamped(os.path.join(args.data_dir,
                                                    "measures"))

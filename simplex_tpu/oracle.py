@@ -214,10 +214,20 @@ def solve_oracle(problem: Problem,
     status1, iters1 = _solve_loop(t, mask1, options, max_iter, tie_rule)
     if status1 == Status.MAXITER:
         return SolveResult(Status.MAXITER, None, float(t.z), iters1, 0)
-    # Infeasible iff the phase-1 objective cell stays below -eps
-    # (twoPhaseMethod.cu:264-268).
-    if t.z <= -eps:
-        return SolveResult(Status.INFEASIBLE, None, float(t.z), iters1, 0)
+    # Infeasibility test: SAME semantics as the device core
+    # (two_phase.solve_device) — the phase-1 objective recomputed exactly
+    # from the final basis (-sum of basic artificials' values; immune to
+    # the running cell's per-pivot drift), against a threshold scaled by
+    # the right-hand side's magnitude: an artificial residual of ~1e-9
+    # relative to b values of ~100 is a degenerate zero, not
+    # infeasibility. (The reference instead reads the incrementally
+    # updated costs[0] against an absolute eps, twoPhaseMethod.cu:264-268;
+    # the two rules agree except on knife-edge residuals within
+    # eps * max|b| of zero — pinned by tests/test_degeneracy.py.)
+    z1 = -float(t.b[t.base >= n + m].sum())
+    b_scale = 1.0 + float(np.max(np.abs(problem.b)))
+    if z1 <= -eps * b_scale:
+        return SolveResult(Status.INFEASIBLE, None, z1, iters1, 0)
 
     degenerate = bool((t.base >= n + m).any())
     if degenerate and options.degeneracy == "reference":

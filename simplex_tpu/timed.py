@@ -100,7 +100,7 @@ def _timed(chrono, rows, cols, op, fn, *args):
 
 
 def _run_solve(tab, options, max_iter, chrono, rows_csv, per_iteration,
-               costs0=None):
+               costs0=None, pivot_cb=None):
     if not per_iteration:
         chrono.start(rows_csv, tab.m, "solve")
         tab, status, iters = _solve(tab, options, max_iter, costs0)
@@ -109,6 +109,19 @@ def _run_solve(tab, options, max_iter, chrono, rows_csv, per_iteration,
         chrono.row(rows_csv, tab.m, "solveIterations", int(iters) / 1e6)
         return tab, status_i, int(iters)
 
+    if options.block_pivots and int(options.block_pivots) > 1:
+        # The per-iteration driver steps the SINGLE-PIVOT reference loop
+        # (one CSV row per pivot, reference solver.cu:84-123); deferred
+        # block pivoting has no per-pivot boundary to time, so the option
+        # is ignored here — loudly, not silently.
+        import warnings
+
+        warnings.warn(
+            f"per_iteration timing drives the single-pivot reference "
+            f"loop; block_pivots={options.block_pivots} is ignored "
+            "(use the aggregate solve timing for the blocked loop)",
+            RuntimeWarning, stacklevel=3)
+
     state = initial_state(tab, options)
     iters = 0
     while int(state.status) == int(Status.RUNNING) and iters < max_iter:
@@ -116,6 +129,8 @@ def _run_solve(tab, options, max_iter, chrono, rows_csv, per_iteration,
         state = _step(state, options)
         status_i = int(state.status)    # scalar readback = sync point
         chrono.stop()
+        if int(state.iterations) > iters and pivot_cb is not None:
+            pivot_cb(state.tab, int(state.iterations))
         iters = int(state.iterations)
         if status_i != int(Status.RUNNING):
             break
@@ -155,6 +170,13 @@ def solve_timed(problem: Problem, options: SolverOptions | None = None,
             print(f"--- {stage} ---")
             print(format_tableau(tab))
 
+    # Per-pivot tableau dumps in the per-iteration driver — the exact
+    # behaviour of the reference's -D DEBUG build, which prints the
+    # tableau after EVERY pivot (solver.cu:112-116, minus the getchar()
+    # pause).
+    pivot_cb = ((lambda t, it: dump(f"pivot {it}", t))
+                if (debug and per_iteration) else None)
+
     # ---- Phase 1 ----
     tab = _timed(chrono, r1, m, "fillTableau", _build, A, b, n, m, options)
     dump("fillTableau", tab)
@@ -162,7 +184,8 @@ def solve_timed(problem: Problem, options: SolverOptions | None = None,
     tab = _timed(chrono, r1, m, "gauss1", _gauss, tab)
     dump("gauss1", tab)
     tab, status1, iters1 = _run_solve(tab, options, max_iter, chrono, r1,
-                                      per_iteration, costs0_1)
+                                      per_iteration, costs0_1,
+                                      pivot_cb=pivot_cb)
     dump("phase1 solved", tab)
     if status1 == int(Status.RUNNING):
         return SolveResult(Status.MAXITER, None, float(tab.z), iters1, 0)
@@ -189,7 +212,8 @@ def solve_timed(problem: Problem, options: SolverOptions | None = None,
     tab = _timed(chrono, r2, m, "gauss2", _gauss, tab)
     dump("gauss2", tab)
     tab, status2, iters2 = _run_solve(tab, options, max_iter, chrono, r2,
-                                      per_iteration, costs0_2)
+                                      per_iteration, costs0_2,
+                                      pivot_cb=pivot_cb)
     dump("phase2 solved", tab)
     if status2 == int(Status.RUNNING):
         return SolveResult(Status.MAXITER, None, float(tab.z), iters1,

@@ -85,3 +85,78 @@ def test_batch_mode(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Solving 4 instances" in out
     assert "seed 5:" in out and "seed 8:" in out
+
+
+def test_cli_checkpoint_flag_in_process(tmp_path, capsys):
+    """--checkpoint PATH runs the resumable solver and reports normally."""
+    from simplex_tpu.problem import write_seed_file
+
+    seed_file = tmp_path / "seed.txt"
+    write_seed_file(seed_file, 40, 16, 5, 1.0, 100.0)  # A,b,c > 0: bounded
+    ck = tmp_path / "state.npz"
+    rc = run_cli(["-rf", str(seed_file), "--checkpoint", str(ck),
+                  "--checkpoint-every", "5000"], tmp_path)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Problem solved!" in out
+    assert not ck.exists(), "checkpoint removed on success"
+
+
+def test_cli_checkpoint_rejects_timer(tmp_path):
+    with pytest.raises(SystemExit, match="incompatible"):
+        run_cli(["-r", "10", "5", "1", "--checkpoint",
+                 str(tmp_path / "s.npz"), "--timer"], tmp_path)
+
+
+@pytest.mark.slow
+def test_cli_checkpoint_survives_kill9(tmp_path):
+    """End-to-end crash recovery: SIGKILL the CLI mid-solve, rerun the
+    SAME command, and the solve resumes from the newest checkpoint and
+    finishes OPTIMAL (VERDICT: subprocess kill-9-and-resume)."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    from simplex_tpu.generator import benchmark_seed
+    from simplex_tpu.problem import write_seed_file
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    seed_file = tmp_path / "seed.txt"
+    n, m = 512, 512          # 835 + 22 pivots: several checkpoint windows
+    write_seed_file(seed_file, n, m, benchmark_seed(n, m), 1.0, 100.0)
+    ck = tmp_path / "state.npz"
+    cmd = [sys.executable, "-m", "simplex_tpu.cli", "-rf", str(seed_file),
+           "--checkpoint", str(ck), "--checkpoint-every", "200",
+           "--platform", "cpu", "--data-dir", str(tmp_path)]
+
+    proc = subprocess.Popen(cmd, cwd=root, stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    deadline = time.time() + 300
+    while (not ck.exists() and time.time() < deadline
+           and proc.poll() is None):
+        time.sleep(0.02)
+    assert proc.poll() is None, (
+        "CLI finished before the first checkpoint window; enlarge the "
+        "instance or shrink --checkpoint-every")
+    assert ck.exists(), "no checkpoint appeared within the deadline"
+    proc.send_signal(9)      # SIGKILL, no cleanup possible
+    proc.wait(timeout=60)
+    assert ck.exists(), "checkpoint must survive the kill"
+
+    out = subprocess.run(cmd, cwd=root, capture_output=True, text=True,
+                         timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Resuming from checkpoint" in out.stdout
+    assert "Problem solved!" in out.stdout
+    assert not ck.exists(), "checkpoint removed on success"
+
+    # The resumed optimum matches the oracle on the same instance.
+    from simplex_tpu import generate_random_problem, solve_oracle
+
+    want = solve_oracle(generate_random_problem(n, m, benchmark_seed(n, m),
+                                                1.0, 100.0))
+    line = [l for l in out.stdout.splitlines()
+            if l.startswith("Optimal value:")][0]
+    got = float(line.split(":")[1])
+    assert got == pytest.approx(want.objective, rel=1e-6)

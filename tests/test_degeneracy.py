@@ -137,3 +137,43 @@ def test_numeric_guard_on_poisoned_input(field, bad):
     r = solve(Problem(A=arrays["A"], b=arrays["b"], c=arrays["c"]))
     assert r.status == Status.NUMERIC
     assert r.x is None
+
+
+class TestInfeasibilityKnifeEdge:
+    """Oracle and device share the SAME infeasibility rule: phase-1
+    objective recomputed from the final basis, thresholded at
+    eps * (1 + max|b|). A knife-edge residual between eps and that scaled
+    threshold is a degenerate zero on BOTH paths (the reference's
+    absolute-eps reading of the running costs[0] would call it
+    INFEASIBLE)."""
+
+    def knife_edge(self, gap):
+        # x0 >= 10 and x0 <= 10 - gap: infeasible by exactly `gap`;
+        # the y <= 100 row sets the b-scale to 101.
+        A = np.array([
+            [-1.0, 0.0],
+            [1.0, 0.0],
+            [0.0, 1.0],
+        ])
+        b = np.array([-10.0, 10.0 - gap, 100.0])
+        c = np.array([1.0, 0.0])
+        return Problem(A=A, b=b, c=c)
+
+    def test_knife_edge_residual_is_feasible_on_both(self):
+        # gap = 5e-8: within eps * (1 + max|b|) = 1.01e-7 -> degenerate
+        # zero, solved through to OPTIMAL by oracle AND device alike.
+        p = self.knife_edge(5e-8)
+        ro, rd = solve_oracle(p), solve(p)
+        assert ro.status == Status.OPTIMAL
+        assert rd.status == Status.OPTIMAL
+        assert ro.objective == pytest.approx(10.0, abs=1e-6)
+        assert rd.objective == pytest.approx(10.0, abs=1e-6)
+
+    def test_clear_infeasibility_on_both(self):
+        p = self.knife_edge(1e-4)
+        ro, rd = solve_oracle(p), solve(p)
+        assert ro.status == Status.INFEASIBLE
+        assert rd.status == Status.INFEASIBLE
+        # Both report the recomputed phase-1 objective (-gap).
+        assert ro.objective == pytest.approx(rd.objective, rel=1e-6)
+        assert ro.objective == pytest.approx(-1e-4, rel=1e-3)

@@ -94,3 +94,26 @@ def test_degeneracy_reference_policy_parity():
         assert rt.status == rf.status
         if rt.status == Status.OPTIMAL:
             assert rt.objective == pytest.approx(rf.objective, rel=1e-12)
+
+
+def test_per_iteration_warns_when_block_pivots_ignored():
+    """--per-iteration drives the single-pivot loop; a configured
+    block_pivots must produce a loud warning, not silent divergence."""
+    problem = read_problem(DATA / "smallProblem.txt")
+    with pytest.warns(RuntimeWarning, match="block_pivots=16 is ignored"):
+        r = solve_timed(problem, per_iteration=True, block_pivots=16)
+    assert r.status == Status.OPTIMAL
+    assert r.objective == pytest.approx(64.0, abs=1e-8)
+
+
+def test_per_iteration_debug_dumps_every_pivot(capsys):
+    """debug=True + per_iteration=True prints the tableau after EVERY
+    pivot (the reference's -D DEBUG behaviour, solver.cu:112-116)."""
+    problem = read_problem(DATA / "smallProblem.txt")
+    r = solve_timed(problem, per_iteration=True, debug=True)
+    assert r.status == Status.OPTIMAL
+    out = capsys.readouterr().out
+    n_pivots = r.iterations_phase1 + r.iterations_phase2
+    assert n_pivots >= 1
+    dumps = [l for l in out.splitlines() if l.startswith("--- pivot ")]
+    assert len(dumps) == n_pivots
