@@ -150,4 +150,23 @@ class SolverOptions:
                 or self.vector_dtype == np.float64)
 
 
+def kernel_blocked_enabled(options: SolverOptions) -> bool:
+    """True when the deferred-block-pivot loop should use the fused
+    Pallas per-pivot passes (kernels/blocked.py): f32 tableau, blocked
+    mode configured, running on a real TPU backend (Mosaic cannot lower
+    f64; CPU/GPU fall back to the pure-XLA blocked loop — tests exercise
+    the kernels there via interpret mode). Shared by the solver dispatch
+    and by the tableau padding (the kernels need the variable axis padded
+    to full 128-lane tiles)."""
+    if not (options.block_pivots and int(options.block_pivots) > 1):
+        return False
+    if np.dtype(options.dtype).itemsize != 4:
+        return False
+    if options.use_pallas != "auto" and not options.use_pallas:
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 DEFAULT_OPTIONS = SolverOptions()

@@ -1,0 +1,381 @@
+"""Fused Pallas passes for the deferred block-pivot loop's per-pivot hot
+path (the kernel economy of the reference's per-pivot fused update,
+src/solver.cu:34-75, transplanted to the eta-factor scheme).
+
+Profiling the pure-XLA blocked loop at the flagship shape (m=10k x
+n=100k f32, L=128; tools/profile_blocked.py) shows the per-pivot cost is
+NOT bandwidth-bound but op-overhead-bound: the leaving-row gather
+``Tt[k, :]`` costs ~147 us for 0.5 MB of useful data, the eta correction
+``w @ C`` ~147 us, the entering-column gather + its correction ~136 us,
+and the f64 cost-vector update ~67 us — each a separate XLA op with its
+own launch + layout cost. These two kernels fuse them:
+
+* ``colk_costs_pass`` (the R-side pass, one sweep over the eta columns
+  C): pivot-row slab fetch + eta correction + reduced-cost update +
+  next-pivot entering-candidate argmin, in ONE grid over R tiles.
+  The reduced costs are carried as a double-float32 pair (hi, lo) with
+  error-free Dekker transforms (~2^-48 relative, f64-equivalent for the
+  eps=1e-5 discipline of the f32 modes) — Mosaic cannot lower f64, so
+  this is how the VERDICT's "f32 tiles, f64-quality small vectors"
+  lands on real silicon. Liveness-aware: eta rows >= the current window
+  fill ``t`` are all-zero, and the segment grid maps dead segments to an
+  already-fetched block index, so the pipeline skips their DMAs —
+  traffic is proportional to the LIVE window fill, not L.
+* ``ah_pass`` (the M-side pass): entering-column fetch (lane-selected
+  from 128-wide tiles — the gather the XLA lowering does byte-for-byte
+  anyway, minus its overhead) + eta correction against F in one grid
+  over M tiles.
+
+Decisions that need better-than-f32 exactness (the optimality test, the
+pivot scalar, b/z updates) happen in the solver's XLA glue on the hi+lo
+pair / the vector dtype; see solver.solve_loop_blocked_kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+#: Sentinel for "no Bland-eligible row in this slab".
+BIG_INDEX = jnp.iinfo(jnp.int32).max
+
+#: Eta rows per liveness segment of the R-side pass.
+SEG = 32
+
+
+def _i0():
+    return jnp.int32(0)
+
+
+def pick_tile(dim: int, unit: int, row_bytes: int,
+              budget: int = 1 << 20) -> int:
+    """Largest multiple-of-``unit`` tile dividing ``dim`` whose block
+    (tile x row_bytes) stays under ``budget`` bytes."""
+    best = unit
+    d = dim // unit
+    for mult in range(1, d + 1):
+        if d % mult == 0 and mult * unit * row_bytes <= budget:
+            best = mult * unit
+    return best
+
+
+# ---------------------------------------------------------------------------
+# Error-free float32 transforms (no FMA dependence; Dekker 1971).
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _fast_two_sum(a, b):
+    """Requires |a| >= |b| (or a == 0)."""
+    s = a + b
+    return s, b - (s - a)
+
+
+def _split(a):
+    c = jnp.float32(4097.0) * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    x = a * b
+    a1, a2 = _split(a)
+    b1, b2 = _split(b)
+    err = ((a1 * b1 - x) + a1 * b2 + a2 * b1) + a2 * b2
+    return x, err
+
+
+def ff32_from_f64(x):
+    """(hi, lo) float32 pair from a float64 (or float32) array/scalar."""
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
+    return hi, lo
+
+
+def ff32_to_f64(hi, lo, dtype=jnp.float64):
+    return hi.astype(dtype) + lo.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# R-side pass: colk = Tt[k, :] - w @ C, costs -= u * colk, next argmin.
+
+def _colk_kernel(idx_ref,                       # prefetch: [k, live_segs]
+                 Trows_ref,                     # (8, TR): rows 8*(k//8)..+8
+                 C_ref,                         # (SEG, TR) live segment
+                 w_ref,                         # (L_pad, 1) = F[:, k]
+                 chi_ref, clo_ref,              # (1, TR) cost pair (in)
+                 scal_ref,                      # SMEM (1, 3): u_hi, u_lo, do
+                 colk_ref, chi_out, clo_out,    # (1, TR) outs (aliased)
+                 dval_out, didx_out, bval_out, bidx_out,   # SMEM (1, 1)
+                 acc_ref, acc_val, acc_idx,     # scratch
+                 *, tr, seg, n_segs, r, eps):
+    i = pl.program_id(0)       # R tile
+    s = pl.program_id(1)       # liveness segment (fastest-varying)
+    k = idx_ref[0]
+    live = idx_ref[1]
+
+    @pl.when(s == 0)
+    def _init_tile():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(s < jnp.maximum(live, 1))
+    def _accumulate():
+        w = w_ref[pl.ds(s * seg, seg), :]       # (seg, 1) live eta weights
+        acc_ref[:] += jnp.sum(C_ref[:] * w, axis=0, keepdims=True)
+
+    @pl.when(s == n_segs - 1)
+    def _finalize():
+        # All index math pinned to int32: under jax_enable_x64 Python-int
+        # operands promote to i64, which the Mosaic lowering cannot
+        # convert (infinite recursion in its _convert_helper).
+        kk = lax.rem(k, jnp.int32(8))
+        sub = lax.broadcasted_iota(jnp.int32, (8, tr), 0)
+        trow = jnp.sum(jnp.where(sub == kk, Trows_ref[:], 0.0), axis=0,
+                       keepdims=True)                       # (1, TR)
+        colk = trow - acc_ref[:]
+        colk_ref[:] = colk
+
+        # costs -= u * colk in double-float32 (error-free transforms).
+        u_hi = scal_ref[0, 0]
+        u_lo = scal_ref[0, 1]
+        p1, p2 = _two_prod(u_hi, colk)
+        p2 = p2 + u_lo * colk
+        chi = chi_ref[:]
+        clo = clo_ref[:]
+        s1, e1 = _two_sum(chi, -p1)
+        lo_sum = e1 + (clo - p2)
+        nhi, nlo = _fast_two_sum(s1, lo_sum)
+        chi_out[:] = nhi
+        clo_out[:] = nlo
+
+        # Entering candidates over the UPDATED costs (hi part; ties ->
+        # lowest index via the ascending grid, like kernels/pivot.py).
+        big = jnp.int32(BIG_INDEX)
+        gi = i.astype(jnp.int32) * jnp.int32(tr) + \
+            lax.broadcasted_iota(jnp.int32, (1, tr), 1)
+        cm = jnp.where(gi < jnp.int32(r), nhi,
+                       jnp.asarray(jnp.inf, jnp.float32))
+        slab_min = jnp.min(cm)
+        slab_idx = jnp.min(jnp.where(cm == slab_min, gi, big))
+        eligible = cm <= jnp.asarray(-eps, jnp.float32)
+        slab_bidx = jnp.min(jnp.where(eligible, gi, big))
+        slab_bval = jnp.min(jnp.where(gi == slab_bidx, cm,
+                                      jnp.asarray(jnp.inf, jnp.float32)))
+
+        @pl.when(i == 0)
+        def _first():
+            acc_val[0] = slab_min
+            acc_idx[0] = slab_idx
+            acc_val[1] = slab_bval
+            acc_idx[1] = slab_bidx
+
+        @pl.when(i > 0)
+        def _fold():
+            take = slab_min < acc_val[0]
+            acc_val[0] = jnp.where(take, slab_min, acc_val[0])
+            acc_idx[0] = jnp.where(take, slab_idx, acc_idx[0])
+            take_b = slab_bidx < acc_idx[1]
+            acc_val[1] = jnp.where(take_b, slab_bval, acc_val[1])
+            acc_idx[1] = jnp.where(take_b, slab_bidx, acc_idx[1])
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _emit():
+            dval_out[0, 0] = acc_val[0]
+            didx_out[0, 0] = acc_idx[0]
+            bval_out[0, 0] = acc_val[1]
+            bidx_out[0, 0] = acc_idx[1]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("r", "eps", "interpret"))
+def colk_costs_pass(Tt: jax.Array, C: jax.Array, w: jax.Array,
+                    chi: jax.Array, clo: jax.Array,
+                    k: jax.Array, t: jax.Array,
+                    u_hi: jax.Array, u_lo: jax.Array,
+                    r: int, eps: float, interpret: bool = False):
+    """One fused R-side pivot pass.
+
+    Args: Tt (M_pad, R_pad) f32 stale transposed tableau; C (L, R_pad)
+    f32 eta columns (rows >= t are zero); w (L,) f32 = F[:, k]; costs as
+    the (hi, lo) f32 pair, each (R_pad,); traced scalars k (leaving
+    constraint), t (window fill, for liveness DMA-skipping), u = minc/p
+    as an (u_hi, u_lo) pair; static r (real rows) and eps.
+
+    Returns (colk, chi', clo', h_dantzig, v_dantzig, h_bland, v_bland)
+    where colk (R_pad,) f32 is the LIVE leaving row and the candidates
+    are over the updated costs' hi parts. Pass u = 0 for an identity
+    pass (costs unchanged, candidates recomputed).
+    """
+    m_pad, r_pad = Tt.shape
+    L = C.shape[0]
+    seg = min(SEG, L)
+    assert L % seg == 0, (L, seg)
+    n_segs = L // seg
+    tr = pick_tile(r_pad, 128, (seg + 16) * 4)
+    grid = (r_pad // tr, n_segs)
+
+    live_segs = jnp.minimum(lax.div(t + seg - 1, jnp.int32(seg)),
+                            jnp.int32(n_segs))
+    idx = jnp.stack([k.astype(jnp.int32), live_segs.astype(jnp.int32)])
+    scal = jnp.stack([u_hi.astype(jnp.float32), u_lo.astype(jnp.float32),
+                      jnp.float32(0)]).reshape(1, 3)
+    w2 = w.astype(jnp.float32).reshape(L, 1)
+    chi2 = chi.reshape(1, r_pad)
+    clo2 = clo.reshape(1, r_pad)
+
+    kernel = functools.partial(_colk_kernel, tr=tr, seg=seg,
+                               n_segs=n_segs, r=r, eps=float(eps))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            # 8-row slab around the pivot row (fetched once per R tile).
+            pl.BlockSpec((8, tr),
+                         lambda i, s, idx: (lax.div(idx[0], jnp.int32(8)), i),
+                         memory_space=pltpu.VMEM),
+            # Liveness: dead segments alias the last live block index, so
+            # the pipeline issues no DMA for them (same index -> reuse).
+            pl.BlockSpec(
+                (seg, tr),
+                lambda i, s, idx: (
+                    jnp.minimum(s, jnp.maximum(idx[1] - jnp.int32(1),
+                                               jnp.int32(0))), i),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1), lambda i, s, idx: (_i0(), _i0()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr), lambda i, s, idx: (_i0(), i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr), lambda i, s, idx: (_i0(), i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3), lambda i, s, idx: (_i0(), _i0()),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tr), lambda i, s, idx: (_i0(), i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr), lambda i, s, idx: (_i0(), i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr), lambda i, s, idx: (_i0(), i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, s, idx: (_i0(), _i0()),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, s, idx: (_i0(), _i0()),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, s, idx: (_i0(), _i0()),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, s, idx: (_i0(), _i0()),
+                         memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, tr), jnp.float32),
+            pltpu.SMEM((2,), jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+    )
+
+    colk2, nhi2, nlo2, dval, didx, bval, bidx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        input_output_aliases={4: 1, 5: 2},   # chi, clo update in place
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * r_pad + 30 * r_pad,
+            bytes_accessed=(L * r_pad + 8 * r_pad + 5 * r_pad) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(idx, Tt, C, w2, chi2, clo2, scal)
+
+    return (colk2.reshape(r_pad), nhi2.reshape(r_pad),
+            nlo2.reshape(r_pad), didx[0, 0], dval[0, 0], bidx[0, 0],
+            bval[0, 0])
+
+
+# ---------------------------------------------------------------------------
+# M-side pass: a_h = Tt[:, h] - v @ F (live entering column).
+
+def _ah_kernel(idx_ref,                 # prefetch: [h]
+               Tcols_ref,               # (TM, 128): lanes around column h
+               F_ref,                   # (L, TM)
+               v_ref,                   # (L, 1) = C[:, h]
+               ah_ref,                  # out (1, TM)
+               *, tm):
+    h = idx_ref[0]
+    hh = lax.rem(h, jnp.int32(128))
+    # Lane-select column h%128 as a (1, TM) row via a one-hot
+    # contraction — avoids a (TM, 1) -> (1, TM) relayout.
+    onehot = (lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+              == hh).astype(jnp.float32)
+    col = lax.dot_general(onehot, Tcols_ref[:],
+                          (((1,), (1,)), ((), ())),
+                          preferred_element_type=jnp.float32,
+                          precision=lax.Precision.HIGHEST)  # (1, TM)
+    # HIGHEST: the MXU's default bf16 pass would round the selected
+    # values to ~2e-3 relative; the 3-pass product is f32-exact for a
+    # 0/1 one-hot operand.
+    corr = jnp.sum(F_ref[:] * v_ref[:], axis=0, keepdims=True)  # (1, TM)
+    ah_ref[:] = col - corr
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ah_pass(Tt: jax.Array, F: jax.Array, v: jax.Array, h: jax.Array,
+            interpret: bool = False) -> jax.Array:
+    """Live entering column: ``Tt[:, h] - v @ F`` fused (column fetch
+    reads the same 128-lane tiles the XLA gather touches, without its
+    op overhead). v = C[:, h]; returns a_h (M_pad,) f32."""
+    m_pad, r_pad = Tt.shape
+    L = F.shape[0]
+    # tm is the LANE dim of the F/out blocks: Mosaic requires it to be a
+    # multiple of 128 or the full axis (toy shapes).
+    tm = (pick_tile(m_pad, 128, 132 * 4, budget=1 << 19)
+          if m_pad % 128 == 0 else m_pad)
+    grid = (m_pad // tm,)
+    v2 = v.astype(jnp.float32).reshape(L, 1)
+    idx = jnp.stack([h.astype(jnp.int32)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, 128),
+                         lambda i, idx: (i, lax.div(idx[0], jnp.int32(128))),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F.shape[0], tm), lambda i, idx: (_i0(), i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((v2.shape[0], 1), lambda i, idx: (_i0(), _i0()),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tm), lambda i, idx: (_i0(), i),
+                               memory_space=pltpu.VMEM),
+    )
+
+    ah2 = pl.pallas_call(
+        functools.partial(_ah_kernel, tm=tm),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * m_pad,
+            bytes_accessed=(128 * m_pad + L * m_pad + m_pad) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(idx, Tt, F, v2)
+    return ah2.reshape(m_pad)

@@ -587,6 +587,177 @@ def solve_loop_blocked(tab: Tableau, options: SolverOptions,
     return out_tab, final.status, final.iterations
 
 
+class BlockedKernelState(NamedTuple):
+    """solve_loop_blocked_kernel carry: like BlockedLoopState but the
+    reduced costs live as a double-float32 (hi, lo) pair — the form the
+    fused Pallas pass updates with error-free transforms (~2^-48
+    relative, f64-equivalent; Mosaic cannot lower real f64) — and the
+    next entering candidates (computed by the previous pivot's fused
+    pass) ride in the carry, so nothing ever re-reads the cost vector."""
+
+    Tt: jax.Array
+    b: jax.Array
+    chi: jax.Array
+    clo: jax.Array
+    z: jax.Array
+    base: jax.Array
+    status: jax.Array
+    iterations: jax.Array
+    stall: jax.Array
+    bland: jax.Array
+    h_d: jax.Array     # Dantzig candidate over current costs
+    h_b: jax.Array     # Bland candidate (BIG_INDEX if none eligible)
+
+
+def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
+                              max_iter: int,
+                              costs0: jax.Array | None = None,
+                              interpret: bool = False
+                              ) -> tuple[Tableau, jax.Array, jax.Array]:
+    """Deferred block pivoting with the per-pivot hot path fused into two
+    Pallas passes (kernels/blocked.py):
+
+    * R side: pivot-row fetch + liveness-limited eta correction over C +
+      double-f32 cost update + next entering argmin — ONE kernel where
+      the XLA loop pays four separate gather/dot/update/argmin ops
+      (measured ~360 us of overhead-bound ops at the flagship shape).
+    * M side: entering-column fetch + eta correction over F — one kernel
+      for the two ops (~135 us) the XLA loop issues.
+
+    Same pivot-selection semantics as solve_loop_blocked (Dantzig/Bland,
+    eps discipline, statuses); cost arithmetic is double-f32 instead of
+    the vector dtype, with the same exact window-boundary re-pricing, so
+    f32/mixed accuracy behaviour is unchanged. Requires an f32 tableau
+    padded to 128-lane tiles on the variable axis (tableau.padded_dims
+    arranges this when config.kernel_blocked_enabled)."""
+    from .kernels.blocked import (BIG_INDEX, ah_pass, colk_costs_pass,
+                                  ff32_from_f64, ff32_to_f64)
+
+    eps = float(options.eps)
+    bland_static = options.pivot_rule == "bland"
+    threshold = options.bland_threshold
+    L = int(options.block_pivots or 1)
+    r_pad, m_pad = tab.T.shape
+    dtype = tab.T.dtype
+    vdtype = tab.costs.dtype
+    assert dtype == jnp.float32 and r_pad % 128 == 0, (dtype, r_pad)
+    row_iota = jnp.arange(r_pad)
+    row_mask = row_iota < tab.r
+
+    def xla_candidates(costs):
+        """(h_d, h_b) over a full-precision cost vector — used at init
+        and after each window's exact re-pricing (same lowest-index tie
+        rule as the kernel's folded reductions)."""
+        masked = jnp.where(row_mask, costs, jnp.inf)
+        h_d = jnp.argmin(masked).astype(jnp.int32)
+        eligible = masked <= -eps
+        h_b = jnp.min(jnp.where(eligible, row_iota,
+                                BIG_INDEX)).astype(jnp.int32)
+        return h_d, h_b
+
+    def inner(t, carry):
+        C, F, s = carry
+        active = s.status == int(Status.RUNNING)
+
+        use_bland = s.bland & (s.h_b < BIG_INDEX)
+        h = jnp.where(use_bland, s.h_b, s.h_d).astype(jnp.int32)
+        h_safe = jnp.minimum(h, r_pad - 1)
+        minc = ff32_to_f64(s.chi[h_safe], s.clo[h_safe], vdtype)
+        optimal = minc > -eps
+
+        a_h32 = ah_pass(s.Tt, F, C[:, h_safe], h_safe,
+                        interpret=interpret)
+        a_h = a_h32.astype(vdtype)
+        mask = a_h32 >= eps
+        unbounded = ~mask.any()
+        ratios = jnp.where(mask, s.b / jnp.where(mask, a_h, 1.0), jnp.inf)
+        k = jnp.argmin(ratios).astype(jnp.int32)
+        do = active & ~(optimal | unbounded)
+
+        p_raw = a_h[k]
+        p = jnp.where(do, p_raw, jnp.ones_like(p_raw))
+        u = jnp.where(do, minc / p, jnp.zeros_like(minc))
+        u_hi, u_lo = ff32_from_f64(u)
+        colk32, chi2, clo2, h_d, _, h_b, _ = colk_costs_pass(
+            s.Tt, C, F[:, k], s.chi, s.clo, k, t.astype(jnp.int32),
+            u_hi, u_lo, r=tab.r, eps=eps, interpret=interpret)
+
+        bk = s.b[k]
+        z2 = jnp.where(do, s.z - u * bk, s.z)
+        is_k = jnp.arange(m_pad) == k
+        b2 = jnp.where(do,
+                       jnp.where(is_k, bk / p, s.b - bk * (a_h / p)),
+                       s.b)
+        base2 = jnp.where(do, s.base.at[k].set(h.astype(s.base.dtype)),
+                          s.base)
+        v = ((a_h / p).at[k].set(1.0 - 1.0 / p)).astype(dtype)
+        C2 = C.at[t, :].set(jnp.where(do, colk32, jnp.zeros_like(colk32)))
+        F2 = F.at[t, :].set(jnp.where(do, v, jnp.zeros_like(v)))
+
+        status = jnp.where(
+            active,
+            jnp.where(optimal, int(Status.OPTIMAL),
+                      jnp.where(unbounded, int(Status.UNBOUNDED),
+                                int(Status.RUNNING))),
+            s.status).astype(jnp.int32)
+
+        improved = jnp.abs(z2 - s.z) >= eps
+        stall = jnp.where(do, jnp.where(improved, 0, s.stall + 1),
+                          s.stall).astype(jnp.int32)
+        if bland_static:
+            bland = jnp.ones((), bool)
+        elif threshold is None:
+            bland = jnp.zeros((), bool)
+        else:
+            bland = jnp.where(do, jnp.where(improved, False,
+                                            stall >= threshold), s.bland)
+
+        return (C2, F2, BlockedKernelState(
+            s.Tt, b2, chi2, clo2, z2, base2, status,
+            s.iterations + do.astype(jnp.int32), stall, bland, h_d, h_b))
+
+    def outer(s: BlockedKernelState):
+        C = jnp.zeros((L, r_pad), dtype)
+        F = jnp.zeros((L, m_pad), dtype)
+        C, F, s = lax.fori_loop(0, L, inner, (C, F, s))
+        Tt2 = apply_window_T(s.Tt, C, F)
+        s = s._replace(Tt=Tt2)
+        if costs0 is not None:
+            # Exact window-boundary re-pricing (see solve_loop_blocked):
+            # also re-derives the double-f32 pair and the carried
+            # candidates from the exact costs.
+            valid = s.base < tab.r
+            coeffs = jnp.where(
+                valid, costs0[jnp.minimum(s.base, r_pad - 1)], 0.0)
+            costs_exact = costs0 - accum_matvec(Tt2, coeffs, 0, vdtype)
+            vmin = jnp.min(jnp.where(row_mask, costs_exact, jnp.inf))
+            premature = (s.status == int(Status.OPTIMAL)) & (vmin <= -eps)
+            status = jnp.where(premature, int(Status.RUNNING),
+                               s.status).astype(jnp.int32)
+            chi, clo = ff32_from_f64(costs_exact)
+            h_d, h_b = xla_candidates(costs_exact)
+            s = s._replace(chi=chi, clo=clo, status=status, h_d=h_d,
+                           h_b=h_b)
+        return s
+
+    def cond(s: BlockedKernelState):
+        return (s.status == int(Status.RUNNING)) & (s.iterations < max_iter)
+
+    chi0, clo0 = ff32_from_f64(tab.costs)
+    h_d0, h_b0 = xla_candidates(tab.costs)
+    init = BlockedKernelState(
+        tab.T.T, tab.b, chi0, clo0, tab.z, tab.base,
+        jnp.asarray(int(Status.RUNNING), jnp.int32),
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+        jnp.asarray(bland_static), h_d0, h_b0)
+    final = lax.while_loop(cond, outer, init)
+    costs_out = ff32_to_f64(final.chi, final.clo, vdtype)
+    out_tab = dataclasses.replace(
+        tab, T=final.Tt.T, b=final.b, costs=costs_out, z=final.z,
+        base=final.base)
+    return out_tab, final.status, final.iterations
+
+
 def use_pallas(options: SolverOptions) -> bool:
     """Resolve the use_pallas option at trace time: enabled on TPU
     backends for 32-bit tableaus only (the Mosaic TPU lowering cannot
@@ -606,11 +777,20 @@ def use_pallas(options: SolverOptions) -> bool:
 
 def run_solve_loop(tab: Tableau, options: SolverOptions, max_iter: int,
                    costs0=None):
-    """Dispatch: deferred block-pivot loop when configured, else the
-    Pallas-fused or pure-XLA single-pivot loop. ``costs0`` (the phase's
-    pre-elimination cost vector) enables the blocked loop's exact
+    """Dispatch: deferred block-pivot loop when configured (with the
+    fused Pallas per-pivot passes on TPU when the tableau layout allows),
+    else the Pallas-fused or pure-XLA single-pivot loop. ``costs0`` (the
+    phase's pre-elimination cost vector) enables the blocked loop's exact
     window-boundary re-pricing; ignored by the single-pivot loops."""
+    from .config import kernel_blocked_enabled
+
     if options.block_pivots and int(options.block_pivots) > 1:
+        L = int(options.block_pivots)
+        if (kernel_blocked_enabled(options)
+                and tab.rows_padded % 128 == 0
+                and L % min(32, L) == 0):
+            return solve_loop_blocked_kernel(tab, options, max_iter,
+                                             costs0)
         return solve_loop_blocked(tab, options, max_iter, costs0)
     if use_pallas(options):
         return solve_loop_pallas(tab, options, max_iter)

@@ -132,9 +132,18 @@ class Tableau:
 
 
 def padded_dims(n: int, m: int, options: SolverOptions) -> tuple[int, int, int]:
-    """(R1_pad, R2_pad, M_pad) for phase-1 rows n+2m, phase-2 rows n+m."""
-    return (round_up(n + 2 * m, options.sublane_pad),
-            round_up(n + m, options.sublane_pad),
+    """(R1_pad, R2_pad, M_pad) for phase-1 rows n+2m, phase-2 rows n+m.
+
+    When the fused Pallas blocked-pivot kernels are active the variable
+    axis is padded to full 128-lane tiles (it is the LANE axis of the
+    transposed tableau the kernels stream)."""
+    from .config import kernel_blocked_enabled
+
+    sub = options.sublane_pad
+    if kernel_blocked_enabled(options):
+        sub = max(sub, 128)
+    return (round_up(n + 2 * m, sub),
+            round_up(n + m, sub),
             round_up(m, options.lane_pad))
 
 

@@ -1,0 +1,194 @@
+"""Fused blocked-pivot Pallas passes (kernels/blocked.py), interpret
+mode on CPU — the TPU lowering is exercised by bench.py on hardware.
+Semantics oracle: the pure-XLA blocked-loop math they replace."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simplex_tpu.config import SolverOptions, Status
+from simplex_tpu.generator import generate_random_problem
+from simplex_tpu.kernels.blocked import (BIG_INDEX, ah_pass,
+                                         colk_costs_pass, ff32_from_f64,
+                                         ff32_to_f64)
+from simplex_tpu.oracle import solve_oracle
+from simplex_tpu.solver import solve_loop_blocked, solve_loop_blocked_kernel
+from simplex_tpu.tableau import build_phase1, gaussian_eliminate, round_up
+
+
+def _rand(shape, key, lo=-1.0, hi=1.0):
+    return jax.random.uniform(jax.random.key(key), shape, jnp.float32,
+                              lo, hi)
+
+
+class TestColkCostsPass:
+    def setup_method(self, _):
+        self.m_pad, self.r_pad, self.L = 16, 256, 8
+        self.Tt = _rand((self.m_pad, self.r_pad), 0)
+        C = np.array(_rand((self.L, self.r_pad), 1))
+        C[5:] = 0.0                      # only t=5 etas live
+        self.C = jnp.asarray(C)
+        self.w = _rand((self.L,), 2)
+        self.costs = jnp.asarray(
+            np.random.Generator(np.random.Philox(3)).uniform(
+                -1, 1, self.r_pad))      # float64 under x64
+        self.r = 250                     # 6 padded rows
+
+    def run_pass(self, k=7, t=5, u=0.375):
+        chi, clo = ff32_from_f64(self.costs)
+        u_arr = jnp.asarray(u, self.costs.dtype)
+        u_hi, u_lo = ff32_from_f64(u_arr)
+        return colk_costs_pass(
+            self.Tt, self.C, self.w, chi, clo, jnp.int32(k), jnp.int32(t),
+            u_hi, u_lo, r=self.r, eps=1e-6, interpret=True)
+
+    def test_colk_and_costs_match_reference_math(self):
+        k, u = 7, 0.375
+        colk, chi2, clo2, h_d, v_d, h_b, v_b = self.run_pass(k=k, u=u)
+        T = np.asarray(self.Tt, np.float64)
+        C = np.asarray(self.C, np.float64)
+        w = np.asarray(self.w, np.float64)
+        want_colk = T[k] - w @ C
+        np.testing.assert_allclose(np.asarray(colk), want_colk, atol=1e-5)
+        # The cost pair is updated with the kernel's own (f32) colk; the
+        # double-f32 arithmetic itself is error-free to ~2^-48.
+        want_costs = (np.asarray(self.costs)
+                      - u * np.asarray(colk, np.float64))
+        got_costs = np.asarray(ff32_to_f64(chi2, clo2))
+        np.testing.assert_allclose(got_costs, want_costs, atol=1e-12)
+
+        masked = np.where(np.arange(self.r_pad) < self.r, got_costs,
+                          np.inf)
+        assert int(h_d) == int(np.argmin(masked.astype(np.float32)))
+        eligible = np.nonzero(masked.astype(np.float32) <= -1e-6)[0]
+        want_hb = int(eligible[0]) if eligible.size else BIG_INDEX
+        assert int(h_b) == want_hb
+
+    def test_liveness_ignores_dead_segments(self):
+        """Eta rows >= t are zero; passing a smaller t must not change
+        the result (the skipped segments contribute nothing)."""
+        a = self.run_pass(t=5)
+        b = self.run_pass(t=self.L)      # read everything
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+    def test_identity_pass_when_u_zero(self):
+        chi, clo = ff32_from_f64(self.costs)
+        colk, chi2, clo2, h_d, _, h_b, _ = self.run_pass(u=0.0)
+        np.testing.assert_array_equal(np.asarray(chi2), np.asarray(chi))
+        np.testing.assert_array_equal(np.asarray(clo2), np.asarray(clo))
+
+    def test_pivot_row_not_8_aligned(self):
+        colk, *_ = self.run_pass(k=13)
+        want = (np.asarray(self.Tt, np.float64)[13]
+                - np.asarray(self.w, np.float64) @ np.asarray(
+                    self.C, np.float64))
+        np.testing.assert_allclose(np.asarray(colk), want, atol=1e-5)
+
+
+class TestTileChoice:
+    """Mosaic requires the last two block dims be (multiple of 8,
+    multiple of 128) or equal to the full axis. Pin the tile picks at
+    the flagship padded dims (m=10k x n=100k), where a sublane-unit tile
+    of 632 once slipped through and failed the TPU lowering."""
+
+    def test_flagship_dims_satisfy_mosaic_constraints(self):
+        from simplex_tpu.kernels.blocked import SEG, pick_tile
+
+        r_pad, m_pad, L = 120064, 10112, 128   # round_up(n+2m), round_up(m)
+        tr = pick_tile(r_pad, 128, (min(SEG, L) + 16) * 4)
+        assert r_pad % tr == 0 and tr % 128 == 0
+        tm = (pick_tile(m_pad, 128, 132 * 4, budget=1 << 19)
+              if m_pad % 128 == 0 else m_pad)
+        assert m_pad % tm == 0 and (tm % 128 == 0 or tm == m_pad)
+
+    @pytest.mark.parametrize("m_pad", [16, 24, 10112, 128])
+    def test_ah_tile_lane_legal(self, m_pad):
+        from simplex_tpu.kernels.blocked import pick_tile
+
+        tm = (pick_tile(m_pad, 128, 132 * 4, budget=1 << 19)
+              if m_pad % 128 == 0 else m_pad)
+        assert tm % 128 == 0 or tm == m_pad
+
+
+class TestAhPass:
+    @pytest.mark.parametrize("h", [0, 129, 255])
+    def test_matches_reference_math(self, h):
+        m_pad, r_pad, L = 24, 256, 8
+        Tt = _rand((m_pad, r_pad), 4)
+        F = _rand((L, m_pad), 5)
+        v = _rand((L,), 6)
+        got = ah_pass(Tt, F, v, jnp.int32(h), interpret=True)
+        want = (np.asarray(Tt, np.float64)[:, h]
+                - np.asarray(v, np.float64) @ np.asarray(F, np.float64))
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+class TestKernelLoopEndToEnd:
+    """solve_loop_blocked_kernel (interpret mode) against the pure-XLA
+    blocked loop and the oracle on a real phase-1 solve."""
+
+    def _phase1_tab(self, n=96, m=24, seed=11, L=8):
+        opt = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                            eps=1e-5, block_pivots=L)
+        p = generate_random_problem(n, m, seed, 1, 100)
+        dims = (round_up(n + 2 * m, 128), round_up(m, 128))
+        tab = build_phase1(jnp.asarray(p.A), jnp.asarray(p.b), n, m, opt,
+                           dims=dims)
+        costs0 = tab.costs
+        return gaussian_eliminate(tab), costs0, opt, p
+
+    def test_matches_xla_blocked_loop(self):
+        """Same phase-1 outcome as the pure-XLA blocked loop. The exact
+        pivot path may diverge on reduced-cost near-ties (the kernel's
+        Dantzig argmin reads the f32 hi part, the XLA loop the f64
+        vector) — both walks are valid simplex; outcome parity is the
+        contract (documented divergence, same as blocked-vs-sequential).
+        """
+        from simplex_tpu.tableau import phase1_objective
+
+        tab, costs0, opt, _ = self._phase1_tab()
+        want_tab, want_status, want_iters = solve_loop_blocked(
+            tab, opt, 2000, costs0)
+        got_tab, got_status, got_iters = solve_loop_blocked_kernel(
+            tab, opt, 2000, costs0, interpret=True)
+        assert int(got_status) == int(want_status) == int(Status.OPTIMAL)
+        # Phase-1 optimum (all artificials priced out) reached by both.
+        assert float(phase1_objective(got_tab)) > -1e-4
+        assert float(phase1_objective(want_tab)) > -1e-4
+        assert abs(int(got_iters) - int(want_iters)) <= max(
+            3, int(want_iters) // 10)
+
+    def test_full_solve_matches_oracle(self):
+        """Two-phase solve with the kernel loop spliced in for both
+        phases (interpret mode), objective vs the oracle."""
+        from simplex_tpu.tableau import (Tableau, count_basic_artificials,
+                                         extract_solution,
+                                         phase1_objective)
+
+        n, m = 64, 16
+        tab, costs0, opt, p = self._phase1_tab(n=n, m=m, seed=3)
+        tab, s1, _ = solve_loop_blocked_kernel(tab, opt, 2000, costs0,
+                                               interpret=True)
+        assert int(s1) == int(Status.OPTIMAL)
+        assert float(phase1_objective(tab)) > -1e-4
+        assert int(count_basic_artificials(tab)) == 0
+        # phase-2 reset with the kernel's 128-row padding (on TPU
+        # tableau.padded_dims does this via kernel_blocked_enabled).
+        r2_pad = round_up(n + m, 128)
+        costs2 = jnp.zeros((r2_pad,), tab.costs.dtype).at[:n].set(
+            -jnp.asarray(p.c, tab.costs.dtype))
+        tab2 = Tableau(T=tab.T[:r2_pad], b=tab.b, costs=costs2, z=tab.z,
+                       base=tab.base, n=n, m=m, r=n + m)
+        costs0_2 = tab2.costs
+        tab2 = gaussian_eliminate(tab2)
+        tab2, s2, _ = solve_loop_blocked_kernel(tab2, opt, 2000, costs0_2,
+                                                interpret=True)
+        assert int(s2) == int(Status.OPTIMAL)
+        x = np.asarray(extract_solution(tab2))
+        want = solve_oracle(p)
+        assert float(np.dot(p.c, x)) == pytest.approx(want.objective,
+                                                      rel=1e-4)

@@ -1,0 +1,123 @@
+"""Compiled-kernel validation on the real TPU (small shapes, fast).
+
+Interpret-mode semantics are pinned by tests/test_blocked_kernel.py on
+CPU; this script checks the actual Mosaic lowering: (1) the two fused
+passes against reference math at a toy shape, (2) the kernel-driven
+blocked loop against the pure-XLA blocked loop on a real phase-1 solve,
+(3) a full two-phase solve() through the production dispatch.
+
+Run alone on the TPU: python tools/validate_kernel_tpu.py
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from simplex_tpu.config import SolverOptions, Status, \
+        kernel_blocked_enabled
+    from simplex_tpu.generator import generate_random_problem
+    from simplex_tpu.kernels.blocked import (ah_pass, colk_costs_pass,
+                                             ff32_from_f64, ff32_to_f64)
+    from simplex_tpu.oracle import solve_oracle
+    from simplex_tpu.solver import (solve_loop_blocked,
+                                    solve_loop_blocked_kernel)
+    from simplex_tpu.tableau import (build_phase1, gaussian_eliminate,
+                                     phase1_objective, round_up)
+
+    log(f"devices: {jax.devices()}")
+    assert jax.default_backend() == "tpu", jax.default_backend()
+
+    # ---- 1. kernels vs reference math, toy shape ----
+    m_pad, r_pad, L = 16, 256, 32
+    rng = np.random.Generator(np.random.Philox(key=7))
+    Tt = jnp.asarray(rng.uniform(-1, 1, (m_pad, r_pad)), jnp.float32)
+    C_np = rng.uniform(-1, 1, (L, r_pad)).astype(np.float32)
+    C_np[21:] = 0.0
+    C = jnp.asarray(C_np)
+    w = jnp.asarray(rng.uniform(-1, 1, L), jnp.float32)
+    costs = jnp.asarray(rng.uniform(-1, 1, r_pad))
+    chi, clo = ff32_from_f64(costs)
+    u = jnp.asarray(0.8125)
+    u_hi, u_lo = ff32_from_f64(u)
+    colk, chi2, clo2, h_d, v_d, h_b, v_b = colk_costs_pass(
+        Tt, C, w, chi, clo, jnp.int32(13), jnp.int32(21), u_hi, u_lo,
+        r=250, eps=1e-6)
+    colk = np.asarray(colk)
+    want_colk = (np.asarray(Tt, np.float64)[13]
+                 - np.asarray(w, np.float64) @ C_np.astype(np.float64))
+    err = np.abs(colk - want_colk).max()
+    assert err < 1e-5, f"colk err {err}"
+    got_costs = np.asarray(ff32_to_f64(chi2, clo2))
+    want_costs = np.asarray(costs) - 0.8125 * colk.astype(np.float64)
+    err = np.abs(got_costs - want_costs).max()
+    assert err < 1e-12, f"costs pair err {err}"
+    masked = np.where(np.arange(r_pad) < 250,
+                      got_costs.astype(np.float32), np.inf)
+    assert int(h_d) == int(np.argmin(masked)), (int(h_d),
+                                                int(np.argmin(masked)))
+    F = jnp.asarray(rng.uniform(-1, 1, (L, m_pad)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-1, 1, L), jnp.float32)
+    for h in (0, 129, 255):
+        ah = np.asarray(ah_pass(Tt, F, v, jnp.int32(h)))
+        want = (np.asarray(Tt, np.float64)[:, h]
+                - np.asarray(v, np.float64) @ np.asarray(F, np.float64))
+        err = np.abs(ah - want).max()
+        assert err < 1e-5, f"ah err {err} at h={h}"
+    log("kernel math on TPU: OK")
+
+    # ---- 2. kernel loop vs XLA blocked loop, real phase-1 ----
+    n, m, Lw = 512, 128, 32
+    opt = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                        eps=1e-5, block_pivots=Lw)
+    assert kernel_blocked_enabled(opt)
+    p = generate_random_problem(n, m, 4242, 1, 100)
+    dims = (round_up(n + 2 * m, 128), round_up(m, 128))
+    tab = build_phase1(jnp.asarray(p.A), jnp.asarray(p.b), n, m, opt,
+                       dims=dims)
+    costs0 = tab.costs
+    tab = gaussian_eliminate(tab)
+    want_tab, want_s, want_it = jax.jit(
+        lambda t: solve_loop_blocked(t, opt, 5000, costs0))(tab)
+    got_tab, got_s, got_it = jax.jit(
+        lambda t: solve_loop_blocked_kernel(t, opt, 5000, costs0))(tab)
+    assert int(got_s) == int(want_s) == int(Status.OPTIMAL), (
+        int(got_s), int(want_s))
+    z_k = float(phase1_objective(got_tab))
+    z_x = float(phase1_objective(want_tab))
+    assert z_k > -1e-3 and z_x > -1e-3, (z_k, z_x)
+    log(f"phase-1 parity: XLA {int(want_it)} pivots, kernel "
+        f"{int(got_it)} pivots, both OPTIMAL (z1 {z_x:.2e}/{z_k:.2e})")
+
+    # ---- 3. production dispatch end-to-end ----
+    from simplex_tpu import solve
+
+    want = solve_oracle(p)
+    got = solve(p, dtype=np.float32, vector_dtype=np.float64, eps=1e-5,
+                block_pivots=Lw)
+    assert got.status == Status.OPTIMAL, got
+    rel = abs(got.objective - want.objective) / (1 + abs(want.objective))
+    assert rel < 1e-4, (got.objective, want.objective)
+    log(f"two-phase solve via dispatch: OPTIMAL, rel err {rel:.1e}, "
+        f"pivots {got.iterations_phase1}+{got.iterations_phase2}")
+    print("VALIDATE_KERNEL_TPU_OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
