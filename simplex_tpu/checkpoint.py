@@ -136,7 +136,7 @@ def solve_resumable(problem: Problem, checkpoint_path: str,
         jax.config.update("jax_enable_x64", True)
 
     m, n = problem.constraints, problem.vars
-    eps = float(options.eps)
+    eps = float(options.eps_resolved)
     max_iter = options.resolved_max_iter(n + 2 * m, m)
     A = jnp.asarray(problem.A)
     b = jnp.asarray(problem.b)

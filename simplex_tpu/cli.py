@@ -108,13 +108,10 @@ def _build_parser() -> argparse.ArgumentParser:
 
 
 def _options(args) -> SolverOptions:
-    eps = args.eps
-    if eps is None:
-        eps = 1e-9 if args.dtype == "float64" else 1e-4
     return SolverOptions(
         dtype=np.dtype(args.dtype),
         vector_dtype=np.dtype(args.vector_dtype),
-        eps=eps,
+        eps=args.eps,   # None -> dtype-resolved default (config.EPS_F32)
         max_iter=args.max_iter,
         block_pivots=args.block,
         degeneracy="reference" if args.reference_degeneracy else "continue",

@@ -26,6 +26,16 @@ import numpy as np
 #: Epsilon used by every comparison in the solver (reference macro.h:28).
 EPS = 1e-9
 
+#: Default epsilon for float32 tableaus. An f32 tableau carries ~1e-6
+#: relative noise in every re-priced reduced cost, so the reference's
+#: 1e-9 discipline sees noise as eligible entering columns and pivots
+#: degenerately forever at the optimal vertex (observed: n=300 m=900
+#: seed=777 phase 2 — the loop reaches the oracle optimum, then crawls
+#: until the iteration fuse; on TPU a 150k-pivot device call outlives
+#: the runtime's watchdog and kills the worker). Matches the CLI's
+#: long-standing f32 default.
+EPS_F32 = 1e-4
+
 
 class Status(enum.IntEnum):
     """Solver exit statuses (reference twoPhaseMethod.h:5-8, solver.cu:77)."""
@@ -79,8 +89,17 @@ class SolverOptions:
     #: TPU-speed variant (f64 is software-emulated on TPU).
     dtype: np.dtype = np.dtype(np.float64)
 
-    #: Epsilon for all comparisons (reference macro.h:28).
-    eps: float = EPS
+    #: Epsilon for all comparisons (reference macro.h:28). None (the
+    #: default) resolves by tableau dtype into ``eps_resolved``: EPS
+    #: (1e-9, the reference's value) for float64, EPS_F32 (1e-4) for
+    #: float32 — f32 reduced-cost noise makes a 1e-9 discipline
+    #: non-terminating (see EPS_F32). Solver code reads ``eps_resolved``.
+    eps: Optional[float] = None
+
+    #: Derived: ``eps`` resolved against the tableau dtype (set in
+    #: ``__post_init__``; never pass it yourself).
+    eps_resolved: float = dataclasses.field(init=False, repr=False,
+                                            compare=False)
 
     #: Dtype for the small solver vectors (b, reduced costs, z). Defaults
     #: to ``dtype``. Setting float64 with a float32 tableau gives the
@@ -143,6 +162,14 @@ class SolverOptions:
             self, "vector_dtype",
             np.dtype(self.vector_dtype) if self.vector_dtype is not None
             else np.dtype(self.dtype))
+        # eps stays raw (None = "resolve by tableau dtype") so that
+        # dataclasses.replace(opts, dtype=...) re-resolves for the new
+        # dtype instead of carrying the previous dtype's value; solver
+        # code reads the derived eps_resolved.
+        object.__setattr__(
+            self, "eps_resolved",
+            float(self.eps) if self.eps is not None
+            else (EPS if self.dtype.itemsize == 8 else EPS_F32))
 
     @property
     def needs_x64(self) -> bool:

@@ -52,16 +52,17 @@ def _i0():
     return jnp.int32(0)
 
 
-def pick_tile(dim: int, unit: int, row_bytes: int,
-              budget: int = 1 << 20) -> int:
-    """Largest multiple-of-``unit`` tile dividing ``dim`` whose block
-    (tile x row_bytes) stays under ``budget`` bytes."""
-    best = unit
-    d = dim // unit
-    for mult in range(1, d + 1):
-        if d % mult == 0 and mult * unit * row_bytes <= budget:
-            best = mult * unit
-    return best
+def pick_tile(dim: int, unit: int, target: int) -> int:
+    """Tile for a cdiv grid over ``dim``: the ``target`` (a multiple of
+    ``unit``) capped at the axis itself. Blocks need not divide the axis
+    — Pallas masks partial edge blocks — so the only constraints are
+    Mosaic's lane/sublane units and VMEM budget (baked into target)."""
+    assert target % unit == 0, (target, unit)
+    return min(target, dim)
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
 
 
 # ---------------------------------------------------------------------------
@@ -220,8 +221,11 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, w: jax.Array,
     seg = min(SEG, L)
     assert L % seg == 0, (L, seg)
     n_segs = L // seg
-    tr = pick_tile(r_pad, 128, (seg + 16) * 4)
-    grid = (r_pad // tr, n_segs)
+    # 8192-lane tiles measured best at the flagship shape: large enough
+    # for DMA efficiency (1 MB C blocks), small enough to pipeline
+    # (131072-lane near-single-step grids lost ~5% to pipeline fill).
+    tr = pick_tile(r_pad, 128, 8192)
+    grid = (cdiv(r_pad, tr), n_segs)
 
     live_segs = jnp.minimum(lax.div(t + seg - 1, jnp.int32(seg)),
                             jnp.int32(n_segs))
@@ -301,12 +305,71 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, w: jax.Array,
             bytes_accessed=(L * r_pad + 8 * r_pad + 5 * r_pad) * 4,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(idx, Tt, C, w2, chi2, clo2, scal)
 
     return (colk2.reshape(r_pad), nhi2.reshape(r_pad),
             nlo2.reshape(r_pad), didx[0, 0], dval[0, 0], bidx[0, 0],
             bval[0, 0])
+
+
+# ---------------------------------------------------------------------------
+# Window apply: Tt -= F^T @ C, in place.
+
+def _apply_kernel(Tt_ref, F_ref, C_ref, out_ref):
+    out_ref[:] = Tt_ref[:] - lax.dot_general(
+        F_ref[:], C_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def apply_window_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
+                      interpret: bool = False) -> jax.Array:
+    """``Tt - F^T @ C`` with the subtraction fused into the matmul's
+    output tiles and the result aliased over ``Tt``. XLA's lowering of
+    the same expression materialises the product before subtracting —
+    at the flagship shape that is ~24 GB of HBM traffic for a 9.7 GB
+    read+write job (measured 30 ms vs the ~12 ms HBM floor). HIGHEST
+    keeps the f32 exactness of the XLA blocked loop's apply."""
+    m_pad, r_pad = Tt.shape
+    L = C.shape[0]
+    # tm is a sublane dim for Tt but the LANE dim of the F block.
+    tm = pick_tile(m_pad, 128, 512)
+    tr = pick_tile(r_pad, 128, 4096)
+    grid = (cdiv(m_pad, tm), cdiv(r_pad, tr))
+
+    out = pl.pallas_call(
+        _apply_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tr), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            # index maps must stay int32: Python 0 promotes to i64 under
+            # jax_enable_x64, which the Mosaic lowering rejects.
+            pl.BlockSpec((L, tm), lambda i, j: (_i0(), i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, tr), lambda i, j: (_i0(), j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tr), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, r_pad), jnp.float32),
+        input_output_aliases={0: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * m_pad * r_pad,
+            bytes_accessed=(2 * m_pad * r_pad + L * (m_pad + r_pad)) * 4,
+            transcendentals=0,
+        ),
+        # Big double-buffered in+out Tt blocks blow the default 16 MB
+        # scoped-vmem cap; large blocks are the point (DMA efficiency).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(Tt, F, C)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -345,9 +408,8 @@ def ah_pass(Tt: jax.Array, F: jax.Array, v: jax.Array, h: jax.Array,
     L = F.shape[0]
     # tm is the LANE dim of the F/out blocks: Mosaic requires it to be a
     # multiple of 128 or the full axis (toy shapes).
-    tm = (pick_tile(m_pad, 128, 132 * 4, budget=1 << 19)
-          if m_pad % 128 == 0 else m_pad)
-    grid = (m_pad // tm,)
+    tm = pick_tile(m_pad, 128, 2048) if m_pad % 128 == 0 else m_pad
+    grid = (cdiv(m_pad, tm),)
     v2 = v.astype(jnp.float32).reshape(L, 1)
     idx = jnp.stack([h.astype(jnp.int32)])
 
@@ -376,6 +438,8 @@ def ah_pass(Tt: jax.Array, F: jax.Array, v: jax.Array, h: jax.Array,
             bytes_accessed=(128 * m_pad + L * m_pad + m_pad) * 4,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(idx, Tt, F, v2)
     return ah2.reshape(m_pad)

@@ -142,7 +142,7 @@ def _solve_loop(t: _Tableau, enter_mask, options: SolverOptions,
     unboundedness test -> min-ratio leaving test -> rank-1 update. Adds the
     Bland fallback after ``bland_threshold`` consecutive non-improving
     pivots and an iteration fuse (no reference equivalents)."""
-    eps = options.eps
+    eps = options.eps_resolved
     bland = options.pivot_rule == "bland"
     stall = 0
     for it in range(max_iter):
@@ -203,7 +203,7 @@ def solve_oracle(problem: Problem,
     twoPhaseMethod.cu:385-435). ``tie_rule='cuda'`` replays the reference
     GPU's eps-tie reduction order for pivot-count parity."""
     m, n = problem.constraints, problem.vars
-    eps = float(options.eps)
+    eps = float(options.eps_resolved)
     R = n + 2 * m
     max_iter = options.resolved_max_iter(R, m)
 

@@ -184,7 +184,7 @@ def solve_loop_sharded(tab: Tableau, options: SolverOptions, max_iter: int):
     (gather-argmin, psum a_h, replicated ratio test, local rank-1 update) —
     the distributed mirror of solver.solve_loop with the same statuses,
     Bland fallback, and iteration fuse."""
-    eps = float(options.eps)
+    eps = float(options.eps_resolved)
     bland_static = options.pivot_rule == "bland"
     threshold = options.bland_threshold
 
@@ -264,7 +264,7 @@ def solve_loop_blocked_sharded(tab: Tableau, options: SolverOptions,
     the candidate all-gather plus one (M_pad,) psum — and the per-window
     ``T -= C @ F`` apply is a local MXU matmul per shard, so the ~L x
     traffic reduction carries over to the distributed solver."""
-    eps = float(options.eps)
+    eps = float(options.eps_resolved)
     bland_static = options.pivot_rule == "bland"
     threshold = options.bland_threshold
     L = int(options.block_pivots or 1)
@@ -352,7 +352,7 @@ def solve_loop_blocked_sharded(tab: Tableau, options: SolverOptions,
                                      jnp.inf))
             vmin = lax.pmin(lmin, AXIS)
             premature = (status == int(Status.OPTIMAL)) & (
-                vmin <= -float(options.eps))
+                vmin <= -float(options.eps_resolved))
             status = jnp.where(premature, int(Status.RUNNING),
                                status).astype(jnp.int32)
             tab2 = dataclasses.replace(tab2, costs=costs_exact)
@@ -428,7 +428,7 @@ def pivot_out_artificials_sharded(tab: Tableau,
     (or redundant-constraint drop) per basic artificial, with the entering
     row found by the same local-argmin + gather pattern as the solve loop
     and the pivot applied shard-locally."""
-    eps = float(options.eps)
+    eps = float(options.eps_resolved)
     n, m = tab.n, tab.m
     R_loc = _local_rows(tab)
     none = jnp.int32(tab.cols_padded)
@@ -481,7 +481,7 @@ def _two_phase_core(tab: Tableau, c: jax.Array, b_scale,
     """Both phases under one shard_map (mirror of
     two_phase.solve_device's device core, incl. the 'continue' degeneracy
     repair)."""
-    eps = float(options.eps)
+    eps = float(options.eps_resolved)
     n, m = tab.n, tab.m
 
     costs0_1 = tab.costs

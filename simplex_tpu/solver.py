@@ -121,7 +121,7 @@ def iteration_body(state: LoopState, options: SolverOptions) -> LoopState:
     (timed.solve_timed with per_iteration=True). Idempotent once
     OPTIMAL/UNBOUNDED (re-derives the same exit and skips the update),
     which also makes it vmap-safe for lanes that finish early."""
-    eps = float(options.eps)
+    eps = float(options.eps_resolved)
     bland_static = options.pivot_rule == "bland"
     threshold = options.bland_threshold
 
@@ -215,7 +215,7 @@ def solve_loop_pallas(tab: Tableau, options: SolverOptions,
     Identical pivot sequence and statuses to solve_loop by construction."""
     from .kernels.pivot import BIG_INDEX, entering_candidates, fused_pivot
 
-    eps = float(options.eps)
+    eps = float(options.eps_resolved)
     bland_static = options.pivot_rule == "bland"
     threshold = options.bland_threshold
     r_pad = tab.rows_padded
@@ -455,7 +455,7 @@ def solve_loop_blocked(tab: Tableau, options: SolverOptions,
     eps discipline) are identical to solve_loop; only floating-point
     summation order differs.
     """
-    eps = float(options.eps)
+    eps = float(options.eps_resolved)
     bland_static = options.pivot_rule == "bland"
     threshold = options.bland_threshold
     L = int(options.block_pivots or 1)
@@ -607,6 +607,7 @@ class BlockedKernelState(NamedTuple):
     bland: jax.Array
     h_d: jax.Array     # Dantzig candidate over current costs
     h_b: jax.Array     # Bland candidate (BIG_INDEX if none eligible)
+    windows: jax.Array  # outer-loop count (absolute device-time bound)
 
 
 def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
@@ -630,10 +631,11 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
     f32/mixed accuracy behaviour is unchanged. Requires an f32 tableau
     padded to 128-lane tiles on the variable axis (tableau.padded_dims
     arranges this when config.kernel_blocked_enabled)."""
-    from .kernels.blocked import (BIG_INDEX, ah_pass, colk_costs_pass,
-                                  ff32_from_f64, ff32_to_f64)
+    from .kernels.blocked import (BIG_INDEX, ah_pass, apply_window_pass,
+                                  colk_costs_pass, ff32_from_f64,
+                                  ff32_to_f64)
 
-    eps = float(options.eps)
+    eps = float(options.eps_resolved)
     bland_static = options.pivot_rule == "bland"
     threshold = options.bland_threshold
     L = int(options.block_pivots or 1)
@@ -714,42 +716,59 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
 
         return (C2, F2, BlockedKernelState(
             s.Tt, b2, chi2, clo2, z2, base2, status,
-            s.iterations + do.astype(jnp.int32), stall, bland, h_d, h_b))
+            s.iterations + do.astype(jnp.int32), stall, bland, h_d, h_b,
+            s.windows))
 
     def outer(s: BlockedKernelState):
         C = jnp.zeros((L, r_pad), dtype)
         F = jnp.zeros((L, m_pad), dtype)
         C, F, s = lax.fori_loop(0, L, inner, (C, F, s))
-        Tt2 = apply_window_T(s.Tt, C, F)
+        Tt2 = apply_window_pass(s.Tt, C, F, interpret=interpret)
         s = s._replace(Tt=Tt2)
         if costs0 is not None:
             # Exact window-boundary re-pricing (see solve_loop_blocked):
             # also re-derives the double-f32 pair and the carried
-            # candidates from the exact costs.
+            # candidates from the exact costs. The premature test and the
+            # candidates MUST come from the round-tripped (hi + lo) view
+            # — the representation the in-window optimality test reads —
+            # not the raw f64 costs: at a knife-edge value (exact
+            # <= -eps, round-trip > -eps) the raw test re-opens a window
+            # whose first pivot then declares optimal without applying
+            # anything, and the premature/zero-pivot cycle loops the
+            # device forever (observed as a TPU watchdog kill at
+            # n=300 m=900 seed=777 phase 2).
             valid = s.base < tab.r
             coeffs = jnp.where(
                 valid, costs0[jnp.minimum(s.base, r_pad - 1)], 0.0)
             costs_exact = costs0 - accum_matvec(Tt2, coeffs, 0, vdtype)
-            vmin = jnp.min(jnp.where(row_mask, costs_exact, jnp.inf))
+            chi, clo = ff32_from_f64(costs_exact)
+            costs_view = ff32_to_f64(chi, clo, vdtype)
+            vmin = jnp.min(jnp.where(row_mask, costs_view, jnp.inf))
             premature = (s.status == int(Status.OPTIMAL)) & (vmin <= -eps)
             status = jnp.where(premature, int(Status.RUNNING),
                                s.status).astype(jnp.int32)
-            chi, clo = ff32_from_f64(costs_exact)
-            h_d, h_b = xla_candidates(costs_exact)
+            h_d, h_b = xla_candidates(costs_view)
             s = s._replace(chi=chi, clo=clo, status=status, h_d=h_d,
                            h_b=h_b)
-        return s
+        return s._replace(windows=s.windows + 1)
 
     def cond(s: BlockedKernelState):
-        return (s.status == int(Status.RUNNING)) & (s.iterations < max_iter)
+        # windows < max_iter is an absolute bound on device time: a
+        # healthy RUNNING window applies >= 1 pivot, so windows can never
+        # exceed iterations + 1; if any residual representation mismatch
+        # ever re-creates a zero-pivot cycle this terminates it as
+        # MAXITER instead of hanging the chip.
+        return ((s.status == int(Status.RUNNING))
+                & (s.iterations < max_iter) & (s.windows < max_iter))
 
     chi0, clo0 = ff32_from_f64(tab.costs)
-    h_d0, h_b0 = xla_candidates(tab.costs)
+    view0 = ff32_to_f64(chi0, clo0, vdtype)
+    h_d0, h_b0 = xla_candidates(view0)
     init = BlockedKernelState(
         tab.T.T, tab.b, chi0, clo0, tab.z, tab.base,
         jnp.asarray(int(Status.RUNNING), jnp.int32),
         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-        jnp.asarray(bland_static), h_d0, h_b0)
+        jnp.asarray(bland_static), h_d0, h_b0, jnp.zeros((), jnp.int32))
     final = lax.while_loop(cond, outer, init)
     costs_out = ff32_to_f64(final.chi, final.clo, vdtype)
     out_tab = dataclasses.replace(

@@ -162,7 +162,7 @@ def build_phase1(A: jax.Array, b: jax.Array, n: int, m: int,
     """
     dtype = jnp.dtype(options.dtype)
     vdtype = jnp.dtype(options.vector_dtype)
-    eps = options.eps
+    eps = options.eps_resolved
     if dims is None:
         R_pad, _, M_pad = padded_dims(n, m, options)
     else:

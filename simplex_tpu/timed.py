@@ -155,7 +155,7 @@ def solve_timed(problem: Problem, options: SolverOptions | None = None,
     chrono = chrono or NullChrono()
 
     m, n = problem.constraints, problem.vars
-    eps = float(options.eps)
+    eps = float(options.eps_resolved)
     max_iter = options.resolved_max_iter(n + 2 * m, m)
     A = jnp.asarray(problem.A)
     b = jnp.asarray(problem.b)

@@ -64,7 +64,7 @@ def pivot_out_artificials(tab: Tableau, options: SolverOptions) -> Tableau:
     an m-iteration loop of conditional rank-1 updates lowers to m full
     passes on TPU and dominated the whole solve at large sizes.
     """
-    eps = float(options.eps)
+    eps = float(options.eps_resolved)
     n, m = tab.n, tab.m
     R_pad = tab.rows_padded
     real_rows = jnp.arange(R_pad) < (n + m)
@@ -107,7 +107,7 @@ def solve_device(A: jax.Array, b: jax.Array, c: jax.Array, n: int, m: int,
     """Full two-phase solve on device (reference twoPhaseMethod,
     twoPhaseMethod.cu:385-435). ``A`` is (m, n), ``b`` (m,), ``c`` (n,).
     """
-    eps = float(options.eps)
+    eps = float(options.eps_resolved)
     max_iter = options.resolved_max_iter(n + 2 * m, m)
 
     # Pre-flight numeric guard: a non-finite entry anywhere in the input

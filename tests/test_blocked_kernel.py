@@ -90,28 +90,54 @@ class TestColkCostsPass:
 
 
 class TestTileChoice:
-    """Mosaic requires the last two block dims be (multiple of 8,
-    multiple of 128) or equal to the full axis. Pin the tile picks at
-    the flagship padded dims (m=10k x n=100k), where a sublane-unit tile
-    of 632 once slipped through and failed the TPU lowering."""
+    """Mosaic requires lane-axis block dims be a multiple of 128 or the
+    full axis; grids are cdiv so tiles need not divide the axis (Pallas
+    masks partial edge blocks). Pin this at the flagship padded dims
+    (m=10k x n=100k), where a 632-lane tile once failed the lowering."""
 
-    def test_flagship_dims_satisfy_mosaic_constraints(self):
-        from simplex_tpu.kernels.blocked import SEG, pick_tile
+    @pytest.mark.parametrize("dim,target", [
+        (120064, 8192), (10112, 2048), (10112, 512), (120064, 4096),
+        (256, 8192), (128, 2048)])
+    def test_tiles_lane_legal(self, dim, target):
+        from simplex_tpu.kernels.blocked import cdiv, pick_tile
 
-        r_pad, m_pad, L = 120064, 10112, 128   # round_up(n+2m), round_up(m)
-        tr = pick_tile(r_pad, 128, (min(SEG, L) + 16) * 4)
-        assert r_pad % tr == 0 and tr % 128 == 0
-        tm = (pick_tile(m_pad, 128, 132 * 4, budget=1 << 19)
-              if m_pad % 128 == 0 else m_pad)
-        assert m_pad % tm == 0 and (tm % 128 == 0 or tm == m_pad)
+        t = pick_tile(dim, 128, target)
+        assert t % 128 == 0 or t == dim
+        assert cdiv(dim, t) * t >= dim
 
-    @pytest.mark.parametrize("m_pad", [16, 24, 10112, 128])
-    def test_ah_tile_lane_legal(self, m_pad):
-        from simplex_tpu.kernels.blocked import pick_tile
+    def test_partial_edge_block_matches_math(self):
+        """colk pass on an r_pad NOT divisible by the tile target still
+        matches the reference math (exercises the cdiv edge block)."""
+        m_pad, r_pad, L = 16, 8192 + 256, 8
+        Tt = _rand((m_pad, r_pad), 7)
+        C = _rand((L, r_pad), 8)
+        w = _rand((L,), 9)
+        costs = jnp.asarray(
+            np.random.Generator(np.random.Philox(10)).uniform(
+                -1, 1, r_pad))
+        chi, clo = ff32_from_f64(costs)
+        colk, chi2, clo2, h_d, _, h_b, _ = colk_costs_pass(
+            Tt, C, w, chi, clo, jnp.int32(3), jnp.int32(L),
+            jnp.float32(0.25), jnp.float32(0), r=r_pad - 100, eps=1e-6,
+            interpret=True)
+        want = (np.asarray(Tt, np.float64)[3]
+                - np.asarray(w, np.float64) @ np.asarray(C, np.float64))
+        np.testing.assert_allclose(np.asarray(colk), want, atol=1e-5)
 
-        tm = (pick_tile(m_pad, 128, 132 * 4, budget=1 << 19)
-              if m_pad % 128 == 0 else m_pad)
-        assert tm % 128 == 0 or tm == m_pad
+
+class TestApplyWindowPass:
+    def test_matches_xla_apply(self):
+        from simplex_tpu.kernels.blocked import apply_window_pass
+        from simplex_tpu.solver import apply_window_T
+
+        m_pad, r_pad, L = 24, 384, 8
+        Tt = _rand((m_pad, r_pad), 20)
+        C = _rand((L, r_pad), 21)
+        F = _rand((L, m_pad), 22)
+        got = apply_window_pass(Tt, C, F, interpret=True)
+        want = apply_window_T(Tt, C, F)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
 
 
 class TestAhPass:

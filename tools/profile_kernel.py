@@ -149,6 +149,16 @@ def main():
         return lax.fori_loop(0, K, body, (C, F, jnp.float32(0)))
 
     def window_apply(Tt, C, F):
+        from simplex_tpu.kernels.blocked import apply_window_pass
+        n_windows = max(K // L, 1)
+
+        def body(i, carry):
+            Tt, acc = carry
+            Tt = apply_window_pass(Tt, C * (1e-9 * (i + 1)), F)
+            return Tt, acc + Tt[0, 0]
+        return lax.fori_loop(0, n_windows, body, (Tt, jnp.float32(0)))
+
+    def window_apply_xla(Tt, C, F):
         from simplex_tpu.solver import apply_window_T
         n_windows = max(K // L, 1)
 
@@ -200,6 +210,7 @@ def main():
     timeit(f"b update ({vdtype.name} M)", b_update, b, F)
     timeit("eta append C/F rows", eta_append, C, F)
     timeit("window apply (amortised/pivot)", window_apply, Tt, C, F)
+    timeit("window apply XLA (amortised)", window_apply_xla, Tt, C, F)
     timeit("FULL inner body", full_inner, Tt, C, F, chi, clo, b)
     return 0
 

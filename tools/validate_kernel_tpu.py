@@ -81,6 +81,20 @@ def main():
         assert err < 1e-5, f"ah err {err} at h={h}"
     log("kernel math on TPU: OK")
 
+    # ---- 1b. apply pass at a cdiv-partial shape ----
+    from simplex_tpu.kernels.blocked import apply_window_pass
+    from simplex_tpu.solver import apply_window_T
+
+    mp2, rp2 = 640, 8192 + 384       # partial edge blocks on both axes
+    Tt2 = jnp.asarray(rng.uniform(-1, 1, (mp2, rp2)), jnp.float32)
+    C2 = jnp.asarray(rng.uniform(-1, 1, (L, rp2)), jnp.float32)
+    F2 = jnp.asarray(rng.uniform(-1, 1, (L, mp2)), jnp.float32)
+    got_ap = np.asarray(apply_window_pass(Tt2, C2, F2))
+    want_ap = np.asarray(apply_window_T(Tt2, C2, F2))
+    err = np.abs(got_ap - want_ap).max()
+    assert err < 1e-4, f"apply err {err}"
+    log("apply_window_pass on TPU: OK")
+
     # ---- 2. kernel loop vs XLA blocked loop, real phase-1 ----
     n, m, Lw = 512, 128, 32
     opt = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
