@@ -118,11 +118,14 @@ def _colk_kernel(idx_ref,                       # prefetch: [k, live_segs]
                  colk_ref, chi_out, clo_out,    # (1, TR) outs (aliased)
                  dval_out, didx_out, bval_out, bidx_out,   # SMEM (1, 1)
                  acc_ref, acc_val, acc_idx,     # scratch
-                 *, tr, seg, n_segs, r, eps):
+                 *, tr, seg, n_segs, eps):
     i = pl.program_id(0)       # R tile
     s = pl.program_id(1)       # liveness segment (fastest-varying)
     k = idx_ref[0]
     live = idx_ref[1]
+    r = idx_ref[2]             # valid-row limit (traced: per-shard under
+    #                            shard_map, where each shard masks rows
+    #                            whose GLOBAL index is >= tab.r)
 
     @pl.when(s == 0)
     def _init_tile():
@@ -163,7 +166,7 @@ def _colk_kernel(idx_ref,                       # prefetch: [k, live_segs]
         big = jnp.int32(BIG_INDEX)
         gi = i.astype(jnp.int32) * jnp.int32(tr) + \
             lax.broadcasted_iota(jnp.int32, (1, tr), 1)
-        cm = jnp.where(gi < jnp.int32(r), nhi,
+        cm = jnp.where(gi < r, nhi,
                        jnp.asarray(jnp.inf, jnp.float32))
         slab_min = jnp.min(cm)
         slab_idx = jnp.min(jnp.where(cm == slab_min, gi, big))
@@ -197,19 +200,20 @@ def _colk_kernel(idx_ref,                       # prefetch: [k, live_segs]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("r", "eps", "interpret"))
+                   static_argnames=("eps", "interpret"))
 def colk_costs_pass(Tt: jax.Array, C: jax.Array, w: jax.Array,
                     chi: jax.Array, clo: jax.Array,
                     k: jax.Array, t: jax.Array,
                     u_hi: jax.Array, u_lo: jax.Array,
-                    r: int, eps: float, interpret: bool = False):
+                    r, eps: float, interpret: bool = False):
     """One fused R-side pivot pass.
 
     Args: Tt (M_pad, R_pad) f32 stale transposed tableau; C (L, R_pad)
     f32 eta columns (rows >= t are zero); w (L,) f32 = F[:, k]; costs as
     the (hi, lo) f32 pair, each (R_pad,); traced scalars k (leaving
     constraint), t (window fill, for liveness DMA-skipping), u = minc/p
-    as an (u_hi, u_lo) pair; static r (real rows) and eps.
+    as an (u_hi, u_lo) pair, r (valid-row limit — LOCAL under shard_map,
+    where the candidate indices it bounds are local too); static eps.
 
     Returns (colk, chi', clo', h_dantzig, v_dantzig, h_bland, v_bland)
     where colk (R_pad,) f32 is the LIVE leaving row and the candidates
@@ -229,7 +233,8 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, w: jax.Array,
 
     live_segs = jnp.minimum(lax.div(t + seg - 1, jnp.int32(seg)),
                             jnp.int32(n_segs))
-    idx = jnp.stack([k.astype(jnp.int32), live_segs.astype(jnp.int32)])
+    idx = jnp.stack([k.astype(jnp.int32), live_segs.astype(jnp.int32),
+                     jnp.asarray(r, jnp.int32)])
     scal = jnp.stack([u_hi.astype(jnp.float32), u_lo.astype(jnp.float32),
                       jnp.float32(0)]).reshape(1, 3)
     w2 = w.astype(jnp.float32).reshape(L, 1)
@@ -237,7 +242,7 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, w: jax.Array,
     clo2 = clo.reshape(1, r_pad)
 
     kernel = functools.partial(_colk_kernel, tr=tr, seg=seg,
-                               n_segs=n_segs, r=r, eps=float(eps))
+                               n_segs=n_segs, eps=float(eps))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

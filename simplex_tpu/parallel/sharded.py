@@ -53,11 +53,36 @@ from ..tableau import Tableau, accum_matvec, round_up
 AXIS = "vars"
 
 
+def kernel_blocked_sharded_enabled(options: SolverOptions,
+                                   interpret: bool = False) -> bool:
+    """Whether the sharded blocked loop should run the fused Pallas
+    per-pivot passes (kernels/blocked.py) on each local shard: same
+    gating as the single-chip config.kernel_blocked_enabled, plus an
+    ``interpret`` escape hatch so the CPU-mesh tests exercise the kernel
+    path without a TPU backend."""
+    from ..config import kernel_blocked_enabled
+
+    if interpret:
+        return bool(options.block_pivots
+                    and int(options.block_pivots) > 1
+                    and np.dtype(options.dtype).itemsize == 4
+                    and (options.use_pallas == "auto"
+                         or bool(options.use_pallas)))
+    return kernel_blocked_enabled(options)
+
+
 def sharded_padded_dims(n: int, m: int, n_shards: int,
-                        options: SolverOptions) -> tuple[int, int]:
+                        options: SolverOptions,
+                        kernel: bool | None = None) -> tuple[int, int]:
     """(R_pad, M_pad) with R_pad divisible by n_shards and every local
-    shard a whole number of sublane tiles."""
-    r_pad = round_up(n + 2 * m, options.sublane_pad * n_shards)
+    shard a whole number of sublane tiles — full 128-lane tiles when the
+    fused blocked kernels will stream the local transposed shard."""
+    unit = options.sublane_pad
+    if kernel is None:
+        kernel = kernel_blocked_sharded_enabled(options)
+    if kernel:
+        unit = max(unit, 128)
+    r_pad = round_up(n + 2 * m, unit * n_shards)
     m_pad = round_up(m, options.lane_pad)
     return r_pad, m_pad
 
@@ -350,7 +375,10 @@ def solve_loop_blocked_sharded(tab: Tableau, options: SolverOptions,
                 tab2.T, coeffs, 1, costs0.dtype)
             lmin = jnp.min(jnp.where(_local_row_mask(tab2), costs_exact,
                                      jnp.inf))
-            vmin = lax.pmin(lmin, AXIS)
+            # all_gather + local min instead of lax.pmin: XLA:TPU AOT
+            # toolchains only guarantee Sum all-reduce lowering, and a
+            # (P,) gather of scalars costs the same one collective.
+            vmin = jnp.min(lax.all_gather(lmin, AXIS))
             premature = (status == int(Status.OPTIMAL)) & (
                 vmin <= -float(options.eps_resolved))
             status = jnp.where(premature, int(Status.RUNNING),
@@ -368,9 +396,234 @@ def solve_loop_blocked_sharded(tab: Tableau, options: SolverOptions,
     return final.tab, final.status, final.iterations
 
 
+class BlockedKernelShardedState(NamedTuple):
+    """solve_loop_blocked_kernel_sharded carry (the sharded mirror of
+    solver.BlockedKernelState): the stale tableau and the double-f32
+    reduced-cost pair live as LOCAL shard slices (Tt transposed so the
+    kernels stream contiguous variable-axis lanes), everything else
+    replicated. h_d/h_b are GLOBAL row indices."""
+
+    Tt: jax.Array       # (M_pad, R_loc) local transposed stale tableau
+    b: jax.Array        # (M_pad,) replicated, vector dtype
+    chi: jax.Array      # (R_loc,) f32 cost hi, local slice
+    clo: jax.Array      # (R_loc,) f32 cost lo, local slice
+    z: jax.Array
+    base: jax.Array     # (M_pad,) replicated
+    status: jax.Array
+    iterations: jax.Array
+    stall: jax.Array
+    bland: jax.Array
+    h_d: jax.Array      # global Dantzig candidate
+    h_b: jax.Array      # global Bland candidate (BIG_INDEX if none)
+    windows: jax.Array
+
+
+def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
+                                      max_iter: int, costs0=None,
+                                      interpret: bool = False):
+    """Sharded deferred block pivoting with the per-pivot hot path fused
+    into the Pallas passes of kernels/blocked.py, run independently on
+    each shard's LOCAL transposed slice (the kernels never see the mesh).
+
+    Identical pivot semantics to solver.solve_loop_blocked_kernel; the
+    only distributed additions are three scalar/vector collectives per
+    pivot (same count as the plain sharded loops):
+
+    1. candidate fold: ``all_gather`` of each shard's kernel-produced
+       (v_dantzig, h_dantzig, h_bland) triple + lexicographic min,
+    2. ``minc``: one scalar psum from the owner's (hi, lo) pair,
+    3. the live entering row ``a_h``: every shard runs ``ah_pass`` on its
+       slice, the owner's result rides one (M_pad,) psum.
+
+    The window apply and the R-side colk/costs/argmin pass are pure local
+    work, so the ~L x traffic amortisation AND the fused-kernel op-count
+    economy both carry over to the distributed solver unchanged."""
+    from ..kernels.blocked import (BIG_INDEX, ah_pass, apply_window_pass,
+                                   colk_costs_pass, ff32_from_f64,
+                                   ff32_to_f64)
+
+    eps = float(options.eps_resolved)
+    bland_static = options.pivot_rule == "bland"
+    threshold = options.bland_threshold
+    L = int(options.block_pivots or 1)
+    R_loc, m_pad = tab.T.shape
+    dtype = tab.T.dtype
+    vdtype = tab.costs.dtype
+    assert dtype == jnp.float32 and R_loc % 128 == 0, (dtype, R_loc)
+    big = jnp.int32(BIG_INDEX)
+
+    def offset32():
+        return (lax.axis_index(AXIS) * R_loc).astype(jnp.int32)
+
+    def fold_candidates(v_d, lh_d, lh_b, offset):
+        """Global (h_d, h_b) from each shard's local candidates: the
+        same f32-value lexicographic fold the kernel does across its R
+        tiles, extended across shards (ties -> lowest global index,
+        contiguous shard blocks keep the order global)."""
+        gd = jnp.where(lh_d >= big, big, offset + lh_d).astype(jnp.int32)
+        gb = jnp.where(lh_b >= big, big, offset + lh_b).astype(jnp.int32)
+        vals = lax.all_gather(v_d.astype(jnp.float32), AXIS)
+        idxs = lax.all_gather(gd, AXIS)
+        gmin = jnp.min(vals)
+        h_d = jnp.min(jnp.where(vals == gmin, idxs, big)).astype(jnp.int32)
+        h_b = jnp.min(lax.all_gather(gb, AXIS)).astype(jnp.int32)
+        return h_d, h_b
+
+    def gather_cost_view(chi, clo, h, offset):
+        """Replicate the double-f32 cost view at GLOBAL row h (one
+        scalar psum from the owner) — the sharded analogue of the
+        single-chip loop's ``chi[h] + clo[h]`` read."""
+        lh = h - offset
+        own = (lh >= 0) & (lh < R_loc)
+        lhs = jnp.clip(lh, 0, R_loc - 1)
+        val = ff32_to_f64(chi[lhs], clo[lhs], vdtype)
+        return lax.psum(jnp.where(own, val, jnp.zeros_like(val)), AXIS)
+
+    def local_candidates(view, gmask):
+        """Post-repricing candidates from the exact local cost view
+        (the sharded mirror of the single-chip xla_candidates)."""
+        masked = jnp.where(gmask, view, jnp.inf)
+        lh_d = jnp.argmin(masked).astype(jnp.int32)
+        v_d = masked[lh_d].astype(jnp.float32)
+        iota = jnp.arange(R_loc, dtype=jnp.int32)
+        eligible = masked <= -eps
+        lh_b = jnp.min(jnp.where(eligible, iota, big)).astype(jnp.int32)
+        return v_d, lh_d, lh_b
+
+    def inner(t, carry):
+        C, F, s = carry
+        active = s.status == int(Status.RUNNING)
+        offset = offset32()
+
+        use_bland = s.bland & (s.h_b < big)
+        h = jnp.where(use_bland, s.h_b, s.h_d).astype(jnp.int32)
+        minc = gather_cost_view(s.chi, s.clo, h, offset)
+        optimal = minc > -eps
+
+        lh = h - offset
+        own = (lh >= 0) & (lh < R_loc)
+        lhs = jnp.clip(lh, 0, R_loc - 1).astype(jnp.int32)
+        a_h32_loc = ah_pass(s.Tt, F, C[:, lhs], lhs, interpret=interpret)
+        a_h32 = lax.psum(jnp.where(own, a_h32_loc,
+                                   jnp.zeros_like(a_h32_loc)), AXIS)
+        a_h = a_h32.astype(vdtype)
+        mask = a_h32 >= eps
+        unbounded = ~mask.any()
+        ratios = jnp.where(mask, s.b / jnp.where(mask, a_h, 1.0), jnp.inf)
+        k = jnp.argmin(ratios).astype(jnp.int32)
+        do = active & ~(optimal | unbounded)
+
+        p_raw = a_h[k]
+        p = jnp.where(do, p_raw, jnp.ones_like(p_raw))
+        u = jnp.where(do, minc / p, jnp.zeros_like(minc))
+        u_hi, u_lo = ff32_from_f64(u)
+        r_lim = jnp.clip(jnp.int32(tab.r) - offset, 0, R_loc)
+        colk32, chi2, clo2, lh_d, v_d, lh_b, _ = colk_costs_pass(
+            s.Tt, C, F[:, k], s.chi, s.clo, k, t.astype(jnp.int32),
+            u_hi, u_lo, r=r_lim, eps=eps, interpret=interpret)
+        h_d, h_b = fold_candidates(v_d, lh_d, lh_b, offset)
+
+        bk = s.b[k]
+        z2 = jnp.where(do, s.z - u * bk, s.z)
+        is_k = jnp.arange(m_pad) == k
+        b2 = jnp.where(do,
+                       jnp.where(is_k, bk / p, s.b - bk * (a_h / p)),
+                       s.b)
+        base2 = jnp.where(do, s.base.at[k].set(h.astype(s.base.dtype)),
+                          s.base)
+        v = ((a_h / p).at[k].set(1.0 - 1.0 / p)).astype(dtype)
+        C2 = C.at[t, :].set(jnp.where(do, colk32, jnp.zeros_like(colk32)))
+        F2 = F.at[t, :].set(jnp.where(do, v, jnp.zeros_like(v)))
+
+        status = jnp.where(
+            active,
+            jnp.where(optimal, int(Status.OPTIMAL),
+                      jnp.where(unbounded, int(Status.UNBOUNDED),
+                                int(Status.RUNNING))),
+            s.status).astype(jnp.int32)
+
+        improved = jnp.abs(z2 - s.z) >= eps
+        stall = jnp.where(do, jnp.where(improved, 0, s.stall + 1),
+                          s.stall).astype(jnp.int32)
+        if bland_static:
+            bland = jnp.ones((), bool)
+        elif threshold is None:
+            bland = jnp.zeros((), bool)
+        else:
+            bland = jnp.where(do, jnp.where(improved, False,
+                                            stall >= threshold), s.bland)
+
+        return (C2, F2, BlockedKernelShardedState(
+            s.Tt, b2, chi2, clo2, z2, base2, status,
+            s.iterations + do.astype(jnp.int32), stall, bland, h_d, h_b,
+            s.windows))
+
+    def outer(s: BlockedKernelShardedState):
+        C = jnp.zeros((L, R_loc), dtype)
+        F = jnp.zeros((L, m_pad), dtype)
+        C, F, s = lax.fori_loop(0, L, inner, (C, F, s))
+        Tt2 = apply_window_pass(s.Tt, C, F, interpret=interpret)
+        s = s._replace(Tt=Tt2)
+        if costs0 is not None:
+            # Exact window-boundary re-pricing on the freshly applied
+            # LOCAL slice (see solver.solve_loop_blocked_kernel for the
+            # round-tripped-view requirement): basic-cost gather is one
+            # (M_pad,) psum, the reprice a local matvec over Tt.
+            offset = offset32()
+            local_idx = s.base.astype(jnp.int32) - offset
+            own = ((local_idx >= 0) & (local_idx < R_loc)
+                   & (s.base < tab.r))
+            vals = costs0[jnp.clip(local_idx, 0, R_loc - 1)]
+            coeffs = lax.psum(jnp.where(own, vals, 0.0), AXIS)
+            costs_exact = costs0 - accum_matvec(Tt2, coeffs, 0,
+                                                costs0.dtype)
+            chi, clo = ff32_from_f64(costs_exact)
+            costs_view = ff32_to_f64(chi, clo, vdtype)
+            gmask = offset + jnp.arange(R_loc, dtype=jnp.int32) < tab.r
+            lmin = jnp.min(jnp.where(gmask, costs_view, jnp.inf))
+            vmin = jnp.min(lax.all_gather(lmin, AXIS))
+            premature = (s.status == int(Status.OPTIMAL)) & (vmin <= -eps)
+            status = jnp.where(premature, int(Status.RUNNING),
+                               s.status).astype(jnp.int32)
+            v_d, lh_d, lh_b = local_candidates(costs_view, gmask)
+            h_d, h_b = fold_candidates(v_d, lh_d, lh_b, offset)
+            s = s._replace(chi=chi, clo=clo, status=status, h_d=h_d,
+                           h_b=h_b)
+        return s._replace(windows=s.windows + 1)
+
+    def cond(s: BlockedKernelShardedState):
+        # windows bound: see solver.solve_loop_blocked_kernel.
+        return ((s.status == int(Status.RUNNING))
+                & (s.iterations < max_iter) & (s.windows < max_iter))
+
+    chi0, clo0 = ff32_from_f64(tab.costs)
+    view0 = ff32_to_f64(chi0, clo0, vdtype)
+    v_d0, lh_d0, lh_b0 = local_candidates(view0, _local_row_mask(tab))
+    h_d0, h_b0 = fold_candidates(v_d0, lh_d0, lh_b0,
+                                 _global_row_offset(tab).astype(jnp.int32))
+    init = BlockedKernelShardedState(
+        tab.T.T, tab.b, chi0, clo0, tab.z, tab.base,
+        jnp.asarray(int(Status.RUNNING), jnp.int32),
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+        jnp.asarray(bland_static), h_d0, h_b0, jnp.zeros((), jnp.int32))
+    final = lax.while_loop(cond, outer, init)
+    costs_out = ff32_to_f64(final.chi, final.clo, vdtype)
+    out_tab = dataclasses.replace(
+        tab, T=final.Tt.T, b=final.b, costs=costs_out, z=final.z,
+        base=final.base)
+    return out_tab, final.status, final.iterations
+
+
 def run_solve_loop_sharded(tab: Tableau, options: SolverOptions,
-                           max_iter: int, costs0=None):
+                           max_iter: int, costs0=None,
+                           interpret: bool = False):
     if options.block_pivots and int(options.block_pivots) > 1:
+        L = int(options.block_pivots)
+        if (kernel_blocked_sharded_enabled(options, interpret)
+                and tab.T.shape[0] % 128 == 0
+                and L % min(32, L) == 0):
+            return solve_loop_blocked_kernel_sharded(
+                tab, options, max_iter, costs0, interpret)
         return solve_loop_blocked_sharded(tab, options, max_iter, costs0)
     return solve_loop_sharded(tab, options, max_iter)
 
@@ -458,7 +711,9 @@ def pivot_out_artificials_sharded(tab: Tableau,
         gi = offset + jnp.arange(R_loc)
         cand = (gi < (n + m)) & (jnp.abs(colk) >= eps)
         lh = jnp.min(jnp.where(cand, gi, big))
-        h = lax.pmin(lh, AXIS).astype(jnp.int32)   # lowest global row
+        # lowest global row via gather+min (Sum is the only all-reduce
+        # some TPU AOT compilers lower; see entering-argmin above)
+        h = jnp.min(lax.all_gather(lh, AXIS)).astype(jnp.int32)
         has_pivot = h < big
 
         a_h = broadcast_entering_column(t, jnp.minimum(h, t.r - 1))
@@ -477,7 +732,8 @@ def pivot_out_artificials_sharded(tab: Tableau,
 
 def _two_phase_core(tab: Tableau, c: jax.Array, b_scale,
                     options: SolverOptions,
-                    max_iter: int) -> ShardedSolveOutput:
+                    max_iter: int,
+                    interpret: bool = False) -> ShardedSolveOutput:
     """Both phases under one shard_map (mirror of
     two_phase.solve_device's device core, incl. the 'continue' degeneracy
     repair)."""
@@ -487,7 +743,7 @@ def _two_phase_core(tab: Tableau, c: jax.Array, b_scale,
     costs0_1 = tab.costs
     tab = gaussian_eliminate_sharded(tab)
     tab, status1, iters1 = run_solve_loop_sharded(tab, options, max_iter,
-                                                  costs0_1)
+                                                  costs0_1, interpret)
 
     # Exact phase-1 objective from the basis (drift-immune; see
     # tableau.phase1_objective), with the b-scaled threshold of
@@ -510,7 +766,7 @@ def _two_phase_core(tab: Tableau, c: jax.Array, b_scale,
     costs0_2 = tab2.costs
     tab2 = gaussian_eliminate_sharded(tab2)
     tab2, status2, iters2 = run_solve_loop_sharded(tab2, options, max_iter,
-                                                   costs0_2)
+                                                   costs0_2, interpret)
 
     x = extract_solution_replicated(tab2)
 
@@ -535,26 +791,35 @@ def _two_phase_core(tab: Tableau, c: jax.Array, b_scale,
 
 
 def build_phase1_sharded(A, b, n: int, m: int, n_shards: int,
-                         options: SolverOptions) -> Tableau:
+                         options: SolverOptions,
+                         kernel: bool | None = None) -> Tableau:
     """Phase-1 tableau with rows padded for the shard count (global build;
     the caller's jit + sharding constraints lay it out across the mesh).
     Delegates to tableau.build_phase1 with the shard-divisible padding."""
     from ..tableau import build_phase1
 
-    dims = sharded_padded_dims(n, m, n_shards, options)
+    dims = sharded_padded_dims(n, m, n_shards, options, kernel=kernel)
     return build_phase1(A, b, n, m, options, dims=dims)
 
 
 def make_sharded_solver(mesh: Mesh, n: int, m: int,
                         options: SolverOptions = DEFAULT_OPTIONS,
-                        max_iter: int | None = None):
+                        max_iter: int | None = None,
+                        interpret: bool = False,
+                        donate_a: bool = False):
     """Build a jitted sharded two-phase solver for a fixed (n, m) over
     ``mesh`` (must have axis 'vars'). Returns ``fn(A, b, c) ->
     ShardedSolveOutput``; T/costs live row-sharded across the mesh for the
-    entire solve, everything else replicated."""
+    entire solve, everything else replicated. ``interpret`` runs the
+    fused blocked-pivot kernels in Pallas interpret mode (CPU-mesh
+    tests). ``donate_a`` donates A's buffer to the solve — at flagship
+    sizes on a small mesh the caller's A (4 GB at 10k x 100k) plus both
+    tableau orientations otherwise overlap in HBM; donation frees A
+    after the phase-1 scatter (the caller must not reuse A afterwards)."""
     n_shards = mesh.shape[AXIS]
     resolved_max_iter = (max_iter if max_iter is not None
                          else options.resolved_max_iter(n + 2 * m, m))
+    kernel = kernel_blocked_sharded_enabled(options, interpret)
 
     tab_specs = Tableau(
         T=P(AXIS, None), b=P(None), costs=P(AXIS), z=P(), base=P(None),
@@ -562,7 +827,7 @@ def make_sharded_solver(mesh: Mesh, n: int, m: int,
 
     core = jax.shard_map(
         partial(_two_phase_core, options=options,
-                max_iter=resolved_max_iter),
+                max_iter=resolved_max_iter, interpret=interpret),
         mesh=mesh,
         in_specs=(tab_specs, P(None), P()),
         out_specs=ShardedSolveOutput(
@@ -570,9 +835,10 @@ def make_sharded_solver(mesh: Mesh, n: int, m: int,
         check_vma=False,
     )
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,) if donate_a else ())
     def solve_fn(A, b, c):
-        tab = build_phase1_sharded(A, b, n, m, n_shards, options)
+        tab = build_phase1_sharded(A, b, n, m, n_shards, options,
+                                   kernel=kernel)
         tab = jax.lax.with_sharding_constraint(
             tab, jax.tree.map(
                 lambda s: NamedSharding(mesh, s) if isinstance(s, P) else s,

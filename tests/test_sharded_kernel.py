@@ -1,0 +1,123 @@
+"""Sharded fused blocked-pivot loop (parallel/sharded.py
+solve_loop_blocked_kernel_sharded) on the virtual 8-device CPU mesh,
+kernels in Pallas interpret mode — mirrors test_blocked_kernel.py's
+strategy of pinning the kernel path to the pure-XLA reference loops
+(SURVEY.md §4d fake-backend pattern)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from simplex_tpu import Status, solve
+from simplex_tpu.config import SolverOptions
+from simplex_tpu.generator import generate_random_problem
+from simplex_tpu.oracle import solve_oracle
+from simplex_tpu.parallel.sharded import make_sharded_solver
+
+from conftest import assert_valid_solution
+
+
+def mesh_of(n: int) -> Mesh:
+    return Mesh(np.array(jax.devices()[:n]), ("vars",))
+
+
+def solve_sharded_kernel(problem, n_devices, options):
+    """solve_sharded, but through make_sharded_solver(interpret=True) so
+    the fused kernel path runs on the CPU mesh."""
+    from simplex_tpu.result import SolveResult
+
+    m, n = problem.constraints, problem.vars
+    fn = make_sharded_solver(mesh_of(n_devices), n, m, options,
+                             interpret=True)
+    out = jax.device_get(fn(jnp.asarray(problem.A), jnp.asarray(problem.b),
+                            jnp.asarray(problem.c)))
+    status = Status(int(out.status))
+    return SolveResult(
+        status=status,
+        x=np.asarray(out.x) if status == Status.OPTIMAL else None,
+        objective=float(out.objective),
+        iterations_phase1=int(out.iterations_phase1),
+        iterations_phase2=int(out.iterations_phase2),
+        degenerate=bool(out.n_artificial_in_base > 0),
+    )
+
+
+MIXED = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                      eps=1e-5, block_pivots=8)
+
+
+@pytest.mark.parametrize("n_devices", [1, 2, 8])
+def test_kernel_sharded_matches_single_chip(n_devices):
+    """Same pivot sequence as the unsharded pure-XLA blocked loop (the
+    kernel passes + the collective folds reproduce its Dantzig/Bland
+    choices exactly)."""
+    problem = generate_random_problem(96, 24, seed=7, lo=1.0, hi=100.0)
+    single = solve(problem, MIXED)
+    got = solve_sharded_kernel(problem, n_devices, MIXED)
+    assert got.status == single.status == Status.OPTIMAL
+    assert got.iterations_phase1 == single.iterations_phase1
+    assert got.iterations_phase2 == single.iterations_phase2
+    assert got.objective == pytest.approx(single.objective, rel=1e-5)
+    assert_valid_solution(problem, got)
+
+
+def test_kernel_sharded_matches_oracle():
+    problem = generate_random_problem(72, 28, seed=13, lo=1.0, hi=100.0)
+    want = solve_oracle(problem)
+    got = solve_sharded_kernel(problem, 4, MIXED)
+    assert got.status == Status.OPTIMAL
+    assert got.objective == pytest.approx(want.objective, rel=1e-4)
+
+
+def test_kernel_sharded_pure_f32():
+    """vector_dtype == dtype == f32: the double-f32 cost pair still makes
+    window-boundary re-pricing exact enough for toy sizes."""
+    opt = SolverOptions(dtype=np.float32, block_pivots=8, eps=1e-4)
+    problem = generate_random_problem(64, 16, seed=3, lo=1.0, hi=100.0)
+    want = solve_oracle(problem)
+    got = solve_sharded_kernel(problem, 2, opt)
+    assert got.status == Status.OPTIMAL
+    assert got.objective == pytest.approx(want.objective, rel=1e-3)
+
+
+def test_kernel_sharded_infeasible(infeasible_problem):
+    got = solve_sharded_kernel(infeasible_problem, 2, MIXED)
+    assert got.status == Status.INFEASIBLE
+
+
+def test_kernel_sharded_unbounded():
+    from simplex_tpu.problem import Problem
+
+    problem = Problem(A=np.array([[-1.0, 1.0]]), b=np.array([1.0]),
+                      c=np.array([1.0, 0.0]))
+    got = solve_sharded_kernel(problem, 2, MIXED)
+    assert got.status == Status.UNBOUNDED
+
+
+def test_kernel_sharded_degenerate_continue():
+    """Redundant constraint: phase-1 ends degenerate, the sharded
+    pivot-out repair runs between the two kernel-loop phases."""
+    from simplex_tpu.problem import Problem
+
+    A = np.array([[1.0, 1.0, 1.0],
+                  [1.0, 1.0, 1.0],
+                  [1.0, -1.0, 0.0]])
+    problem = Problem(A=A, b=np.array([4.0, 4.0, 0.0]),
+                      c=np.array([2.0, 3.0, 1.0]))
+    want = solve_oracle(problem)
+    got = solve_sharded_kernel(problem, 2, MIXED)
+    assert want.status == Status.OPTIMAL
+    assert got.status == Status.OPTIMAL
+    assert got.objective == pytest.approx(want.objective, rel=1e-5)
+
+
+def test_kernel_sharded_padding_is_lane_aligned():
+    """sharded_padded_dims pads every local shard to whole 128-lane
+    tiles when the kernel path is requested."""
+    from simplex_tpu.parallel.sharded import sharded_padded_dims
+
+    opt = SolverOptions(dtype=np.float32, block_pivots=8)
+    R_pad, _ = sharded_padded_dims(100, 7, 8, opt, kernel=True)
+    assert R_pad % (128 * 8) == 0
