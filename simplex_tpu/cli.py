@@ -85,6 +85,11 @@ def _build_parser() -> argparse.ArgumentParser:
                         "default: plain reference-semantics loop")
     p.add_argument("--limit", type=int, default=8192,
                    help="benchmark sweep upper size")
+    p.add_argument("--resume-sweep", action="store_true",
+                   help="with -t --timer: skip sizes whose measures CSV "
+                        "is already complete (ends with a solution row), "
+                        "so a crashed sweep can be re-run from where it "
+                        "stopped")
     p.add_argument("--debug", action="store_true",
                    help="print the parsed/generated problem and the "
                         "tableau after every stage (reference -D DEBUG)")
@@ -145,6 +150,24 @@ def _report(result: SolveResult, problem: Problem, data_dir: str) -> None:
           f"phase-2 pivots: {result.iterations_phase2})")
 
 
+def _sweep_csv_complete(measures: str, n_vars: int,
+                        n_constraints: int) -> bool:
+    """True when the size's chrono CSV ends with its terminal row — a
+    ``solution`` row for an OPTIMAL solve (timed.py writes it last). A
+    crashed sweep leaves a dangling partial row instead, so the size is
+    re-run."""
+    import os
+
+    path = os.path.join(measures, f"benchmark_{n_vars}_{n_constraints}.txt")
+    try:
+        with open(path, "rb") as fh:
+            tail = fh.read()[-256:].decode("utf-8", "replace")
+    except OSError:
+        return False
+    lines = [l for l in tail.splitlines() if l.strip()]
+    return bool(lines) and lines[-1].split(",")[2:3] == ["solution"]
+
+
 def _sweep(args, options: SolverOptions) -> None:
     """Benchmark sweep (reference main.cu:49-77)."""
     import os
@@ -155,6 +178,10 @@ def _sweep(args, options: SolverOptions) -> None:
     sweep_start = time.time()
     for n_vars, n_constraints in benchmark_sizes(args.limit):
         print(f"\nCurrent matrix: {n_vars}*{n_constraints}\n")
+        if args.resume_sweep and args.timer and _sweep_csv_complete(
+                measures, n_vars, n_constraints):
+            print("already measured (complete CSV); skipping")
+            continue
         seed = benchmark_seed(n_vars, n_constraints)
         problem = generate_random_problem(n_vars, n_constraints, seed,
                                           1.0, 100.0)

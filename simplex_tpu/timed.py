@@ -99,15 +99,33 @@ def _timed(chrono, rows, cols, op, fn, *args):
     return out
 
 
+#: Max pivots per DEVICE CALL in the aggregate timed solve. One
+#: unbounded call at the biggest f64 sweep sizes runs >80 s on the chip,
+#: which the TPU runtime watchdog kills as a "worker process crashed"
+#: fault (observed at 2048x8192 f64, ~16k pivots x 4.2 ms; the
+#: neighbouring 1024x8192 at 63.9 s survived). Host re-entry every 8192
+#: pivots keeps calls ~35 s worst-case; the re-entry cost (two tableau
+#: transposes for the blocked loop + dispatch) is a few ms per window.
+DEVICE_CALL_PIVOT_CAP = 8192
+
+
 def _run_solve(tab, options, max_iter, chrono, rows_csv, per_iteration,
                costs0=None, pivot_cb=None):
     if not per_iteration:
+        cap = min(max_iter, DEVICE_CALL_PIVOT_CAP)
+        total = 0
         chrono.start(rows_csv, tab.m, "solve")
-        tab, status, iters = _solve(tab, options, max_iter, costs0)
-        status_i = int(status)          # scalar readback = sync point
+        while True:
+            tab, status, iters = _solve(tab, options, cap, costs0)
+            status_i = int(status)      # scalar readback = sync point
+            total += int(iters)
+            # The final window may overshoot max_iter by < cap (same
+            # contract as checkpoint._run_windows).
+            if status_i != int(Status.RUNNING) or total >= max_iter:
+                break
         chrono.stop()
-        chrono.row(rows_csv, tab.m, "solveIterations", int(iters) / 1e6)
-        return tab, status_i, int(iters)
+        chrono.row(rows_csv, tab.m, "solveIterations", total / 1e6)
+        return tab, status_i, total
 
     if options.block_pivots and int(options.block_pivots) > 1:
         # The per-iteration driver steps the SINGLE-PIVOT reference loop

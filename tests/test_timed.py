@@ -117,3 +117,53 @@ def test_per_iteration_debug_dumps_every_pivot(capsys):
     assert n_pivots >= 1
     dumps = [l for l in out.splitlines() if l.startswith("--- pivot ")]
     assert len(dumps) == n_pivots
+
+
+def test_aggregate_windowing_matches_unwindowed(monkeypatch, tmp_path):
+    """The watchdog guard (DEVICE_CALL_PIVOT_CAP) re-enters the host
+    between fixed-size solve windows; pivot counts, objective, and the
+    CSV row contract must be identical to a single unbounded call — for
+    both the single-pivot loop and the blocked (deferred-pivot) loop."""
+    import simplex_tpu.timed as timed
+
+    rng = np.random.default_rng(11)
+    p = Problem(A=rng.uniform(1, 100, (24, 48)),
+                b=rng.uniform(1, 100, 24), c=rng.uniform(1, 100, 48))
+    for kwargs in ({}, {"block_pivots": 8}):
+        ref = solve_timed(p, **kwargs)
+        assert ref.status == Status.OPTIMAL
+        assert ref.iterations_phase1 + ref.iterations_phase2 > 7
+        monkeypatch.setattr(timed, "DEVICE_CALL_PIVOT_CAP", 7)
+        ch = Chrono.open_timestamped(str(tmp_path))
+        with ch:
+            r = solve_timed(p, chrono=ch, **kwargs)
+        monkeypatch.undo()
+        assert r.status == ref.status
+        assert r.objective == pytest.approx(ref.objective, rel=1e-12)
+        assert r.iterations_phase1 == ref.iterations_phase1
+        assert r.iterations_phase2 == ref.iterations_phase2
+        np.testing.assert_allclose(r.x, ref.x, atol=1e-9)
+        ops = [row[2] for row in read_csv(str(tmp_path))]
+        # Still ONE aggregate solve row per phase: the windows run inside
+        # a single chrono.start/stop bracket.
+        assert ops.count("solve") == 2
+        assert ops.count("solveIterations") == 2
+
+
+def test_sweep_resume_skips_complete_csvs(tmp_path, capsys):
+    """-t --timer --resume-sweep re-runs only sizes whose CSV is missing
+    or truncated (crash recovery for the 36-size sweep)."""
+    from simplex_tpu.cli import _sweep_csv_complete
+
+    measures = str(tmp_path)
+    path = os.path.join(measures, "benchmark_256_256.txt")
+    assert not _sweep_csv_complete(measures, 256, 256)
+    # Truncated file (dangling row, as left by a mid-solve crash).
+    with open(path, "w") as fh:
+        fh.write("vars,contraints,operation,elapsed_time\n"
+                 "769,256,fillTableau,1000.0\n769,256,solve,")
+    assert not _sweep_csv_complete(measures, 256, 256)
+    with open(path, "a") as fh:
+        fh.write("5.0\n513,256,solveIterations,0.00001\n"
+                 "513,256,solution,42.0\n")
+    assert _sweep_csv_complete(measures, 256, 256)
