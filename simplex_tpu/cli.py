@@ -23,7 +23,9 @@ Extensions beyond the reference (all optional flags): ``--dtype``
 instead of resolving it via Bland's rule), ``--limit`` for the sweep
 size, ``--batch`` to solve one seeded instance many times vmapped,
 ``--checkpoint PATH [--checkpoint-every N]`` for a kill-safe resumable
-solve, and ``--platform`` to force the JAX backend.
+solve, ``--sharded NDEV`` to solve on a multi-device 'vars'-sharded
+mesh, ``--resume-sweep`` to restart a crashed -t sweep where it died,
+and ``--platform`` to force the JAX backend.
 """
 
 from __future__ import annotations
@@ -106,6 +108,10 @@ def _build_parser() -> argparse.ArgumentParser:
                         "newest checkpoint")
     p.add_argument("--checkpoint-every", type=int, default=1000,
                    metavar="N", help="pivots per checkpoint window")
+    p.add_argument("--sharded", type=int, default=None, metavar="NDEV",
+                   help="solve on an NDEV-device mesh, tableau sharded "
+                        "over the 'vars' axis (jax.sharding + shard_map); "
+                        "NDEV must not exceed the available devices")
     p.add_argument("--platform", choices=["tpu", "cpu"], default=None,
                    help="force the JAX backend (default: environment "
                         "default, normally TPU)")
@@ -233,6 +239,30 @@ def main(argv: list[str] | None = None) -> int:
             os.makedirs(os.path.dirname(path), exist_ok=True)
             write_seed_file(path, n, m, seed, MIN, MAX)
             print(f"Seed file saved to {path}")
+
+    if args.sharded:
+        if args.timer or args.per_iteration or args.batch > 1 \
+                or args.checkpoint:
+            raise SystemExit(
+                "--sharded runs one fused device program and is "
+                "incompatible with --timer/--per-iteration/--batch/"
+                "--checkpoint")
+        import jax
+        from jax.sharding import Mesh
+
+        from .parallel.sharded import solve_sharded
+
+        devices = jax.devices()
+        if args.sharded > len(devices):
+            raise SystemExit(f"--sharded {args.sharded}: only "
+                             f"{len(devices)} device(s) available")
+        mesh = Mesh(np.array(devices[:args.sharded]), ("vars",))
+        print(f"Resolving on a {args.sharded}-device 'vars' mesh....")
+        t0 = time.time()
+        result = solve_sharded(problem, mesh, options)
+        print(f"Sharded solve finished in {time.time() - t0:.3f}s")
+        _report(result, problem, args.data_dir)
+        return 0
 
     if args.batch > 1:
         if args.f:

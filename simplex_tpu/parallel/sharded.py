@@ -853,15 +853,17 @@ def make_sharded_solver(mesh: Mesh, n: int, m: int,
 
 
 def solve_sharded(problem, mesh: Mesh,
-                  options: SolverOptions = DEFAULT_OPTIONS):
+                  options: SolverOptions = DEFAULT_OPTIONS,
+                  interpret: bool = False):
     """Convenience host wrapper: solve one Problem on a mesh, returning a
-    SolveResult like two_phase.solve."""
+    SolveResult like two_phase.solve. ``interpret`` runs the fused
+    blocked-pivot kernels in Pallas interpret mode (CPU meshes)."""
     from ..result import SolveResult
 
     if options.needs_x64:
         jax.config.update("jax_enable_x64", True)
     m, n = problem.constraints, problem.vars
-    fn = make_sharded_solver(mesh, n, m, options)
+    fn = make_sharded_solver(mesh, n, m, options, interpret=interpret)
     out = jax.device_get(fn(jnp.asarray(problem.A), jnp.asarray(problem.b),
                             jnp.asarray(problem.c)))
     status = Status(int(out.status))

@@ -160,3 +160,24 @@ def test_cli_checkpoint_survives_kill9(tmp_path):
             if l.startswith("Optimal value:")][0]
     got = float(line.split(":")[1])
     assert got == pytest.approx(want.objective, rel=1e-6)
+
+
+def test_sharded_flag(tmp_path, capsys):
+    """--sharded NDEV solves on an NDEV-device 'vars' mesh (conftest
+    provides 8 virtual CPU devices) with the standard report contract."""
+    rc = run_cli(["-r", "40", "16", "3", "--sharded", "8", "--block", "8"],
+                 tmp_path)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "8-device 'vars' mesh" in out
+    assert ("Problem solved!" in out or "UNBOUNDED" in out)
+    if "Problem solved!" in out:
+        assert (tmp_path / "solution.txt").exists()
+
+
+def test_sharded_flag_rejections(tmp_path):
+    with pytest.raises(SystemExit, match="incompatible"):
+        run_cli(["-r", "10", "5", "1", "--sharded", "2", "--timer"],
+                tmp_path)
+    with pytest.raises(SystemExit, match="device"):
+        run_cli(["-r", "10", "5", "1", "--sharded", "999"], tmp_path)
