@@ -58,7 +58,11 @@ class Chrono:
 
     # -- timing ------------------------------------------------------------
     def start(self, rows: int, cols: int, operation: str) -> None:
+        # Flush the row prefix immediately: a long device call follows,
+        # and a crash mid-call must leave an observable dangling row
+        # (cli --resume-sweep keys off it), not an empty buffered file.
         self._fh.write(f"{rows},{cols},{operation},")
+        self._fh.flush()
         self._pending = time.perf_counter()
 
     def stop(self) -> None:
@@ -66,11 +70,13 @@ class Chrono:
         elapsed_us = (time.perf_counter() - self._pending) * 1e6
         self._pending = None
         self._fh.write(f"{elapsed_us:f}\n")
+        self._fh.flush()
 
     def row(self, rows: int, cols: int, operation: str,
             seconds: float) -> None:
         """Record an already-measured duration (seconds -> µs)."""
         self._fh.write(f"{rows},{cols},{operation},{seconds * 1e6:f}\n")
+        self._fh.flush()
 
     def close(self) -> None:
         if self._owns:
