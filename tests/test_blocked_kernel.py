@@ -88,6 +88,35 @@ class TestColkCostsPass:
                     self.C, np.float64))
         np.testing.assert_allclose(np.asarray(colk), want, atol=1e-5)
 
+    @pytest.mark.parametrize("t", [5, 32, 33, 64])
+    def test_multi_segment_liveness(self, t):
+        """L=64 -> two SEG=32 liveness segments (production L=128+ runs
+        4+; every other test here uses L=8 -> a single segment). The
+        dead-segment index aliasing and the ``s < live`` accumulation
+        gate must yield the exact reference math at every window fill:
+        partially through segment 0 (t=5), at the boundary (t=32), one
+        row into segment 1 (t=33), and full (t=64)."""
+        L, r_pad, m_pad = 64, 384, 16
+        Tt = _rand((m_pad, r_pad), 30)
+        C = np.array(_rand((L, r_pad), 31))
+        C[t:] = 0.0                      # rows >= t are dead by contract
+        w = _rand((L,), 32)
+        costs = jnp.asarray(
+            np.random.Generator(np.random.Philox(33)).uniform(
+                -1, 1, r_pad))
+        chi, clo = ff32_from_f64(costs)
+        colk, chi2, clo2, h_d, _, h_b, _ = colk_costs_pass(
+            Tt, jnp.asarray(C), w, chi, clo, jnp.int32(9), jnp.int32(t),
+            jnp.float32(0.25), jnp.float32(0), r=r_pad, eps=1e-6,
+            interpret=True)
+        want = (np.asarray(Tt, np.float64)[9]
+                - np.asarray(w, np.float64) @ C.astype(np.float64))
+        np.testing.assert_allclose(np.asarray(colk), want, atol=1e-5)
+        want_costs = (np.asarray(costs)
+                      - 0.25 * np.asarray(colk, np.float64))
+        np.testing.assert_allclose(np.asarray(ff32_to_f64(chi2, clo2)),
+                                   want_costs, atol=1e-12)
+
 
 class TestTileChoice:
     """Mosaic requires lane-axis block dims be a multiple of 128 or the
