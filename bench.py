@@ -48,13 +48,13 @@ def build_bench_state(n: int, m: int, dtype, options):
     @jax.jit
     def prep(A, b):
         tab = build_phase1(A.astype(dtype), b.astype(dtype), n, m, options)
-        return gaussian_eliminate(tab)
+        return gaussian_eliminate(tab), tab.costs
 
-    tab = prep(A, b)
+    tab, costs0 = prep(A, b)
     # Sync via scalar readback — block_until_ready on multi-GB outputs
     # can wedge the axon tunnel (see timed._sync for the same pattern).
     float(tab.z)
-    return tab
+    return tab, costs0
 
 
 def main() -> int:
@@ -98,7 +98,7 @@ def main() -> int:
 
     log(f"building phase-1 tableau n={n} m={m} dtype={dtype.name} ...")
     t0 = time.perf_counter()
-    tab0 = build_bench_state(n, m, dtype, options)
+    tab0, costs0 = build_bench_state(n, m, dtype, options)
     R_pad, M_pad = tab0.T.shape
     tableau_gb = R_pad * M_pad * dtype.itemsize / 1e9
     log(f"tableau {R_pad} x {M_pad} = {tableau_gb:.2f} GB "
@@ -106,12 +106,15 @@ def main() -> int:
 
     def make_run(cap):
         @jax.jit
-        def run(tab):
+        def run(tab, costs0):
             # Return scalars only: shipping the multi-GB tableau back
             # through the jit boundary can wedge the axon tunnel
             # (observed flaky deadlock); the production solve path
             # (solve_device) never returns the tableau either.
-            tab, status, iters = run_solve_loop(tab, options, cap)
+            # costs0 enables the exact window-boundary re-pricing — the
+            # full production configuration, so the reported number
+            # includes the reprice cost (kernels/blocked.reprice_pass).
+            tab, status, iters = run_solve_loop(tab, options, cap, costs0)
             return tab.z, status, iters
         return run
 
@@ -129,7 +132,7 @@ def main() -> int:
         # Sync via scalar readback (block_until_ready can wedge on the
         # axon tunnel for large aliased outputs; reading any output of
         # the executable forces completion of the whole program).
-        out = run(tab0)
+        out = run(tab0, costs0)
         iters_done = int(out[2])
         warm_s = time.perf_counter() - t0
         log(f"warmup: {warm_s:.1f}s, status={int(out[1])}, "
@@ -139,7 +142,7 @@ def main() -> int:
         times = []
         for rep in range(args.repeats):
             t0 = time.perf_counter()
-            got = int(run(tab0)[2])
+            got = int(run(tab0, costs0)[2])
             times.append(time.perf_counter() - t0)
             log(f"repeat {rep}: {times[-1]:.3f}s "
                 f"({times[-1] / max(got, 1) * 1e3:.2f} ms/pivot avg)")

@@ -378,6 +378,227 @@ def apply_window_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Fused window apply + reprice: Tt -= F^T @ C and coeffs @ Tt_new in the
+# same sweep — the reprice's full-tableau read rides the apply's tiles.
+
+def _apply_reprice_kernel(Tt_ref, F_ref, C_ref, chi_ref, clo_ref,
+                          out_ref, hi_out, lo_out, *, tm, m_pad):
+    i = pl.program_id(1)               # m tile (fastest-varying)
+
+    new = Tt_ref[:] - lax.dot_general(
+        F_ref[:], C_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST)
+    out_ref[:] = new
+
+    @pl.when(i == 0)
+    def _init():
+        hi_out[:] = jnp.zeros_like(hi_out)
+        lo_out[:] = jnp.zeros_like(lo_out)
+
+    # Pair-accumulate coeffs @ new over the tile's sublane groups (see
+    # _reprice_kernel). cdiv edge m-tiles are handled by masking the
+    # coeff pair on out-of-bounds rows (their `new` lanes are garbage,
+    # but 0 * garbage contributes nothing).
+    sh = jnp.zeros((8, Tt_ref.shape[1]), jnp.float32)
+    sl = jnp.zeros_like(sh)
+    base_row = i * jnp.int32(tm)
+    sub = lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+    def body(g, carry):
+        sh, sl = carry
+        g8 = g * jnp.int32(8)          # keep index math i32 under x64
+        # read the fresh tile back from the output ref: dynamic slicing
+        # of a register value does not lower in Mosaic
+        T8 = out_ref[pl.ds(g8, 8), :]
+        valid = (base_row + g8 + sub) < jnp.int32(m_pad)
+        c8 = jnp.where(valid, chi_ref[pl.ds(g8, 8), :], 0.0)
+        d8 = jnp.where(valid, clo_ref[pl.ds(g8, 8), :], 0.0)
+        p, pe = _two_prod(c8, T8)
+        pe = pe + d8 * T8
+        s, e = _two_sum(sh, p)
+        return s, sl + (e + pe)
+
+    sh, sl = lax.fori_loop(jnp.int32(0), jnp.int32(tm // 8), body,
+                           (sh, sl))
+    width = 8
+    while width > 1:
+        half = width // 2
+        s, e = _two_sum(sh[:half], sh[half:width])
+        sl = sl[:half] + (e + sl[half:width])
+        sh = s
+        width = half
+
+    s, e = _two_sum(hi_out[:], sh)
+    lo_out[:] = lo_out[:] + (e + sl)
+    hi_out[:] = s
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def apply_reprice_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
+                       c_hi: jax.Array, c_lo: jax.Array,
+                       interpret: bool = False
+                       ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """``Tt -= F^T @ C`` (in place, see apply_window_pass) fused with the
+    window re-pricing matvec ``coeffs @ Tt_new`` (double-f32 pair, see
+    reprice_pass). One sweep over the tableau instead of two: the apply
+    alone measured 24.5 ms and the standalone reprice 21.9 ms at the
+    flagship shape; fused, the reprice's read is free and only its VPU
+    pair arithmetic is added to the apply's tiles.
+
+    Returns (Tt_new, mv_hi, mv_lo) with Tt_new aliased over Tt and
+    (mv_hi, mv_lo) the (R_pad,) f32 pair of coeffs @ Tt_new.
+    """
+    m_pad, r_pad = Tt.shape
+    L = C.shape[0]
+    tm = pick_tile(m_pad, 8, 512) if m_pad % 8 == 0 else m_pad
+    tr = pick_tile(r_pad, 128, 4096)
+    grid = (cdiv(r_pad, tr), cdiv(m_pad, tm))
+
+    out, hi, lo = pl.pallas_call(
+        functools.partial(_apply_reprice_kernel, tm=tm, m_pad=m_pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tr), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, tm), lambda j, i: (_i0(), i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, tr), lambda j, i: (_i0(), j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda j, i: (i, _i0()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda j, i: (i, _i0()),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, tr), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr), lambda j, i: (_i0(), j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr), lambda j, i: (_i0(), j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((m_pad, r_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((1, r_pad), jnp.float32)],
+        input_output_aliases={0: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * m_pad * r_pad + 20 * m_pad * r_pad,
+            bytes_accessed=(2 * m_pad * r_pad + L * (m_pad + r_pad)
+                            + 2 * m_pad + 2 * r_pad) * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(Tt, F, C, c_hi.reshape(m_pad, 1), c_lo.reshape(m_pad, 1))
+    return out, hi.reshape(r_pad), lo.reshape(r_pad)
+
+
+# ---------------------------------------------------------------------------
+# Window reprice: coeffs @ Tt with double-f32 pair accumulation.
+
+def _reprice_kernel(Tt_ref, chi_ref, clo_ref, hi_out, lo_out, *, tm):
+    i = pl.program_id(1)               # m tile (fastest-varying)
+
+    @pl.when(i == 0)
+    def _init():
+        hi_out[:] = jnp.zeros_like(hi_out)
+        lo_out[:] = jnp.zeros_like(lo_out)
+
+    # Sublane-parallel pair accumulation: carry an (8, TR) running pair,
+    # add one 8-row group per step with an error-free product + two_sum
+    # (coeff lo part folded into the error channel), then fold the 8
+    # sublanes down with static halving (dynamic sublane indexing of
+    # register values is not lowerable).
+    sh = jnp.zeros((8, Tt_ref.shape[1]), jnp.float32)
+    sl = jnp.zeros_like(sh)
+
+    def body(g, carry):
+        sh, sl = carry
+        g8 = g * jnp.int32(8)          # keep index math i32 under x64
+        T8 = Tt_ref[pl.ds(g8, 8), :]
+        c8 = chi_ref[pl.ds(g8, 8), :]
+        d8 = clo_ref[pl.ds(g8, 8), :]
+        p, pe = _two_prod(c8, T8)
+        pe = pe + d8 * T8
+        s, e = _two_sum(sh, p)
+        return s, sl + (e + pe)
+
+    sh, sl = lax.fori_loop(jnp.int32(0), jnp.int32(tm // 8), body,
+                           (sh, sl))
+    width = 8
+    while width > 1:
+        half = width // 2
+        s, e = _two_sum(sh[:half], sh[half:width])
+        sl = sl[:half] + (e + sl[half:width])
+        sh = s
+        width = half
+
+    s, e = _two_sum(hi_out[:], sh)
+    lo_out[:] = lo_out[:] + (e + sl)
+    hi_out[:] = s
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def reprice_pass(Tt: jax.Array, c_hi: jax.Array, c_lo: jax.Array,
+                 interpret: bool = False) -> tuple[jax.Array, jax.Array]:
+    """``coeffs @ Tt`` as a double-float32 (hi, lo) pair, coeffs given as
+    the pair (c_hi, c_lo), each (M_pad,) f32; Tt (M_pad, R_pad) f32.
+
+    The exact window-boundary re-pricing needs an f64-quality
+    accumulation over the f32 tableau. XLA's widening dot
+    (``accum_matvec`` with preferred_element_type=f64) emulates it by
+    materialising 8x f32 temporaries — 539 ms/window at the flagship
+    shape (m=10k x n=100k), ~77 GB of temp traffic for a 4.45 GB read,
+    and its result is the LEAST accurate of the alternatives (1.4e-6 off
+    a true f64 dot; tools/profile_reprice.py). This kernel accumulates
+    with error-free Dekker transforms on the VPU instead: one clean pass
+    over Tt, measured 21.9 ms/window (25x), agreeing with the true f64
+    dot to the same 1.4e-6 the chunked-cast f64 dot achieves.
+    """
+    m_pad, r_pad = Tt.shape
+    # tm must DIVIDE m_pad: the contraction reads every sublane of its
+    # block, so a cdiv edge block would fold out-of-bounds garbage rows
+    # into the sum (r-axis edge blocks are safe — output-masked).
+    tm = next((t for t in (512, 384, 256, 128) if m_pad % t == 0),
+              m_pad)
+    assert m_pad % tm == 0 and tm % 8 == 0, (m_pad, tm)
+    tr = pick_tile(r_pad, 128, 8192)
+    grid = (cdiv(r_pad, tr), m_pad // tm)
+
+    hi, lo = pl.pallas_call(
+        functools.partial(_reprice_kernel, tm=tm),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tr), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda j, i: (i, _i0()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda j, i: (i, _i0()),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tr), lambda j, i: (_i0(), j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr), lambda j, i: (_i0(), j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((1, r_pad), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=20 * m_pad * r_pad,
+            bytes_accessed=(m_pad * r_pad + 2 * m_pad + 2 * r_pad) * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(Tt, c_hi.reshape(m_pad, 1), c_lo.reshape(m_pad, 1))
+    return hi.reshape(r_pad), lo.reshape(r_pad)
+
+
+# ---------------------------------------------------------------------------
 # M-side pass: a_h = Tt[:, h] - v @ F (live entering column).
 
 def _ah_kernel(idx_ref,                 # prefetch: [h]

@@ -438,9 +438,9 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
     The window apply and the R-side colk/costs/argmin pass are pure local
     work, so the ~L x traffic amortisation AND the fused-kernel op-count
     economy both carry over to the distributed solver unchanged."""
-    from ..kernels.blocked import (BIG_INDEX, ah_pass, apply_window_pass,
-                                   colk_costs_pass, ff32_from_f64,
-                                   ff32_to_f64)
+    from ..kernels.blocked import (BIG_INDEX, ah_pass, apply_reprice_pass,
+                                   apply_window_pass, colk_costs_pass,
+                                   ff32_from_f64, ff32_to_f64)
 
     eps = float(options.eps_resolved)
     bland_static = options.pivot_rule == "bland"
@@ -562,21 +562,28 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
         C = jnp.zeros((L, R_loc), dtype)
         F = jnp.zeros((L, m_pad), dtype)
         C, F, s = lax.fori_loop(0, L, inner, (C, F, s))
-        Tt2 = apply_window_pass(s.Tt, C, F, interpret=interpret)
-        s = s._replace(Tt=Tt2)
-        if costs0 is not None:
+        if costs0 is None:
+            Tt2 = apply_window_pass(s.Tt, C, F, interpret=interpret)
+            s = s._replace(Tt=Tt2)
+        else:
             # Exact window-boundary re-pricing on the freshly applied
             # LOCAL slice (see solver.solve_loop_blocked_kernel for the
             # round-tripped-view requirement): basic-cost gather is one
-            # (M_pad,) psum, the reprice a local matvec over Tt.
+            # (M_pad,) psum, then ONE fused tableau sweep applies the
+            # window and pair-accumulates the reprice matvec
+            # (kernels.blocked.apply_reprice_pass).
             offset = offset32()
             local_idx = s.base.astype(jnp.int32) - offset
             own = ((local_idx >= 0) & (local_idx < R_loc)
                    & (s.base < tab.r))
             vals = costs0[jnp.clip(local_idx, 0, R_loc - 1)]
             coeffs = lax.psum(jnp.where(own, vals, 0.0), AXIS)
-            costs_exact = costs0 - accum_matvec(Tt2, coeffs, 0,
-                                                costs0.dtype)
+            c_hi, c_lo = ff32_from_f64(coeffs)
+            Tt2, mv_hi, mv_lo = apply_reprice_pass(
+                s.Tt, C, F, c_hi, c_lo, interpret=interpret)
+            s = s._replace(Tt=Tt2)
+            costs_exact = costs0 - (mv_hi.astype(costs0.dtype)
+                                    + mv_lo.astype(costs0.dtype))
             chi, clo = ff32_from_f64(costs_exact)
             costs_view = ff32_to_f64(chi, clo, vdtype)
             gmask = offset + jnp.arange(R_loc, dtype=jnp.int32) < tab.r

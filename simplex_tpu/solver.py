@@ -631,9 +631,9 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
     f32/mixed accuracy behaviour is unchanged. Requires an f32 tableau
     padded to 128-lane tiles on the variable axis (tableau.padded_dims
     arranges this when config.kernel_blocked_enabled)."""
-    from .kernels.blocked import (BIG_INDEX, ah_pass, apply_window_pass,
-                                  colk_costs_pass, ff32_from_f64,
-                                  ff32_to_f64)
+    from .kernels.blocked import (BIG_INDEX, ah_pass, apply_reprice_pass,
+                                  apply_window_pass, colk_costs_pass,
+                                  ff32_from_f64, ff32_to_f64)
 
     eps = float(options.eps_resolved)
     bland_static = options.pivot_rule == "bland"
@@ -723,9 +723,10 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
         C = jnp.zeros((L, r_pad), dtype)
         F = jnp.zeros((L, m_pad), dtype)
         C, F, s = lax.fori_loop(0, L, inner, (C, F, s))
-        Tt2 = apply_window_pass(s.Tt, C, F, interpret=interpret)
-        s = s._replace(Tt=Tt2)
-        if costs0 is not None:
+        if costs0 is None:
+            Tt2 = apply_window_pass(s.Tt, C, F, interpret=interpret)
+            s = s._replace(Tt=Tt2)
+        else:
             # Exact window-boundary re-pricing (see solve_loop_blocked):
             # also re-derives the double-f32 pair and the carried
             # candidates from the exact costs. The premature test and the
@@ -740,7 +741,15 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
             valid = s.base < tab.r
             coeffs = jnp.where(
                 valid, costs0[jnp.minimum(s.base, r_pad - 1)], 0.0)
-            costs_exact = costs0 - accum_matvec(Tt2, coeffs, 0, vdtype)
+            # Fused apply + pair-accumulation reprice: one tableau sweep
+            # does both (see kernels.blocked.apply_reprice_pass; the
+            # standalone widening-dot reprice alone cost 539 ms/window).
+            c_hi, c_lo = ff32_from_f64(coeffs)
+            Tt2, mv_hi, mv_lo = apply_reprice_pass(
+                s.Tt, C, F, c_hi, c_lo, interpret=interpret)
+            s = s._replace(Tt=Tt2)
+            costs_exact = costs0 - (mv_hi.astype(vdtype)
+                                    + mv_lo.astype(vdtype))
             chi, clo = ff32_from_f64(costs_exact)
             costs_view = ff32_to_f64(chi, clo, vdtype)
             vmin = jnp.min(jnp.where(row_mask, costs_view, jnp.inf))

@@ -169,6 +169,72 @@ class TestApplyWindowPass:
                                    atol=1e-5)
 
 
+class TestApplyRepricePass:
+    @pytest.mark.parametrize("m_pad,r_pad,L", [
+        (24, 384, 8),          # toy shapes, tm = m_pad
+        (136, 8192 + 256, 8),  # cdiv edge blocks on both axes (masked
+                               # coeff rows on the partial m tile)
+    ])
+    def test_matches_apply_then_matvec(self, m_pad, r_pad, L):
+        from simplex_tpu.kernels.blocked import apply_reprice_pass
+        from simplex_tpu.solver import apply_window_T
+
+        Tt = _rand((m_pad, r_pad), 50)
+        C = _rand((L, r_pad), 51)
+        F = _rand((L, m_pad), 52)
+        coeffs = jnp.asarray(
+            np.random.Generator(np.random.Philox(53)).uniform(
+                -10, 10, m_pad))
+        c_hi, c_lo = ff32_from_f64(coeffs)
+        got_T, hi, lo = apply_reprice_pass(Tt, C, F, c_hi, c_lo,
+                                           interpret=True)
+        want_T = np.asarray(apply_window_T(Tt, C, F))
+        np.testing.assert_allclose(np.asarray(got_T), want_T, atol=1e-5)
+        got_mv = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        want_mv = np.asarray(coeffs) @ want_T.astype(np.float64)
+        scale = np.max(np.abs(want_mv)) + 1.0
+        # 1e-7*scale: XLA:CPU FMA contraction, see TestRepricePass
+        np.testing.assert_allclose(got_mv, want_mv, atol=1e-7 * scale)
+
+
+class TestRepricePass:
+    @pytest.mark.parametrize("m_pad,r_pad", [
+        (16, 256),            # toy: tm = m_pad fallback
+        (128, 384),           # tm = 128, multi r tile
+        (256, 8192 + 128),    # partial r edge block (output-masked)
+    ])
+    def test_matches_f64_matvec(self, m_pad, r_pad):
+        from simplex_tpu.kernels.blocked import reprice_pass
+
+        Tt = _rand((m_pad, r_pad), 40, lo=-100.0, hi=100.0)
+        coeffs = jnp.asarray(
+            np.random.Generator(np.random.Philox(41)).uniform(
+                -100, 100, m_pad))
+        c_hi, c_lo = ff32_from_f64(coeffs)
+        hi, lo = reprice_pass(Tt, c_hi, c_lo, interpret=True)
+        got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        want = np.asarray(coeffs) @ np.asarray(Tt, np.float64)
+        # Interpret mode runs under XLA:CPU, whose LLVM backend contracts
+        # the fresh product p = c*T into downstream subtractions
+        # (p - bb -> fma(c, T, -bb)), voiding the Dekker two_prod
+        # guarantee and leaving ~one f32 rounding of the total (~2^-25
+        # relative). Mosaic on real TPU does NOT contract — the tight
+        # f64-quality bound (1e-9 relative) is asserted on silicon by
+        # tools/validate_kernel_tpu.py; here we pin the contraction-
+        # degraded level, which is still 30x tighter than a plain f32
+        # accumulation at these shapes.
+        scale = np.max(np.abs(want)) + 1.0
+        np.testing.assert_allclose(got, want, atol=1e-7 * scale)
+
+    def test_zero_coeffs_zero_result(self):
+        from simplex_tpu.kernels.blocked import reprice_pass
+
+        Tt = _rand((64, 256), 42)
+        z = jnp.zeros((64,), jnp.float32)
+        hi, lo = reprice_pass(Tt, z, z, interpret=True)
+        assert not np.asarray(hi).any() and not np.asarray(lo).any()
+
+
 class TestAhPass:
     @pytest.mark.parametrize("h", [0, 129, 255])
     def test_matches_reference_math(self, h):

@@ -81,8 +81,26 @@ def main():
         assert err < 1e-5, f"ah err {err} at h={h}"
     log("kernel math on TPU: OK")
 
+    # ---- 1a. reprice pass: Mosaic must preserve the Dekker transforms
+    # (XLA:CPU's LLVM backend FMA-contracts p - bb and degrades the pair
+    # to ~2^-25 relative; on silicon we demand f64 quality) ----
+    from simplex_tpu.kernels.blocked import reprice_pass
+
+    mp_r, rp_r = 640, 8192 + 384     # partial r edge block, tm=128 path
+    Tt_r = jnp.asarray(rng.uniform(-100, 100, (mp_r, rp_r)), jnp.float32)
+    co = jnp.asarray(rng.uniform(-100, 100, mp_r))
+    c_hi, c_lo = ff32_from_f64(co)
+    hi, lo = reprice_pass(Tt_r, c_hi, c_lo)
+    got_mv = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+    want_mv = np.asarray(co) @ np.asarray(Tt_r, np.float64)
+    scale = np.abs(want_mv).max() + 1.0
+    err = np.abs(got_mv - want_mv).max() / scale
+    assert err < 1e-9, f"reprice pair err {err} (FMA contraction?)"
+    log(f"reprice_pass on TPU: OK (rel err {err:.1e})")
+
     # ---- 1b. apply pass at a cdiv-partial shape ----
-    from simplex_tpu.kernels.blocked import apply_window_pass
+    from simplex_tpu.kernels.blocked import (apply_reprice_pass,
+                                             apply_window_pass)
     from simplex_tpu.solver import apply_window_T
 
     mp2, rp2 = 640, 8192 + 384       # partial edge blocks on both axes
@@ -94,6 +112,19 @@ def main():
     err = np.abs(got_ap - want_ap).max()
     assert err < 1e-4, f"apply err {err}"
     log("apply_window_pass on TPU: OK")
+
+    # ---- 1c. fused apply+reprice at the same cdiv-partial shape ----
+    co2 = jnp.asarray(rng.uniform(-10, 10, mp2))
+    ch2, cl2 = ff32_from_f64(co2)
+    got_T, hi2, lo2 = apply_reprice_pass(Tt2, C2, F2, ch2, cl2)
+    err = np.abs(np.asarray(got_T) - want_ap).max()
+    assert err < 1e-4, f"fused apply err {err}"
+    got_mv2 = np.asarray(hi2, np.float64) + np.asarray(lo2, np.float64)
+    want_mv2 = np.asarray(co2) @ want_ap.astype(np.float64)
+    scale = np.abs(want_mv2).max() + 1.0
+    err = np.abs(got_mv2 - want_mv2).max() / scale
+    assert err < 1e-6, f"fused reprice pair err {err}"
+    log(f"apply_reprice_pass on TPU: OK (reprice rel err {err:.1e})")
 
     # ---- 2. kernel loop vs XLA blocked loop, real phase-1 ----
     n, m, Lw = 512, 128, 32
