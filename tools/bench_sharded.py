@@ -83,37 +83,42 @@ def main():
         tab = sh.build_phase1_sharded(A, b, n, m, n_shards, opt,
                                       kernel=kernel)
         tab = constrain(tab)
+        costs0 = tab.costs        # pre-elimination, sharded like costs
         return jax.shard_map(
             sh.gaussian_eliminate_sharded, mesh=mesh,
             in_specs=(tab_specs,),
-            out_specs=tab_specs, check_vma=False)(tab)
+            out_specs=tab_specs, check_vma=False)(tab), costs0
 
     t0 = time.perf_counter()
-    tab0 = prep()
+    tab0, costs0 = prep()
     float(tab0.z)      # sync via scalar readback (axon-safe)
     log(f"tableau {tab0.T.shape} built+eliminated in "
         f"{time.perf_counter()-t0:.1f}s")
 
     def make_run(cap):
-        def core(tab):
-            tab, status, iters = sh.run_solve_loop_sharded(tab, opt, cap)
+        def core(tab, costs0):
+            # costs0 enables the window re-pricing — the production
+            # configuration (solve_sharded passes it too), so the
+            # marginal includes the fused apply+reprice pass.
+            tab, status, iters = sh.run_solve_loop_sharded(
+                tab, opt, cap, costs0)
             return tab.z, status, iters
         return jax.jit(jax.shard_map(
-            core, mesh=mesh, in_specs=(tab_specs,),
+            core, mesh=mesh, in_specs=(tab_specs, P(sh.AXIS)),
             out_specs=(P(), P(), P()), check_vma=False))
 
     results = {}
     for cap in (args.lo, args.hi):
         fn = make_run(cap)
         t0 = time.perf_counter()
-        z, status, iters = fn(tab0)
+        z, status, iters = fn(tab0, costs0)
         pivots = int(iters)
         log(f"max_iter={cap}: compile+run {time.perf_counter()-t0:.1f}s, "
             f"status={int(status)} pivots={pivots} z={float(z):.3f}")
         best = np.inf
         for i in range(args.repeats):
             t0 = time.perf_counter()
-            z, status, iters = fn(tab0)
+            z, status, iters = fn(tab0, costs0)
             pivots = int(iters)
             dt = time.perf_counter() - t0
             best = min(best, dt)
