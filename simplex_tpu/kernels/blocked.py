@@ -398,8 +398,10 @@ def _apply_reprice_kernel(Tt_ref, F_ref, C_ref, chi_ref, clo_ref,
 
     # Pair-accumulate coeffs @ new over the tile's sublane groups (see
     # _reprice_kernel). cdiv edge m-tiles are handled by masking the
-    # coeff pair on out-of-bounds rows (their `new` lanes are garbage,
-    # but 0 * garbage contributes nothing).
+    # out-of-bounds rows of BOTH the coeff pair and the freshly-written
+    # tile: the OOB lanes of `new` are undefined block padding, and
+    # 0 * padding would still poison the sum if the padding were
+    # non-finite (interpret mode deliberately NaN-fills it).
     sh = jnp.zeros((8, Tt_ref.shape[1]), jnp.float32)
     sl = jnp.zeros_like(sh)
     base_row = i * jnp.int32(tm)
@@ -410,8 +412,8 @@ def _apply_reprice_kernel(Tt_ref, F_ref, C_ref, chi_ref, clo_ref,
         g8 = g * jnp.int32(8)          # keep index math i32 under x64
         # read the fresh tile back from the output ref: dynamic slicing
         # of a register value does not lower in Mosaic
-        T8 = out_ref[pl.ds(g8, 8), :]
         valid = (base_row + g8 + sub) < jnp.int32(m_pad)
+        T8 = jnp.where(valid, out_ref[pl.ds(g8, 8), :], 0.0)
         c8 = jnp.where(valid, chi_ref[pl.ds(g8, 8), :], 0.0)
         d8 = jnp.where(valid, clo_ref[pl.ds(g8, 8), :], 0.0)
         p, pe = _two_prod(c8, T8)
@@ -434,10 +436,13 @@ def _apply_reprice_kernel(Tt_ref, F_ref, C_ref, chi_ref, clo_ref,
     hi_out[:] = s
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile_m", "tile_r"))
 def apply_reprice_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
                        c_hi: jax.Array, c_lo: jax.Array,
-                       interpret: bool = False
+                       interpret: bool = False,
+                       tile_m: int | None = None,
+                       tile_r: int | None = None,
                        ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """``Tt -= F^T @ C`` (in place, see apply_window_pass) fused with the
     window re-pricing matvec ``coeffs @ Tt_new`` (double-f32 pair, see
@@ -451,8 +456,8 @@ def apply_reprice_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
     """
     m_pad, r_pad = Tt.shape
     L = C.shape[0]
-    tm = pick_tile(m_pad, 8, 512) if m_pad % 8 == 0 else m_pad
-    tr = pick_tile(r_pad, 128, 4096)
+    tm = tile_m or (pick_tile(m_pad, 8, 512) if m_pad % 8 == 0 else m_pad)
+    tr = tile_r or pick_tile(r_pad, 128, 4096)
     grid = (cdiv(r_pad, tr), cdiv(m_pad, tm))
 
     out, hi, lo = pl.pallas_call(

@@ -196,6 +196,35 @@ class TestApplyRepricePass:
         # 1e-7*scale: XLA:CPU FMA contraction, see TestRepricePass
         np.testing.assert_allclose(got_mv, want_mv, atol=1e-7 * scale)
 
+    @pytest.mark.parametrize("tile_m,tile_r", [
+        (64, 256),    # m tiles divide, r edge block masked
+        (48, 512),    # cdiv edge m tile: coeff rows masked past m_pad
+        (136, 8448),  # single-tile degenerate grid
+    ])
+    def test_explicit_tiles_match(self, tile_m, tile_r):
+        """The tunable tile sizes (perf scans) keep edge-tile masking
+        correct: out-of-bounds coeff rows contribute nothing."""
+        from simplex_tpu.kernels.blocked import apply_reprice_pass
+        from simplex_tpu.solver import apply_window_T
+
+        m_pad, r_pad, L = 136, 8192 + 256, 8
+        Tt = _rand((m_pad, r_pad), 60)
+        C = _rand((L, r_pad), 61)
+        F = _rand((L, m_pad), 62)
+        coeffs = jnp.asarray(
+            np.random.Generator(np.random.Philox(63)).uniform(
+                -10, 10, m_pad))
+        c_hi, c_lo = ff32_from_f64(coeffs)
+        got_T, hi, lo = apply_reprice_pass(
+            Tt, C, F, c_hi, c_lo, interpret=True,
+            tile_m=tile_m, tile_r=tile_r)
+        want_T = np.asarray(apply_window_T(Tt, C, F))
+        np.testing.assert_allclose(np.asarray(got_T), want_T, atol=1e-5)
+        got_mv = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        want_mv = np.asarray(coeffs) @ want_T.astype(np.float64)
+        scale = np.max(np.abs(want_mv)) + 1.0
+        np.testing.assert_allclose(got_mv, want_mv, atol=1e-7 * scale)
+
 
 class TestRepricePass:
     @pytest.mark.parametrize("m_pad,r_pad", [

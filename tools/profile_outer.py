@@ -48,7 +48,8 @@ def main():
     from jax import lax
 
     from simplex_tpu.config import SolverOptions
-    from simplex_tpu.kernels.blocked import (ah_pass, apply_window_pass,
+    from simplex_tpu.kernels.blocked import (ah_pass, apply_reprice_pass,
+                                             apply_window_pass,
                                              colk_costs_pass, ff32_from_f64)
     from simplex_tpu.tableau import accum_matvec, round_up
 
@@ -149,6 +150,16 @@ def main():
             return exact, acc + exact[i % r_pad]
         return lax.fori_loop(0, W, body, (costs64, jnp.float64(0)))
 
+    def w_apply_reprice(Tt, C, F, b):
+        """The production fused pass: apply + reprice in ONE sweep."""
+        bhi, blo = ff32_from_f64(b)
+
+        def body(i, carry):
+            Tt, acc = carry
+            Tt, hi, lo = apply_reprice_pass(Tt, C, F, bhi, blo)
+            return Tt, acc + hi[0]
+        return lax.fori_loop(0, W, body, (Tt, jnp.float32(0)))
+
     def w_candidates(costs64):
         def body(i, carry):
             costs, acc = carry
@@ -165,13 +176,15 @@ def main():
                 Tt, C, F, chi, clo)
     k3 = timeit("XLA glue (ratio/b/z/eta/base)", k_glue, K, b, C, F)
     w1 = timeit("window apply (Pallas, in-place)", w_apply, W, Tt, C, F)
-    w2 = timeit("window reprice (accum_matvec f64)", w_reprice, W,
-                Tt, base, costs64)
+    wf = timeit("window apply+reprice FUSED (production)",
+                w_apply_reprice, W, Tt, C, F, b)
+    w2 = timeit("window reprice standalone (accum_matvec f64, UNUSED)",
+                w_reprice, W, Tt, base, costs64)
     w3 = timeit("window candidates (argmin f64)", w_candidates, W, costs64)
 
-    per_pivot = k1 + k2 + k3 + (w1 + w2 + w3) / L
-    log(f"--- model: {k1:.0f} + {k2:.0f} + {k3:.0f} glue "
-        f"+ ({w1:.0f} + {w2:.0f} + {w3:.0f})/{L} = {per_pivot:.1f} us/pivot")
+    per_pivot = k1 + k2 + k3 + (wf + w3) / L
+    log(f"--- production model: {k1:.0f} + {k2:.0f} + {k3:.0f} glue "
+        f"+ ({wf:.0f} fused + {w3:.0f} cand)/{L} = {per_pivot:.1f} us/pivot")
     return 0
 
 
