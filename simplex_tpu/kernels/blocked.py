@@ -65,6 +65,20 @@ def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def pick_tile_div(dim: int, unit: int, target: int) -> int:
+    """Like pick_tile, but prefer a tile that DIVIDES ``dim`` (searching
+    multiples of ``unit`` from ``target`` down to ``target // 2``) so
+    the grid has no partial edge block — callers can then skip the
+    edge-masking code path entirely. Falls back to pick_tile."""
+    assert target % unit == 0, (target, unit)
+    if dim <= target:
+        return dim
+    for t in range(target, target // 2 - 1, -unit):
+        if dim % t == 0:
+            return t
+    return pick_tile(dim, unit, target)
+
+
 # ---------------------------------------------------------------------------
 # Error-free float32 transforms (no FMA dependence; Dekker 1971).
 
@@ -397,43 +411,62 @@ def _apply_reprice_kernel(Tt_ref, F_ref, C_ref, chi_ref, clo_ref,
         lo_out[:] = jnp.zeros_like(lo_out)
 
     # Pair-accumulate coeffs @ new over the tile's sublane groups (see
-    # _reprice_kernel). cdiv edge m-tiles are handled by masking the
-    # out-of-bounds rows of BOTH the coeff pair and the freshly-written
-    # tile: the OOB lanes of `new` are undefined block padding, and
+    # _reprice_kernel). On a cdiv edge m-tile the out-of-bounds rows of
+    # BOTH the coeff pair and the freshly-written tile must be masked:
+    # the OOB lanes of `new` are undefined block padding, and
     # 0 * padding would still poison the sum if the padding were
-    # non-finite (interpret mode deliberately NaN-fills it).
-    sh = jnp.zeros((8, Tt_ref.shape[1]), jnp.float32)
-    sl = jnp.zeros_like(sh)
-    base_row = i * jnp.int32(tm)
-    sub = lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    # non-finite (interpret mode deliberately NaN-fills it). The mask
+    # costs ~3 VPU ops/element, so it runs ONLY on the edge tile
+    # (pl.when specialization); full tiles take the lean path — and
+    # when tm divides m_pad there is no edge tile at all.
+    def accumulate(masked):
+        base_row = i * jnp.int32(tm)
+        sub = lax.broadcasted_iota(jnp.int32, (8, 1), 0)
 
-    def body(g, carry):
-        sh, sl = carry
-        g8 = g * jnp.int32(8)          # keep index math i32 under x64
-        # read the fresh tile back from the output ref: dynamic slicing
-        # of a register value does not lower in Mosaic
-        valid = (base_row + g8 + sub) < jnp.int32(m_pad)
-        T8 = jnp.where(valid, out_ref[pl.ds(g8, 8), :], 0.0)
-        c8 = jnp.where(valid, chi_ref[pl.ds(g8, 8), :], 0.0)
-        d8 = jnp.where(valid, clo_ref[pl.ds(g8, 8), :], 0.0)
-        p, pe = _two_prod(c8, T8)
-        pe = pe + d8 * T8
-        s, e = _two_sum(sh, p)
-        return s, sl + (e + pe)
+        def body(g, carry):
+            sh, sl = carry
+            g8 = g * jnp.int32(8)      # keep index math i32 under x64
+            # read the fresh tile back from the output ref: dynamic
+            # slicing of a register value does not lower in Mosaic
+            T8 = out_ref[pl.ds(g8, 8), :]
+            c8 = chi_ref[pl.ds(g8, 8), :]
+            d8 = clo_ref[pl.ds(g8, 8), :]
+            if masked:
+                valid = (base_row + g8 + sub) < jnp.int32(m_pad)
+                T8 = jnp.where(valid, T8, 0.0)
+                c8 = jnp.where(valid, c8, 0.0)
+                d8 = jnp.where(valid, d8, 0.0)
+            p, pe = _two_prod(c8, T8)
+            pe = pe + d8 * T8
+            s, e = _two_sum(sh, p)
+            return s, sl + (e + pe)
 
-    sh, sl = lax.fori_loop(jnp.int32(0), jnp.int32(tm // 8), body,
-                           (sh, sl))
-    width = 8
-    while width > 1:
-        half = width // 2
-        s, e = _two_sum(sh[:half], sh[half:width])
-        sl = sl[:half] + (e + sl[half:width])
-        sh = s
-        width = half
+        sh = jnp.zeros((8, Tt_ref.shape[1]), jnp.float32)
+        sh, sl = lax.fori_loop(jnp.int32(0), jnp.int32(tm // 8), body,
+                               (sh, jnp.zeros_like(sh)))
+        width = 8
+        while width > 1:
+            half = width // 2
+            s, e = _two_sum(sh[:half], sh[half:width])
+            sl = sl[:half] + (e + sl[half:width])
+            sh = s
+            width = half
 
-    s, e = _two_sum(hi_out[:], sh)
-    lo_out[:] = lo_out[:] + (e + sl)
-    hi_out[:] = s
+        s, e = _two_sum(hi_out[:], sh)
+        lo_out[:] = lo_out[:] + (e + sl)
+        hi_out[:] = s
+
+    n_tiles = cdiv(m_pad, tm)
+    if m_pad % tm == 0:
+        accumulate(masked=False)
+    else:
+        @pl.when(i != n_tiles - 1)
+        def _full():
+            accumulate(masked=False)
+
+        @pl.when(i == n_tiles - 1)
+        def _edge():
+            accumulate(masked=True)
 
 
 @functools.partial(jax.jit,
@@ -456,7 +489,8 @@ def apply_reprice_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
     """
     m_pad, r_pad = Tt.shape
     L = C.shape[0]
-    tm = tile_m or (pick_tile(m_pad, 8, 512) if m_pad % 8 == 0 else m_pad)
+    tm = tile_m or (pick_tile_div(m_pad, 8, 896) if m_pad % 8 == 0
+                    else m_pad)
     tr = tile_r or pick_tile(r_pad, 128, 4096)
     grid = (cdiv(r_pad, tr), cdiv(m_pad, tm))
 
