@@ -109,6 +109,24 @@ def _two_prod(a, b):
     return x, err
 
 
+#: Whether the Mosaic lowering of ``a*b - x`` is a fused multiply-add
+#: on this target's VPU, making the one-op product-error form exact.
+#: Determined empirically on silicon by tools/probe_vpu_fma.py — flip
+#: only with a fresh probe run recorded in BENCHMARKS.md. Interpret
+#: mode (XLA:CPU eager ops) never fuses, so interpret callers must not
+#: enable it regardless.
+VPU_EXACT_FMA = False
+
+
+def _two_prod_fma(a, b):
+    """One-op product error via hardware FMA: exact ONLY where the
+    lowering emits a genuine fused multiply-add for ``a*b - x`` (see
+    VPU_EXACT_FMA). ~11 fewer full-width VPU ops than the Dekker
+    split per element."""
+    x = a * b
+    return x, a * b - x
+
+
 def ff32_from_f64(x):
     """(hi, lo) float32 pair from a float64 (or float32) array/scalar."""
     hi = x.astype(jnp.float32)
@@ -396,7 +414,8 @@ def apply_window_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
 # same sweep — the reprice's full-tableau read rides the apply's tiles.
 
 def _apply_reprice_kernel(Tt_ref, F_ref, C_ref, chi_ref, clo_ref,
-                          out_ref, hi_out, lo_out, *, tm, m_pad):
+                          out_ref, hi_out, lo_out, *, tm, m_pad,
+                          exact_fma=False):
     i = pl.program_id(1)               # m tile (fastest-varying)
 
     new = Tt_ref[:] - lax.dot_general(
@@ -436,7 +455,8 @@ def _apply_reprice_kernel(Tt_ref, F_ref, C_ref, chi_ref, clo_ref,
                 T8 = jnp.where(valid, T8, 0.0)
                 c8 = jnp.where(valid, c8, 0.0)
                 d8 = jnp.where(valid, d8, 0.0)
-            p, pe = _two_prod(c8, T8)
+            prod = _two_prod_fma if exact_fma else _two_prod
+            p, pe = prod(c8, T8)
             pe = pe + d8 * T8
             s, e = _two_sum(sh, p)
             return s, sl + (e + pe)
@@ -470,12 +490,14 @@ def _apply_reprice_kernel(Tt_ref, F_ref, C_ref, chi_ref, clo_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "tile_m", "tile_r"))
+                   static_argnames=("interpret", "tile_m", "tile_r",
+                                    "exact_fma"))
 def apply_reprice_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
                        c_hi: jax.Array, c_lo: jax.Array,
                        interpret: bool = False,
                        tile_m: int | None = None,
                        tile_r: int | None = None,
+                       exact_fma: bool | None = None,
                        ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """``Tt -= F^T @ C`` (in place, see apply_window_pass) fused with the
     window re-pricing matvec ``coeffs @ Tt_new`` (double-f32 pair, see
@@ -493,9 +515,15 @@ def apply_reprice_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
                     else m_pad)
     tr = tile_r or pick_tile(r_pad, 128, 4096)
     grid = (cdiv(r_pad, tr), cdiv(m_pad, tm))
+    if exact_fma is None:
+        # Interpret mode executes mul and sub as separate (correctly
+        # rounded) ops, so the one-op error form is 0 there — never
+        # valid; on hardware it is gated by the probed constant.
+        exact_fma = VPU_EXACT_FMA and not interpret
 
     out, hi, lo = pl.pallas_call(
-        functools.partial(_apply_reprice_kernel, tm=tm, m_pad=m_pad),
+        functools.partial(_apply_reprice_kernel, tm=tm, m_pad=m_pad,
+                          exact_fma=exact_fma),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, tr), lambda j, i: (i, j),
