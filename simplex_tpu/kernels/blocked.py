@@ -232,12 +232,15 @@ def _colk_kernel(idx_ref,                       # prefetch: [k, live_segs]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("eps", "interpret"))
+                   static_argnames=("eps", "interpret", "tile_r",
+                                    "seg_rows"))
 def colk_costs_pass(Tt: jax.Array, C: jax.Array, w: jax.Array,
                     chi: jax.Array, clo: jax.Array,
                     k: jax.Array, t: jax.Array,
                     u_hi: jax.Array, u_lo: jax.Array,
-                    r, eps: float, interpret: bool = False):
+                    r, eps: float, interpret: bool = False,
+                    tile_r: int | None = None,
+                    seg_rows: int | None = None):
     """One fused R-side pivot pass.
 
     Args: Tt (M_pad, R_pad) f32 stale transposed tableau; C (L, R_pad)
@@ -254,13 +257,13 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, w: jax.Array,
     """
     m_pad, r_pad = Tt.shape
     L = C.shape[0]
-    seg = min(SEG, L)
+    seg = min(seg_rows or SEG, L)
     assert L % seg == 0, (L, seg)
     n_segs = L // seg
     # 8192-lane tiles measured best at the flagship shape: large enough
     # for DMA efficiency (1 MB C blocks), small enough to pipeline
     # (131072-lane near-single-step grids lost ~5% to pipeline fill).
-    tr = pick_tile(r_pad, 128, 8192)
+    tr = tile_r or pick_tile(r_pad, 128, 8192)
     grid = (cdiv(r_pad, tr), n_segs)
 
     live_segs = jnp.minimum(lax.div(t + seg - 1, jnp.int32(seg)),
