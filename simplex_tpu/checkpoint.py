@@ -114,6 +114,12 @@ def _run_windows(tab: Tableau, options: SolverOptions, max_iter: int,
         tab, status, it = run(tab, window)
         done += int(it)           # scalar readback syncs the executable
         status = int(status)
+        if status == int(Status.RUNNING) and int(it) == 0:
+            # No progress is possible (device windows<max_iter guard
+            # tripped on a zero-pivot cycle): stop instead of re-saving
+            # the same checkpoint forever. Same mapping as the device's
+            # own guard: report MAXITER.
+            return tab, int(Status.MAXITER), done
         if status != int(Status.RUNNING) or done >= max_iter:
             return tab, status, done
         save_state(path, tab, phase=phase, iterations=done, iters1=iters1)

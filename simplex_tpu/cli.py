@@ -156,14 +156,30 @@ def _report(result: SolveResult, problem: Problem, data_dir: str) -> None:
           f"phase-2 pivots: {result.iterations_phase2})")
 
 
+def _sweep_manifest(measures: str) -> str:
+    import os
+
+    return os.path.join(measures, ".sweep_done")
+
+
 def _sweep_csv_complete(measures: str, n_vars: int,
                         n_constraints: int) -> bool:
-    """True when the size's chrono CSV ends with its terminal row — a
-    ``solution`` row for an OPTIMAL solve (timed.py writes it last). A
-    crashed sweep leaves a dangling partial row instead, so the size is
+    """True when the size finished: either its chrono CSV ends with the
+    ``solution`` row (OPTIMAL solves — timed.py writes it last), or the
+    sweep manifest records the size (covers runs that legitimately ended
+    INFEASIBLE/UNBOUNDED/MAXITER, whose CSVs end on a ``solveIterations``
+    row indistinguishable from a mid-sweep crash). A crashed sweep
+    leaves a dangling partial row and no manifest entry, so the size is
     re-run."""
     import os
 
+    key = f"{n_vars}_{n_constraints}"
+    try:
+        with open(_sweep_manifest(measures)) as fh:
+            if any(line.split()[:1] == [key] for line in fh):
+                return True
+    except OSError:
+        pass
     path = os.path.join(measures, f"benchmark_{n_vars}_{n_constraints}.txt")
     try:
         with open(path, "rb") as fh:
@@ -199,6 +215,10 @@ def _sweep(args, options: SolverOptions) -> None:
         print(f"status={result.status.name} objective={result.objective:f} "
               f"pivots={result.iterations_phase1}+"
               f"{result.iterations_phase2}")
+        if args.timer:
+            with open(_sweep_manifest(measures), "a") as fh:
+                fh.write(f"{n_vars}_{n_constraints} "
+                         f"{result.status.name}\n")
     print(f"Benchmark finished in {time.time() - sweep_start:.3f}s")
 
 

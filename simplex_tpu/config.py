@@ -177,6 +177,19 @@ class SolverOptions:
                 or self.vector_dtype == np.float64)
 
 
+def kernel_blocked_eligible(options: SolverOptions) -> bool:
+    """Backend-independent part of the fused-kernel gate: blocked mode
+    configured, f32 tableau, kernels not explicitly disabled. Shared by
+    kernel_blocked_enabled (which adds the TPU-backend requirement) and
+    by the sharded interpret path (which substitutes interpret mode for
+    the backend check) so the two can never silently diverge."""
+    if not (options.block_pivots and int(options.block_pivots) > 1):
+        return False
+    if np.dtype(options.dtype).itemsize != 4:
+        return False
+    return options.use_pallas == "auto" or bool(options.use_pallas)
+
+
 def kernel_blocked_enabled(options: SolverOptions) -> bool:
     """True when the deferred-block-pivot loop should use the fused
     Pallas per-pivot passes (kernels/blocked.py): f32 tableau, blocked
@@ -185,11 +198,7 @@ def kernel_blocked_enabled(options: SolverOptions) -> bool:
     the kernels there via interpret mode). Shared by the solver dispatch
     and by the tableau padding (the kernels need the variable axis padded
     to full 128-lane tiles)."""
-    if not (options.block_pivots and int(options.block_pivots) > 1):
-        return False
-    if np.dtype(options.dtype).itemsize != 4:
-        return False
-    if options.use_pallas != "auto" and not options.use_pallas:
+    if not kernel_blocked_eligible(options):
         return False
     import jax
 

@@ -516,6 +516,12 @@ def apply_reprice_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
     L = C.shape[0]
     tm = tile_m or (pick_tile_div(m_pad, 8, 896) if m_pad % 8 == 0
                     else m_pad)
+    # The accumulation walks tm // 8 sublane groups: a tile height that
+    # is not a multiple of 8 would silently DROP the trailing rows from
+    # the reprice matvec (the apply itself would still be right).
+    assert tm % 8 == 0, (
+        f"apply_reprice_pass needs 8-row-aligned tiles, got tile_m={tm} "
+        f"for m_pad={m_pad}; pad the sublane axis or pass tile_m")
     tr = tile_r or pick_tile(r_pad, 128, 4096)
     grid = (cdiv(r_pad, tr), cdiv(m_pad, tm))
     if exact_fma is None:

@@ -60,14 +60,10 @@ def kernel_blocked_sharded_enabled(options: SolverOptions,
     gating as the single-chip config.kernel_blocked_enabled, plus an
     ``interpret`` escape hatch so the CPU-mesh tests exercise the kernel
     path without a TPU backend."""
-    from ..config import kernel_blocked_enabled
+    from ..config import kernel_blocked_eligible, kernel_blocked_enabled
 
     if interpret:
-        return bool(options.block_pivots
-                    and int(options.block_pivots) > 1
-                    and np.dtype(options.dtype).itemsize == 4
-                    and (options.use_pallas == "auto"
-                         or bool(options.use_pallas)))
+        return kernel_blocked_eligible(options)
     return kernel_blocked_enabled(options)
 
 

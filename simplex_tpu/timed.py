@@ -131,6 +131,14 @@ def _run_solve(tab, options, max_iter, chrono, rows_csv, per_iteration,
         while True:
             tab, status, iters = compiled(tab, costs0)
             status_i = int(status)      # scalar readback = sync point
+            if status_i == int(Status.RUNNING) and int(iters) == 0:
+                # A RUNNING window that applied no pivots cannot make
+                # progress (the device-side windows<max_iter guard
+                # tripped on a zero-pivot cycle); re-running the same
+                # executable on identical state would loop the host
+                # forever. Surface it as MAXITER, like the device would.
+                status_i = int(Status.MAXITER)
+                break
             total += int(iters)
             # The final window may overshoot max_iter by < cap (same
             # contract as checkpoint._run_windows).

@@ -135,17 +135,23 @@ class TestTileChoice:
         assert cdiv(dim, t) * t >= dim
 
     @pytest.mark.parametrize("dim,unit,target,want_divides", [
-        (120064, 8, 896, True),    # flagship sublane axis: 896*134
+        (10112, 8, 896, True),     # flagship SUBLANE axis (constraints
+                                   # M_pad): 632 = 8*79 divides
+        (120064, 8, 896, True),    # flagship lane axis: 896*134
         (24704, 8, 896, False),    # 2^7*193: no divisor in range
         (512, 8, 896, True),       # dim <= target: whole axis
-        (10112, 8, 896, True),     # 79*128: 632 divides (79*8)
     ])
     def test_pick_tile_div(self, dim, unit, target, want_divides):
-        from simplex_tpu.kernels.blocked import pick_tile_div
+        from simplex_tpu.kernels.blocked import pick_tile, pick_tile_div
 
         t = pick_tile_div(dim, unit, target)
         assert t % unit == 0 and t <= max(target, dim)
-        assert (dim % t == 0) == want_divides or dim % t == 0
+        if want_divides:
+            assert dim % t == 0
+            assert target // 2 <= t <= max(target, dim)
+        else:
+            # no divisor in [target/2, target]: falls back to pick_tile
+            assert t == pick_tile(dim, unit, target)
 
     def test_partial_edge_block_matches_math(self):
         """colk pass on an r_pad NOT divisible by the tile target still

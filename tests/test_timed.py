@@ -167,3 +167,26 @@ def test_sweep_resume_skips_complete_csvs(tmp_path, capsys):
         fh.write("5.0\n513,256,solveIterations,0.00001\n"
                  "513,256,solution,42.0\n")
     assert _sweep_csv_complete(measures, 256, 256)
+
+
+def test_sweep_resume_manifest_covers_non_optimal(tmp_path):
+    """A size that legitimately ended INFEASIBLE/MAXITER has no
+    `solution` row; the sweep manifest records it as done so
+    --resume-sweep does not re-measure it on every resume."""
+    from simplex_tpu.cli import _sweep_csv_complete, _sweep_manifest
+
+    measures = str(tmp_path)
+    path = os.path.join(measures, "benchmark_512_256.txt")
+    # CSV ends on phase-1 solveIterations: indistinguishable from a
+    # crash right after phase 1 — incomplete without a manifest entry.
+    with open(path, "w") as fh:
+        fh.write("vars,contraints,operation,elapsed_time\n"
+                 "1025,256,fillTableau,1000.0\n"
+                 "1025,256,solve,5000.0\n"
+                 "1025,256,solveIterations,0.0005\n")
+    assert not _sweep_csv_complete(measures, 512, 256)
+    with open(_sweep_manifest(measures), "a") as fh:
+        fh.write("512_256 INFEASIBLE\n")
+    assert _sweep_csv_complete(measures, 512, 256)
+    # Other sizes are not affected by the entry.
+    assert not _sweep_csv_complete(measures, 256, 256)

@@ -42,7 +42,9 @@ def main():
     from simplex_tpu.kernels.blocked import (apply_reprice_pass,
                                              apply_window_pass)
 
-    m_pad, r_pad, L = 120064, 10112, 128
+    # PRODUCTION orientation: sublanes = constraints M_pad = 10112,
+    # lanes = variables R_pad = 120064 (see solve_loop_blocked_kernel).
+    m_pad, r_pad, L = 10112, 120064, 128
     # Generate ON device: a 4.85 GB host->device transfer over the axon
     # tunnel can take many minutes (especially right after a wedge).
     import jax.random as jr
@@ -92,9 +94,9 @@ def main():
            lambda Tt, C: apply_window_pass(Tt, C, F))
 
     import os
-    configs = ((512, 4096), (1024, 4096), (512, 8192))
+    configs = ((632, 4096), (512, 4096), (632, 8192))
     if os.environ.get("SCAN_EXTRA"):
-        configs += ((768, 4096), (256, 4096))
+        configs += ((1264, 4096), (256, 4096))
     for tm, tr in configs:
         vmem = 4 * tm * tr * 4 / 2**20
         if vmem > 96:

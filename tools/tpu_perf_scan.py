@@ -62,7 +62,11 @@ def main():
         f"(fma max dev {np.abs(np.asarray(plain, np.float64) - true_err).max():.3e})")
 
     # ---- shared flagship-shape device arrays -------------------------
-    m_pad, r_pad, L = 120064, 10112, 128
+    # PRODUCTION orientation (solver.solve_loop_blocked_kernel:
+    # Tt = tab.T.T): sublane axis = constraints M_pad = 10112, lane
+    # axis = variables R_pad = 120064. An earlier version of this tool
+    # had them swapped and its numbers did not transfer.
+    m_pad, r_pad, L = 10112, 120064, 128
     import jax.random as jr
     ks = jr.split(jr.PRNGKey(0), 6)
     mk = jax.jit(lambda: (
@@ -107,10 +111,12 @@ def main():
 
     time_window("apply_window_pass (no reprice)",
                 lambda Tt, C: apply_window_pass(Tt, C, F))
-    configs = [(None, None, False), (512, 4096, False), (896, 4096, False),
-               (896, 8192, False)]
+    # auto tm = pick_tile_div(10112, 8, 896) = 632 (16 tiles, no edge);
+    # 1264 = 2*632 also divides; 512 forces the cdiv edge path.
+    configs = [(None, None, False), (512, 4096, False),
+               (1264, 4096, False), (632, 8192, False)]
     if fma_ok:
-        configs += [(None, None, True), (896, 4096, True)]
+        configs += [(None, None, True), (632, 8192, True)]
     for tm, tr, fma in configs:
         label = f"fused tm={tm or 'auto'} tr={tr or 'auto'} fma={fma}"
         try:
