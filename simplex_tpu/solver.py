@@ -787,20 +787,26 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
 
 
 def use_pallas(options: SolverOptions) -> bool:
-    """Resolve the use_pallas option at trace time: enabled on TPU
-    backends for 32-bit tableaus only (the Mosaic TPU lowering cannot
-    reduce f64 to SMEM scalars — f64 parity mode stays on the pure-XLA
-    loop, which XLA already runs at the HBM ceiling), never under the
-    CPU/GPU fallbacks — including an explicit ``use_pallas=True``, which
-    would otherwise crash inside ``pl.pallas_call`` off-TPU (tests
-    exercise the kernel on CPU via interpret mode instead)."""
+    """Whether the SEQUENTIAL loop dispatches to the fused single-pivot
+    Pallas kernel (kernels/pivot.py): explicit ``use_pallas=True`` on a
+    TPU backend with a pure-f32 tableau only.
+
+    ``"auto"`` resolves to False here: at the flagship shape the
+    sequential rank-1 update is HBM-bound and the pure-XLA loop already
+    runs at the measured elementwise ceiling — the kernel measured
+    16.28 vs 16.07 ms/pivot (BENCHMARKS.md), so auto takes the faster
+    XLA loop. (The BLOCKED loop's fused passes, gated separately by
+    config.kernel_blocked_enabled, are where Pallas wins and remain on
+    by default.) Never True off-TPU — including explicit True, which
+    would otherwise crash inside ``pl.pallas_call`` (tests exercise the
+    kernel on CPU via interpret mode instead)."""
     if np.dtype(options.dtype).itemsize != 4:
         return False
     if np.dtype(options.vector_dtype) != np.dtype(options.dtype):
         return False   # the fused kernel is single-dtype
     if jax.default_backend() != "tpu":
         return False
-    return options.use_pallas == "auto" or bool(options.use_pallas)
+    return options.use_pallas is not False and options.use_pallas != "auto"
 
 
 def run_solve_loop(tab: Tableau, options: SolverOptions, max_iter: int,

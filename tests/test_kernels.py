@@ -147,3 +147,17 @@ def test_use_pallas_gated_off_tpu():
                                         use_pallas=True))
     assert not use_pallas(SolverOptions(dtype=np.float32,
                                         vector_dtype=np.float32))
+
+
+def test_use_pallas_auto_prefers_xla_sequential(monkeypatch):
+    """'auto' resolves the SEQUENTIAL loop to pure XLA even on TPU (the
+    kernel measured slower there, BENCHMARKS.md); only an explicit
+    use_pallas=True dispatches kernels/pivot.py."""
+    import simplex_tpu.solver as solver_mod
+    from simplex_tpu.solver import use_pallas
+
+    monkeypatch.setattr(solver_mod.jax, "default_backend", lambda: "tpu")
+    f32 = dict(dtype=np.float32, vector_dtype=np.float32)
+    assert not use_pallas(SolverOptions(**f32))                  # auto
+    assert not use_pallas(SolverOptions(**f32, use_pallas=False))
+    assert use_pallas(SolverOptions(**f32, use_pallas=True))
