@@ -132,6 +132,10 @@ def main():
            make_pallas(1024, 4096, P.HIGHEST, True, True))
     timeit("pallas 512x4096 DEFAULT j-major Fres",
            make_pallas(512, 4096, P.DEFAULT, True, True))
+    timeit("pallas 512x4096 HIGH(bf16x3) j-major Fres",
+           make_pallas(512, 4096, P.HIGH, True, True))
+    timeit("pallas 632x4096 HIGH(bf16x3) j-major Fres",
+           make_pallas(632, 4096, P.HIGH, True, True))
     timeit("pallas 256x4096 HIGHEST j-major Fres",
            make_pallas(256, 4096, P.HIGHEST, True, True))
     return 0
