@@ -150,6 +150,42 @@ def test_aggregate_windowing_matches_unwindowed(monkeypatch, tmp_path):
         assert ops.count("solveIterations") == 2
 
 
+def test_zero_pivot_window_maps_to_maxiter(monkeypatch):
+    """A solve window returning RUNNING with 0 pivots (the device-side
+    zero-pivot-cycle guard's outcome) must terminate the host loop as
+    MAXITER instead of re-running the identical window forever."""
+    import jax.numpy as jnp
+
+    import simplex_tpu.timed as timed
+    from simplex_tpu.chrono import NullChrono
+    from simplex_tpu.tableau import build_phase1
+    from simplex_tpu.config import DEFAULT_OPTIONS
+
+    rng = np.random.default_rng(5)
+    A = rng.uniform(1, 10, (4, 8))
+    tab = build_phase1(jnp.asarray(A), jnp.asarray(rng.uniform(1, 10, 4)),
+                       8, 4, DEFAULT_OPTIONS)
+    calls = []
+
+    class FakeCompiled:
+        def __call__(self, t, costs0=None):
+            calls.append(1)
+            return t, jnp.int32(int(Status.RUNNING)), jnp.int32(0)
+
+    class FakeLowered:
+        def compile(self):
+            return FakeCompiled()
+
+    monkeypatch.setattr(timed, "_solve",
+                        type("S", (), {"lower":
+                                       staticmethod(lambda *a: FakeLowered())}))
+    out_tab, status, total = timed._run_solve(
+        tab, DEFAULT_OPTIONS, 1000, NullChrono(), None, False)
+    assert status == int(Status.MAXITER)
+    assert total == 0
+    assert len(calls) == 1          # exactly one window, no host loop
+
+
 def test_sweep_resume_skips_complete_csvs(tmp_path, capsys):
     """-t --timer --resume-sweep re-runs only sizes whose CSV is missing
     or truncated (crash recovery for the 36-size sweep)."""
