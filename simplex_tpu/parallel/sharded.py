@@ -47,7 +47,8 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import DEFAULT_OPTIONS, SolverOptions, Status
-from ..solver import LoopState, _dot_precision, apply_window
+from ..solver import (LoopState, _dot_precision, anticycling_update,
+                      apply_window)
 from ..tableau import Tableau, accum_matvec, round_up
 
 AXIS = "vars"
@@ -170,11 +171,30 @@ def gather_cost_at(tab: Tableau, h) -> jax.Array:
     return lax.psum(jnp.where(own, val, jnp.zeros_like(val)), AXIS)
 
 
+def _gather_basic_coeffs(base, costs, r, R_loc) -> jax.Array:
+    """(M_pad,) replicated coefficient vector costs[base] for the basic
+    variables: each shard contributes the entries whose GLOBAL variable
+    index it owns (dropped/artificial sentinels ``base >= r`` contribute
+    0), folded with one psum. Shared by the sharded Gaussian elimination
+    and both sharded window re-pricing paths — the validity mask here
+    was patched once already (dropped-constraint sentinel) and must stay
+    identical across all three."""
+    offset = (lax.axis_index(AXIS) * R_loc).astype(base.dtype)
+    local_idx = base - offset
+    own = (local_idx >= 0) & (local_idx < R_loc) & (base < r)
+    vals = costs[jnp.clip(local_idx, 0, R_loc - 1)]
+    return lax.psum(jnp.where(own, vals, 0.0), AXIS)
+
+
 def ratio_test_replicated(tab: Tableau, a_h, eps: float):
     """Leaving constraint on the replicated (b, a_h) pair — identical math
     to the single-chip path (reference reduction.cu:106-140), computed
-    redundantly on every shard (no communication)."""
-    mask = (a_h >= eps) & tab.col_mask()
+    redundantly on every shard (no communication). Like every other
+    ratio test in this repo, padded constraint columns need no explicit
+    mask: a_h is exactly 0 there (padded tableau columns stay zero under
+    both rank-1 and eta updates), so ``a_h >= eps`` already excludes
+    them."""
+    mask = a_h >= eps
     unbounded = ~mask.any()
     ratios = jnp.where(mask, tab.b / jnp.where(mask, a_h, 1.0), jnp.inf)
     k = jnp.argmin(ratios).astype(jnp.int32)
@@ -222,7 +242,6 @@ def solve_loop_sharded(tab: Tableau, options: SolverOptions, max_iter: int):
         k, unbounded = ratio_test_replicated(tab, a_h, eps)
         do_pivot = ~(optimal | unbounded)
 
-        p_raw = a_h[k]
         safe_a_h = jnp.where(do_pivot, a_h,
                              jnp.zeros_like(a_h).at[k].set(1.0))
         new_tab = pivot_update_sharded(tab, safe_a_h, h, k, minc)
@@ -235,19 +254,9 @@ def solve_loop_sharded(tab: Tableau, options: SolverOptions, max_iter: int):
                       int(Status.RUNNING))).astype(jnp.int32)
 
         improved = jnp.abs(tab_out.z - tab.z) >= eps
-        stall = jnp.where(do_pivot,
-                          jnp.where(improved, 0, state.stall + 1),
-                          state.stall).astype(jnp.int32)
-        if bland_static:
-            bland = jnp.ones((), bool)
-        elif threshold is None:
-            bland = jnp.zeros((), bool)
-        else:
-            bland = jnp.where(
-                do_pivot,
-                jnp.where(improved, False, stall >= threshold),
-                state.bland)
-        del p_raw
+        stall, bland = anticycling_update(
+            do_pivot, improved, state.stall, state.bland,
+            bland_static=bland_static, threshold=threshold)
         return LoopState(tab_out, status,
                          state.iterations + do_pivot.astype(jnp.int32),
                          stall, bland)
@@ -333,15 +342,9 @@ def solve_loop_blocked_sharded(tab: Tableau, options: SolverOptions,
             s.status).astype(jnp.int32)
 
         improved = jnp.abs(z2 - tab.z) >= eps
-        stall = jnp.where(do, jnp.where(improved, 0, s.stall + 1),
-                          s.stall).astype(jnp.int32)
-        if bland_static:
-            bland = jnp.ones((), bool)
-        elif threshold is None:
-            bland = jnp.zeros((), bool)
-        else:
-            bland = jnp.where(do, jnp.where(improved, False,
-                                            stall >= threshold), s.bland)
+        stall, bland = anticycling_update(
+            do, improved, s.stall, s.bland,
+            bland_static=bland_static, threshold=threshold)
 
         tab2 = dataclasses.replace(tab, costs=costs2, b=b2, z=z2,
                                    base=base2)
@@ -361,12 +364,8 @@ def solve_loop_blocked_sharded(tab: Tableau, options: SolverOptions,
             # solve_loop_blocked): basic-cost gather is one psum, the
             # reprice a local matvec; a premature OPTIMAL on drifted
             # costs is reverted if exact pricing still improves.
-            offset = _global_row_offset(tab2)
-            local_idx = tab2.base - offset
-            own = ((local_idx >= 0) & (local_idx < R_loc)
-                   & (tab2.base < tab2.r))
-            vals = costs0[jnp.clip(local_idx, 0, R_loc - 1)]
-            coeffs = lax.psum(jnp.where(own, vals, 0.0), AXIS)
+            coeffs = _gather_basic_coeffs(tab2.base, costs0, tab2.r,
+                                          R_loc)
             costs_exact = costs0 - accum_matvec(
                 tab2.T, coeffs, 1, costs0.dtype)
             lmin = jnp.min(jnp.where(_local_row_mask(tab2), costs_exact,
@@ -422,14 +421,17 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
     each shard's LOCAL transposed slice (the kernels never see the mesh).
 
     Identical pivot semantics to solver.solve_loop_blocked_kernel; the
-    only distributed additions are three scalar/vector collectives per
-    pivot (same count as the plain sharded loops):
+    only distributed additions are four collectives per pivot (two
+    scalar-sized, one scalar, one O(m)):
 
-    1. candidate fold: ``all_gather`` of each shard's kernel-produced
-       (v_dantzig, h_dantzig, h_bland) triple + lexicographic min,
+    1. candidate fold: TWO ``all_gather``s — each shard's kernel-produced
+       f32 v_dantzig, plus its (h_dantzig, h_bland) int32 pair stacked
+       into one gather — then a lexicographic min (XLA's collective
+       combiner may merge the gathers),
     2. ``minc``: one scalar psum from the owner's (hi, lo) pair,
     3. the live entering row ``a_h``: every shard runs ``ah_pass`` on its
-       slice, the owner's result rides one (M_pad,) psum.
+       slice, the owner's result rides one (M_pad,) psum — the only
+       O(m)-byte collective per pivot.
 
     The window apply and the R-side colk/costs/argmin pass are pure local
     work, so the ~L x traffic amortisation AND the fused-kernel op-count
@@ -456,13 +458,23 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
         same f32-value lexicographic fold the kernel does across its R
         tiles, extended across shards (ties -> lowest global index,
         contiguous shard blocks keep the order global)."""
+        # dtype-preserving: the in-window fold gets the kernels' f32 hi
+        # values (same comparison the single-chip kernel folds across R
+        # tiles), but the POST-REPRICE fold gets the exact f64 view —
+        # casting that to f32 here would tie values the single-chip
+        # xla_candidates distinguishes, and knife-edge instances would
+        # take different pivot walks sharded vs unsharded.
         gd = jnp.where(lh_d >= big, big, offset + lh_d).astype(jnp.int32)
         gb = jnp.where(lh_b >= big, big, offset + lh_b).astype(jnp.int32)
-        vals = lax.all_gather(v_d.astype(jnp.float32), AXIS)
-        idxs = lax.all_gather(gd, AXIS)
+        vals = lax.all_gather(v_d, AXIS)
+        # Both int32 candidates ride ONE gather (stacked), so the fold
+        # costs two all_gathers total — and XLA's collective combiner
+        # may merge those further.
+        idxs = lax.all_gather(jnp.stack([gd, gb]), AXIS)   # (P, 2)
         gmin = jnp.min(vals)
-        h_d = jnp.min(jnp.where(vals == gmin, idxs, big)).astype(jnp.int32)
-        h_b = jnp.min(lax.all_gather(gb, AXIS)).astype(jnp.int32)
+        h_d = jnp.min(jnp.where(vals == gmin, idxs[:, 0],
+                                big)).astype(jnp.int32)
+        h_b = jnp.min(idxs[:, 1]).astype(jnp.int32)
         return h_d, h_b
 
     def gather_cost_view(chi, clo, h, offset):
@@ -480,7 +492,7 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
         (the sharded mirror of the single-chip xla_candidates)."""
         masked = jnp.where(gmask, view, jnp.inf)
         lh_d = jnp.argmin(masked).astype(jnp.int32)
-        v_d = masked[lh_d].astype(jnp.float32)
+        v_d = masked[lh_d]       # full precision: see fold_candidates
         iota = jnp.arange(R_loc, dtype=jnp.int32)
         eligible = masked <= -eps
         lh_b = jnp.min(jnp.where(eligible, iota, big)).astype(jnp.int32)
@@ -539,15 +551,9 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
             s.status).astype(jnp.int32)
 
         improved = jnp.abs(z2 - s.z) >= eps
-        stall = jnp.where(do, jnp.where(improved, 0, s.stall + 1),
-                          s.stall).astype(jnp.int32)
-        if bland_static:
-            bland = jnp.ones((), bool)
-        elif threshold is None:
-            bland = jnp.zeros((), bool)
-        else:
-            bland = jnp.where(do, jnp.where(improved, False,
-                                            stall >= threshold), s.bland)
+        stall, bland = anticycling_update(
+            do, improved, s.stall, s.bland,
+            bland_static=bland_static, threshold=threshold)
 
         return (C2, F2, BlockedKernelShardedState(
             s.Tt, b2, chi2, clo2, z2, base2, status,
@@ -569,11 +575,8 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
             # window and pair-accumulates the reprice matvec
             # (kernels.blocked.apply_reprice_pass).
             offset = offset32()
-            local_idx = s.base.astype(jnp.int32) - offset
-            own = ((local_idx >= 0) & (local_idx < R_loc)
-                   & (s.base < tab.r))
-            vals = costs0[jnp.clip(local_idx, 0, R_loc - 1)]
-            coeffs = lax.psum(jnp.where(own, vals, 0.0), AXIS)
+            coeffs = _gather_basic_coeffs(s.base.astype(jnp.int32),
+                                          costs0, tab.r, R_loc)
             c_hi, c_lo = ff32_from_f64(coeffs)
             Tt2, mv_hi, mv_lo = apply_reprice_pass(
                 s.Tt, C, F, c_hi, c_lo, interpret=interpret)
@@ -636,12 +639,8 @@ def gaussian_eliminate_sharded(tab: Tableau) -> Tableau:
     updateObjectiveFunction, gaussian.cu:110-162): the basic-variable cost
     gather becomes one psum of an (M_pad,) coefficient vector, then the
     update is a local matvec per shard."""
-    R_loc = _local_rows(tab)
-    offset = _global_row_offset(tab)
-    local_idx = tab.base - offset
-    own = (local_idx >= 0) & (local_idx < R_loc) & (tab.base < tab.r)
-    vals = tab.costs[jnp.clip(local_idx, 0, R_loc - 1)]
-    coeffs = lax.psum(jnp.where(own, vals, 0.0), AXIS)      # (M_pad,)
+    coeffs = _gather_basic_coeffs(tab.base, tab.costs, tab.r,
+                                  _local_rows(tab))        # (M_pad,)
     delta = accum_matvec(tab.T, coeffs, 1, tab.costs.dtype)
     return dataclasses.replace(
         tab,

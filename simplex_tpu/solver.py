@@ -148,22 +148,35 @@ def iteration_body(state: LoopState, options: SolverOptions) -> LoopState:
                   int(Status.RUNNING))).astype(jnp.int32)
 
     improved = jnp.abs(tab_out.z - tab.z) >= eps
-    stall = jnp.where(do_pivot,
-                      jnp.where(improved, 0, state.stall + 1),
-                      state.stall).astype(jnp.int32)
+    stall, bland = anticycling_update(
+        do_pivot, improved, state.stall, state.bland,
+        bland_static=bland_static, threshold=threshold)
+
+    return LoopState(tab_out, status,
+                     state.iterations + do_pivot.astype(jnp.int32),
+                     stall, bland)
+
+
+def anticycling_update(do, improved, prev_stall, prev_bland, *,
+                       bland_static: bool, threshold):
+    """The shared stall/Bland anti-cycling policy, identical across
+    every solve loop (sequential, Pallas, blocked, blocked-kernel, and
+    their three sharded mirrors): an applied pivot that improves z by
+    >= eps resets the stall counter and leaves Bland mode; a
+    non-improving pivot increments it and enters Bland once the counter
+    reaches ``threshold``. ``bland_static`` pins Bland on
+    (pivot_rule='bland'); ``threshold=None`` disables the fallback.
+    Returns (stall, bland)."""
+    stall = jnp.where(do, jnp.where(improved, 0, prev_stall + 1),
+                      prev_stall).astype(jnp.int32)
     if bland_static:
         bland = jnp.ones((), bool)
     elif threshold is None:
         bland = jnp.zeros((), bool)
     else:
-        bland = jnp.where(
-            do_pivot,
-            jnp.where(improved, False, stall >= threshold),
-            state.bland)
-
-    return LoopState(tab_out, status,
-                     state.iterations + do_pivot.astype(jnp.int32),
-                     stall, bland)
+        bland = jnp.where(do, jnp.where(improved, False,
+                                        stall >= threshold), prev_bland)
+    return stall, bland
 
 
 def initial_state(tab: Tableau, options: SolverOptions) -> LoopState:
@@ -267,18 +280,9 @@ def solve_loop_pallas(tab: Tableau, options: SolverOptions,
                       int(Status.RUNNING))).astype(jnp.int32)
 
         improved = jnp.abs(tab2.z - tab.z) >= eps
-        stall = jnp.where(do_pivot,
-                          jnp.where(improved, 0, s.stall + 1),
-                          s.stall).astype(jnp.int32)
-        if bland_static:
-            bland = jnp.ones((), bool)
-        elif threshold is None:
-            bland = jnp.zeros((), bool)
-        else:
-            bland = jnp.where(
-                do_pivot,
-                jnp.where(improved, False, stall >= threshold),
-                s.bland)
+        stall, bland = anticycling_update(
+            do_pivot, improved, s.stall, s.bland,
+            bland_static=bland_static, threshold=threshold)
 
         return PallasLoopState(tab2, status,
                                s.iterations + do_pivot.astype(jnp.int32),
@@ -531,15 +535,9 @@ def solve_loop_blocked(tab: Tableau, options: SolverOptions,
             s.status).astype(jnp.int32)
 
         improved = jnp.abs(z2 - s.z) >= eps
-        stall = jnp.where(do, jnp.where(improved, 0, s.stall + 1),
-                          s.stall).astype(jnp.int32)
-        if bland_static:
-            bland = jnp.ones((), bool)
-        elif threshold is None:
-            bland = jnp.zeros((), bool)
-        else:
-            bland = jnp.where(do, jnp.where(improved, False,
-                                            stall >= threshold), s.bland)
+        stall, bland = anticycling_update(
+            do, improved, s.stall, s.bland,
+            bland_static=bland_static, threshold=threshold)
 
         return (C2, F2, BlockedLoopState(
             s.Tt, b2, costs2, z2, base2, status,
@@ -704,15 +702,9 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
             s.status).astype(jnp.int32)
 
         improved = jnp.abs(z2 - s.z) >= eps
-        stall = jnp.where(do, jnp.where(improved, 0, s.stall + 1),
-                          s.stall).astype(jnp.int32)
-        if bland_static:
-            bland = jnp.ones((), bool)
-        elif threshold is None:
-            bland = jnp.zeros((), bool)
-        else:
-            bland = jnp.where(do, jnp.where(improved, False,
-                                            stall >= threshold), s.bland)
+        stall, bland = anticycling_update(
+            do, improved, s.stall, s.bland,
+            bland_static=bland_static, threshold=threshold)
 
         return (C2, F2, BlockedKernelState(
             s.Tt, b2, chi2, clo2, z2, base2, status,
