@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import Optional
+from typing import Optional, Union
 
 import numpy as np
 
@@ -35,6 +35,16 @@ EPS = 1e-9
 #: the runtime's watchdog and kills the worker). Matches the CLI's
 #: long-standing f32 default.
 EPS_F32 = 1e-4
+
+#: Relative pricing floor for f32 tableaus under cost normalization
+#: (SolverOptions.normalize_costs): a reduced cost below
+#: EPS_REL_F32 * (1 + max|costs|) is data-precision noise — an f32
+#: tableau's coefficients carry ~6e-8 relative rounding, so "improving"
+#: columns below this threshold chase noise (measured: vars=128 m=8
+#: values 1..1000 crawls 7600 noise pivots to MAXITER under an absolute
+#: 1e-5; with the 1e-7 relative floor it stops at the data-precision
+#: optimum, ~3e-5 relative, in 28 pivots).
+EPS_REL_F32 = 1e-7
 
 
 class Status(enum.IntEnum):
@@ -110,6 +120,22 @@ class SolverOptions:
     #: misclassify feasible problems.
     vector_dtype: Optional[np.dtype] = None
 
+    #: Scale-aware pricing for low-precision tableaus: each solve loop
+    #: call divides its working cost vector (and z, and the re-pricing
+    #: costs0) by ``max(1, EPS_REL_F32/eps * (1 + max|costs|))`` and
+    #: restores the original units on exit. Positive scaling never
+    #: changes an argmin; the effect is that the pricing eps becomes
+    #: ``max(eps, EPS_REL_F32 * (1 + max|costs|))`` — the user's
+    #: absolute eps, FLOORED at the f32 data-precision-resolvable
+    #: threshold. Problems whose cost scale makes the absolute eps
+    #: sub-noise (coefficients in the thousands) then stop at the
+    #: data-precision optimum instead of crawling noise pivots to the
+    #: iteration fuse; problems where the absolute eps is already above
+    #: the floor are bit-for-bit unchanged (scale = 1). "auto"
+    #: (default): enabled for f32 tableaus, disabled for f64 (whose
+    #: absolute-eps semantics are the reference parity contract).
+    normalize_costs: Union[str, bool] = "auto"
+
     #: Pivot-iteration fuse per phase. None -> 50 * (rows + cols), a
     #: generous bound (reference benchmark instances need < 3 * rows).
     max_iter: Optional[int] = None
@@ -175,6 +201,14 @@ class SolverOptions:
     def needs_x64(self) -> bool:
         return (self.dtype == np.float64
                 or self.vector_dtype == np.float64)
+
+
+def normalize_enabled(options: SolverOptions) -> bool:
+    """Resolve ``normalize_costs``: 'auto' means f32 tableaus only
+    (f64 keeps the reference's absolute-eps parity semantics)."""
+    if options.normalize_costs == "auto":
+        return np.dtype(options.dtype).itemsize == 4
+    return bool(options.normalize_costs)
 
 
 def kernel_blocked_eligible(options: SolverOptions) -> bool:

@@ -623,15 +623,46 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
 def run_solve_loop_sharded(tab: Tableau, options: SolverOptions,
                            max_iter: int, costs0=None,
                            interpret: bool = False):
+    from ..config import EPS_REL_F32, normalize_enabled
+
+    # Scale-aware f32 pricing, as in solver.run_solve_loop (the eps
+    # floor at EPS_REL_F32 * cost scale). The scale is a GLOBAL max
+    # over the sharded cost vector: local masked max, one all_gather of
+    # P scalars + max (axon's AOT helper lowers only Sum all-reduces,
+    # so no lax.pmax).
+    scale = None
+    if normalize_enabled(options):
+        lmax = jnp.max(jnp.abs(jnp.where(_local_row_mask(tab), tab.costs,
+                                         0.0)))
+        cmax = jnp.max(lax.all_gather(lmax, AXIS))
+        scale = jnp.maximum(
+            1.0, (EPS_REL_F32 / float(options.eps_resolved))
+            * (1.0 + cmax)).astype(tab.costs.dtype)
+        tab = dataclasses.replace(tab, costs=tab.costs / scale,
+                                  z=tab.z / scale)
+        if costs0 is not None:
+            costs0 = costs0 / scale
+
     if options.block_pivots and int(options.block_pivots) > 1:
         L = int(options.block_pivots)
         if (kernel_blocked_sharded_enabled(options, interpret)
                 and tab.T.shape[0] % 128 == 0
                 and L % min(32, L) == 0):
-            return solve_loop_blocked_kernel_sharded(
+            out = solve_loop_blocked_kernel_sharded(
                 tab, options, max_iter, costs0, interpret)
-        return solve_loop_blocked_sharded(tab, options, max_iter, costs0)
-    return solve_loop_sharded(tab, options, max_iter)
+        else:
+            out = solve_loop_blocked_sharded(tab, options, max_iter,
+                                             costs0)
+    else:
+        out = solve_loop_sharded(tab, options, max_iter)
+
+    if scale is not None:
+        tab_out, status, iters = out
+        tab_out = dataclasses.replace(tab_out,
+                                      costs=tab_out.costs * scale,
+                                      z=tab_out.z * scale)
+        return tab_out, status, iters
+    return out
 
 
 def gaussian_eliminate_sharded(tab: Tableau) -> Tableau:

@@ -807,17 +807,52 @@ def run_solve_loop(tab: Tableau, options: SolverOptions, max_iter: int,
     fused Pallas per-pivot passes on TPU when the tableau layout allows),
     else the Pallas-fused or pure-XLA single-pivot loop. ``costs0`` (the
     phase's pre-elimination cost vector) enables the blocked loop's exact
-    window-boundary re-pricing; ignored by the single-pivot loops."""
-    from .config import kernel_blocked_enabled
+    window-boundary re-pricing; ignored by the single-pivot loops.
+
+    When ``config.normalize_enabled`` (f32 tableaus by default), the
+    working cost vector, z, and costs0 are scaled for the duration of
+    the call and restored on exit, which floors the effective pricing
+    eps at ``EPS_REL_F32 * (1 + max|costs|)`` (see
+    SolverOptions.normalize_costs): large-coefficient problems stop at
+    the f32-data-precision optimum instead of crawling noise pivots to
+    the fuse, while problems already above the floor run bit-for-bit
+    unchanged (scale = 1). Positive scaling never changes an argmin,
+    and the ratio test reads the (unscaled) tableau, so only the
+    pricing/improvement discipline is affected."""
+    from .config import (EPS_REL_F32, kernel_blocked_enabled,
+                         normalize_enabled)
+
+    scale = None
+    if normalize_enabled(options):
+        cmax = jnp.max(jnp.abs(
+            jnp.where(jnp.arange(tab.rows_padded) < tab.r, tab.costs,
+                      0.0)))
+        scale = jnp.maximum(
+            1.0, (EPS_REL_F32 / float(options.eps_resolved))
+            * (1.0 + cmax)).astype(tab.costs.dtype)
+        tab = dataclasses.replace(tab, costs=tab.costs / scale,
+                                  z=tab.z / scale)
+        if costs0 is not None:
+            costs0 = costs0 / scale
 
     if options.block_pivots and int(options.block_pivots) > 1:
         L = int(options.block_pivots)
         if (kernel_blocked_enabled(options)
                 and tab.rows_padded % 128 == 0
                 and L % min(32, L) == 0):
-            return solve_loop_blocked_kernel(tab, options, max_iter,
-                                             costs0)
-        return solve_loop_blocked(tab, options, max_iter, costs0)
-    if use_pallas(options):
-        return solve_loop_pallas(tab, options, max_iter)
-    return solve_loop(tab, options, max_iter)
+            out = solve_loop_blocked_kernel(tab, options, max_iter,
+                                            costs0)
+        else:
+            out = solve_loop_blocked(tab, options, max_iter, costs0)
+    elif use_pallas(options):
+        out = solve_loop_pallas(tab, options, max_iter)
+    else:
+        out = solve_loop(tab, options, max_iter)
+
+    if scale is not None:
+        tab_out, status, iters = out
+        tab_out = dataclasses.replace(tab_out,
+                                      costs=tab_out.costs * scale,
+                                      z=tab_out.z * scale)
+        return tab_out, status, iters
+    return out

@@ -1,0 +1,62 @@
+"""Randomized cross-mode agreement fuzz.
+
+Every solve mode (sequential XLA, deferred block pivoting, the fused
+blocked-kernel loop via the sharded interpret path) must agree with the
+NumPy oracle on status and, for OPTIMAL, on the objective — across a
+spread of shapes, seeds, and value ranges, including shapes chosen to
+sit on padding boundaries. This is the wide-net complement to the
+instance-specific parity tests (tests/test_parity.py asserts bit-level
+pivot counts on the reference's own instances; this file asserts
+semantic agreement on arbitrary ones).
+"""
+
+import numpy as np
+import pytest
+
+from simplex_tpu import Status, generate_random_problem, solve, solve_oracle
+from simplex_tpu.config import SolverOptions
+
+CASES = [
+    # (vars, constraints, seed, lo, hi)
+    (8, 3, 1, 1.0, 100.0),
+    (17, 9, 2, 1.0, 10.0),        # off the 8-lane grid
+    (32, 32, 3, 1.0, 100.0),      # square
+    (64, 16, 4, 0.5, 2.0),        # narrow value range (tie-prone)
+    (96, 40, 5, 1.0, 100.0),
+    (128, 8, 6, 1.0, 1000.0),     # wide aspect, large values
+    (40, 24, 7, 1.0, 100.0),
+    (200, 50, 8, 1.0, 100.0),
+]
+
+
+def _modes():
+    # (name, options, objective rel-tol, feasibility rel-tol): the f32
+    # tableau carries ~1e-7-relative coefficient rounding that shows up
+    # as ~1e-5-relative constraint residuals in x (BENCHMARKS.md
+    # "Accuracy"); the f64 modes are tight.
+    yield "f64-seq", dict(dtype=np.float64), 1e-9, 1e-9
+    yield "f64-blocked", dict(dtype=np.float64, block_pivots=8), 1e-9, 1e-8
+    yield "mixed-blocked", dict(dtype=np.float32,
+                                vector_dtype=np.float64,
+                                block_pivots=8, eps=1e-5), 1e-4, 1e-4
+
+
+@pytest.mark.parametrize("n,m,seed,lo,hi", CASES)
+def test_modes_agree_with_oracle(n, m, seed, lo, hi):
+    problem = generate_random_problem(n, m, seed, lo, hi)
+    want = solve_oracle(problem)
+    bscale = 1 + np.abs(problem.b).max()
+    for name, kwargs, otol, ftol in _modes():
+        got = solve(problem, SolverOptions(**kwargs))
+        assert got.status == want.status, (name, got.status, want.status)
+        if want.status == Status.OPTIMAL:
+            scale = 1 + abs(want.objective)
+            assert abs(got.objective - want.objective) < otol * scale, (
+                name, got.objective, want.objective)
+            # The reported x must actually satisfy Ax <= b and
+            # reproduce the objective (not just match a number).
+            x = np.asarray(got.x)
+            resid = (problem.A @ x - problem.b).max()
+            assert resid < ftol * bscale, (name, resid)
+            assert (x >= -ftol * bscale).all(), name
+            assert abs(problem.c @ x - got.objective) < otol * scale, name
