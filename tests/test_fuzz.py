@@ -41,6 +41,39 @@ def _modes():
                                 block_pivots=8, eps=1e-5), 1e-4, 1e-4
 
 
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_modes_agree_infeasible(seed):
+    """A nonnegative constraint row with a negative right-hand side is
+    unsatisfiable for x >= 0; every mode must report INFEASIBLE."""
+    rng = np.random.default_rng(seed)
+    base = generate_random_problem(24, 10, seed, 1.0, 100.0)
+    b = np.asarray(base.b).copy()
+    b[rng.integers(0, 10)] = -5.0
+    problem = type(base)(A=base.A, b=b, c=base.c)
+    assert solve_oracle(problem).status == Status.INFEASIBLE
+    for name, kwargs, _, _ in _modes():
+        got = solve(problem, SolverOptions(**kwargs))
+        assert got.status == Status.INFEASIBLE, name
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_modes_agree_unbounded(seed):
+    """A variable with a profitable objective and a non-positive column
+    can grow without bound; every mode must report UNBOUNDED."""
+    rng = np.random.default_rng(seed)
+    base = generate_random_problem(24, 10, seed, 1.0, 100.0)
+    A = np.asarray(base.A).copy()
+    j = int(rng.integers(0, 24))
+    A[:, j] = -np.abs(A[:, j])
+    c = np.asarray(base.c).copy()
+    c[j] = abs(c[j]) + 1.0
+    problem = type(base)(A=A, b=base.b, c=c)
+    assert solve_oracle(problem).status == Status.UNBOUNDED
+    for name, kwargs, _, _ in _modes():
+        got = solve(problem, SolverOptions(**kwargs))
+        assert got.status == Status.UNBOUNDED, name
+
+
 @pytest.mark.parametrize("n,m,seed,lo,hi", CASES)
 def test_modes_agree_with_oracle(n, m, seed, lo, hi):
     problem = generate_random_problem(n, m, seed, lo, hi)
