@@ -41,6 +41,38 @@ def _modes():
                                 block_pivots=8, eps=1e-5), 1e-4, 1e-4
 
 
+def test_normalization_identity_below_floor():
+    """When the cost scale keeps the absolute eps above the data-
+    precision floor, scale resolves to exactly 1 and the solve is
+    bit-for-bit identical with normalization disabled (the 36-size
+    sweep regime)."""
+    problem = generate_random_problem(64, 24, 99, 1.0, 100.0)
+    kwargs = dict(dtype=np.float32, vector_dtype=np.float64,
+                  block_pivots=8, eps=1e-5)
+    on = solve(problem, SolverOptions(**kwargs))
+    off = solve(problem, SolverOptions(**kwargs, normalize_costs=False))
+    assert on.status == off.status == Status.OPTIMAL
+    assert on.objective == off.objective            # bit-identical
+    assert on.iterations_phase1 == off.iterations_phase1
+    assert on.iterations_phase2 == off.iterations_phase2
+    np.testing.assert_array_equal(on.x, off.x)
+
+
+def test_normalization_fixes_large_scale_crawl():
+    """The motivating regression: values 1..1000 used to crawl 7,600
+    noise pivots into MAXITER under the absolute 1e-5 eps; the floored
+    pricing stops at the data-precision optimum in tens of pivots."""
+    problem = generate_random_problem(128, 8, 6, 1.0, 1000.0)
+    want = solve_oracle(problem)
+    got = solve(problem, SolverOptions(dtype=np.float32,
+                                       vector_dtype=np.float64,
+                                       block_pivots=8, eps=1e-5))
+    assert got.status == Status.OPTIMAL
+    assert got.iterations_phase1 + got.iterations_phase2 < 200
+    scale = 1 + abs(want.objective)
+    assert abs(got.objective - want.objective) < 1e-4 * scale
+
+
 @pytest.mark.parametrize("seed", [11, 12, 13])
 def test_modes_agree_infeasible(seed):
     """A nonnegative constraint row with a negative right-hand side is
