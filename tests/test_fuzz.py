@@ -42,11 +42,14 @@ def _modes():
 
 
 def test_normalization_identity_below_floor():
-    """When the cost scale keeps the absolute eps above the data-
-    precision floor, scale resolves to exactly 1 and the solve is
-    bit-for-bit identical with normalization disabled (the 36-size
-    sweep regime)."""
-    problem = generate_random_problem(64, 24, 99, 1.0, 100.0)
+    """When BOTH phases' cost scales keep the absolute eps above the
+    data-precision floor, scale resolves to exactly 1 and the solve is
+    bit-for-bit identical with normalization disabled. Note phase 1's
+    cost scale is ~m * mean|A| (eliminated artificial-column sums), so
+    this regime needs a small instance; at sweep sizes phase 1's floor
+    engages and only SEMANTIC equality holds (covered by
+    test_modes_agree_with_oracle)."""
+    problem = generate_random_problem(8, 3, 99, 1.0, 10.0)
     kwargs = dict(dtype=np.float32, vector_dtype=np.float64,
                   block_pivots=8, eps=1e-5)
     on = solve(problem, SolverOptions(**kwargs))
