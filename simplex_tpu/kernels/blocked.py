@@ -514,8 +514,19 @@ def apply_reprice_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
     """
     m_pad, r_pad = Tt.shape
     L = C.shape[0]
-    tm = tile_m or (pick_tile_div(m_pad, 8, 896) if m_pad % 8 == 0
+    # tm is the SUBLANE dim of the Tt/coeff blocks but the LANE dim of
+    # the F block, so it must be a multiple of 128 (or the whole axis) —
+    # an 8-aligned divisor like 632 compiles in interpret mode but fails
+    # Mosaic's lane check on real silicon (seen at m_pad=10112, where no
+    # 128-multiple in [448, 896] divides the axis and the masked edge
+    # tile is required).
+    tm = tile_m or (pick_tile_div(m_pad, 128, 896) if m_pad % 128 == 0
                     else m_pad)
+    # (interpret mode has no Mosaic lane constraint — perf-scan tests
+    # use small lane-illegal tiles there to exercise edge masking.)
+    assert interpret or tm % 128 == 0 or tm == m_pad, (
+        f"apply_reprice_pass F-block lane dim tile_m={tm} must be a "
+        f"multiple of 128 or the full axis (m_pad={m_pad})")
     # The accumulation walks tm // 8 sublane groups: a tile height that
     # is not a multiple of 8 would silently DROP the trailing rows from
     # the reprice matvec (the apply itself would still be right).
@@ -677,62 +688,102 @@ def reprice_pass(Tt: jax.Array, c_hi: jax.Array, c_lo: jax.Array,
 # ---------------------------------------------------------------------------
 # M-side pass: a_h = Tt[:, h] - v @ F (live entering column).
 
-def _ah_kernel(idx_ref,                 # prefetch: [h]
+def _ah_kernel(idx_ref,                 # prefetch: [h, live_segs]
                Tcols_ref,               # (TM, 128): lanes around column h
-               F_ref,                   # (L, TM)
+               F_ref,                   # (SEG, TM) live eta segment
                v_ref,                   # (L, 1) = C[:, h]
                ah_ref,                  # out (1, TM)
-               *, tm):
+               acc_ref,                 # scratch (1, TM)
+               *, tm, seg, n_segs):
+    s = pl.program_id(1)                # liveness segment (fastest)
     h = idx_ref[0]
-    hh = lax.rem(h, jnp.int32(128))
-    # Lane-select column h%128 as a (1, TM) row via a one-hot
-    # contraction — avoids a (TM, 1) -> (1, TM) relayout.
-    onehot = (lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-              == hh).astype(jnp.float32)
-    col = lax.dot_general(onehot, Tcols_ref[:],
-                          (((1,), (1,)), ((), ())),
-                          preferred_element_type=jnp.float32,
-                          precision=lax.Precision.HIGHEST)  # (1, TM)
-    # HIGHEST: the MXU's default bf16 pass would round the selected
-    # values to ~2e-3 relative; the 3-pass product is f32-exact for a
-    # 0/1 one-hot operand.
-    corr = jnp.sum(F_ref[:] * v_ref[:], axis=0, keepdims=True)  # (1, TM)
-    ah_ref[:] = col - corr
+    live = idx_ref[1]
+
+    @pl.when(s == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(s < jnp.maximum(live, 1))
+    def _accumulate():
+        vseg = v_ref[pl.ds(s * seg, seg), :]          # (seg, 1)
+        acc_ref[:] += jnp.sum(F_ref[:] * vseg, axis=0, keepdims=True)
+
+    @pl.when(s == n_segs - 1)
+    def _emit():
+        hh = lax.rem(h, jnp.int32(128))
+        # Lane-select column h%128 as a (1, TM) row via a one-hot
+        # contraction — avoids a (TM, 1) -> (1, TM) relayout.
+        onehot = (lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                  == hh).astype(jnp.float32)
+        col = lax.dot_general(onehot, Tcols_ref[:],
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=lax.Precision.HIGHEST)  # (1, TM)
+        # HIGHEST: the MXU's default bf16 pass would round the selected
+        # values to ~2e-3 relative; the 3-pass product is f32-exact for
+        # a 0/1 one-hot operand.
+        ah_ref[:] = col - acc_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "seg_rows"))
 def ah_pass(Tt: jax.Array, F: jax.Array, v: jax.Array, h: jax.Array,
-            interpret: bool = False) -> jax.Array:
+            t: jax.Array | None = None, interpret: bool = False,
+            seg_rows: int | None = None) -> jax.Array:
     """Live entering column: ``Tt[:, h] - v @ F`` fused (column fetch
     reads the same 128-lane tiles the XLA gather touches, without its
-    op overhead). v = C[:, h]; returns a_h (M_pad,) f32."""
+    op overhead). v = C[:, h]; returns a_h (M_pad,) f32.
+
+    Liveness-aware like colk_costs_pass: eta rows >= the window fill
+    ``t`` are all-zero, so dead SEG-row segments of F alias an
+    already-fetched block index and the pipeline skips their DMAs —
+    at the flagship shape the F read (L*M_pad = 61 MB/pivot at L=128)
+    shrinks to the live prefix (~31 MB averaged over a window). Pass
+    t=None (or t=L) to read everything (identity behaviour).
+    """
     m_pad, r_pad = Tt.shape
     L = F.shape[0]
+    seg = min(seg_rows or SEG, L)
+    assert L % seg == 0, (L, seg)
+    n_segs = L // seg
     # tm is the LANE dim of the F/out blocks: Mosaic requires it to be a
     # multiple of 128 or the full axis (toy shapes).
     tm = pick_tile(m_pad, 128, 2048) if m_pad % 128 == 0 else m_pad
-    grid = (cdiv(m_pad, tm),)
+    grid = (cdiv(m_pad, tm), n_segs)
     v2 = v.astype(jnp.float32).reshape(L, 1)
-    idx = jnp.stack([h.astype(jnp.int32)])
+    if t is None:
+        live_segs = jnp.int32(n_segs)
+    else:
+        live_segs = jnp.minimum(
+            lax.div(t.astype(jnp.int32) + seg - 1, jnp.int32(seg)),
+            jnp.int32(n_segs))
+    idx = jnp.stack([h.astype(jnp.int32), live_segs])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, 128),
-                         lambda i, idx: (i, lax.div(idx[0], jnp.int32(128))),
+                         lambda i, s, idx: (i, lax.div(idx[0],
+                                                       jnp.int32(128))),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((F.shape[0], tm), lambda i, idx: (_i0(), i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((v2.shape[0], 1), lambda i, idx: (_i0(), _i0()),
+            # Dead segments alias the last live block index -> no DMA.
+            pl.BlockSpec(
+                (seg, tm),
+                lambda i, s, idx: (
+                    jnp.minimum(s, jnp.maximum(idx[1] - jnp.int32(1),
+                                               jnp.int32(0))), i),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1), lambda i, s, idx: (_i0(), _i0()),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tm), lambda i, idx: (_i0(), i),
+        out_specs=pl.BlockSpec((1, tm), lambda i, s, idx: (_i0(), i),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, tm), jnp.float32)],
     )
 
     ah2 = pl.pallas_call(
-        functools.partial(_ah_kernel, tm=tm),
+        functools.partial(_ah_kernel, tm=tm, seg=seg, n_segs=n_segs),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(

@@ -511,7 +511,8 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
         lh = h - offset
         own = (lh >= 0) & (lh < R_loc)
         lhs = jnp.clip(lh, 0, R_loc - 1).astype(jnp.int32)
-        a_h32_loc = ah_pass(s.Tt, F, C[:, lhs], lhs, interpret=interpret)
+        a_h32_loc = ah_pass(s.Tt, F, C[:, lhs], lhs,
+                            t.astype(jnp.int32), interpret=interpret)
         a_h32 = lax.psum(jnp.where(own, a_h32_loc,
                                    jnp.zeros_like(a_h32_loc)), AXIS)
         a_h = a_h32.astype(vdtype)

@@ -666,7 +666,7 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
         optimal = minc > -eps
 
         a_h32 = ah_pass(s.Tt, F, C[:, h_safe], h_safe,
-                        interpret=interpret)
+                        t.astype(jnp.int32), interpret=interpret)
         a_h = a_h32.astype(vdtype)
         mask = a_h32 >= eps
         unbounded = ~mask.any()

@@ -215,6 +215,32 @@ class TestApplyRepricePass:
         # 1e-7*scale: XLA:CPU FMA contraction, see TestRepricePass
         np.testing.assert_allclose(got_mv, want_mv, atol=1e-7 * scale)
 
+    def test_flagship_m_axis_tile_is_lane_legal(self):
+        """m_pad=10112 (the flagship constraint axis, 79*128): no
+        128-multiple in [448, 896] divides it, so the default tm must
+        fall back to a lane-legal 128-multiple with a masked edge tile —
+        NOT the 8-aligned divisor 632, whose F-block lane dim fails the
+        Mosaic lowering on silicon (regression: bench.py compile crash)."""
+        from simplex_tpu.kernels.blocked import apply_reprice_pass
+        from simplex_tpu.solver import apply_window_T
+
+        m_pad, r_pad, L = 10112, 256, 8
+        Tt = _rand((m_pad, r_pad), 70)
+        C = _rand((L, r_pad), 71)
+        F = _rand((L, m_pad), 72)
+        coeffs = jnp.asarray(
+            np.random.Generator(np.random.Philox(73)).uniform(
+                -10, 10, m_pad))
+        c_hi, c_lo = ff32_from_f64(coeffs)
+        got_T, hi, lo = apply_reprice_pass(Tt, C, F, c_hi, c_lo,
+                                           interpret=True)
+        want_T = np.asarray(apply_window_T(Tt, C, F))
+        np.testing.assert_allclose(np.asarray(got_T), want_T, atol=1e-5)
+        got_mv = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        want_mv = np.asarray(coeffs) @ want_T.astype(np.float64)
+        scale = np.max(np.abs(want_mv)) + 1.0
+        np.testing.assert_allclose(got_mv, want_mv, atol=1e-7 * scale)
+
     @pytest.mark.parametrize("tile_m,tile_r", [
         (64, 256),    # m tiles divide, r edge block masked
         (48, 512),    # cdiv edge m tile: coeff rows masked past m_pad
@@ -293,6 +319,24 @@ class TestAhPass:
         got = ah_pass(Tt, F, v, jnp.int32(h), interpret=True)
         want = (np.asarray(Tt, np.float64)[:, h]
                 - np.asarray(v, np.float64) @ np.asarray(F, np.float64))
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    @pytest.mark.parametrize("t", [0, 1, 5, 9, 16])
+    def test_liveness_skips_dead_segments(self, t):
+        """With window fill t, eta rows >= t are zero (the solver's
+        invariant); the liveness-aware pass must match the full read
+        at every fill level, across the multi-segment grid."""
+        m_pad, r_pad, L, seg = 24, 256, 16, 4
+        Tt = _rand((m_pad, r_pad), 14)
+        F = np.array(_rand((L, m_pad), 15))
+        v = np.array(_rand((L,), 16))
+        F[t:] = 0.0
+        v[t:] = 0.0
+        Fj, vj = jnp.asarray(F), jnp.asarray(v)
+        got = ah_pass(Tt, Fj, vj, jnp.int32(7), jnp.int32(t),
+                      interpret=True, seg_rows=seg)
+        want = (np.asarray(Tt, np.float64)[:, 7]
+                - v.astype(np.float64) @ F.astype(np.float64))
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
 
