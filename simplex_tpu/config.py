@@ -168,6 +168,18 @@ class SolverOptions:
     #: rank-1 path, so last-bit fp may differ). None/<=1 disables.
     block_pivots: Optional[int] = None
 
+    #: Exact window-boundary re-pricing cadence for the blocked loops:
+    #: recompute the reduced costs from the applied tableau every this
+    #: many windows (1 = every window, the most conservative). The
+    #: in-window cost updates already carry double-f32 (~2^-48 relative)
+    #: pair arithmetic, so the reprice corrects only the slow f32
+    #: tableau-noise drift; a window that ends with a non-RUNNING status
+    #: ALWAYS reprices so the premature-optimal check runs on exact
+    #: costs regardless of cadence. Skipped windows drop the reprice's
+    #: VPU pair-accumulation from the tableau sweep (measured ~6 ms of
+    #: a ~26 ms window at the flagship shape).
+    reprice_every: int = 1
+
     #: Pad the constraint axis to a multiple of this (TPU lane width).
     lane_pad: int = 128
     #: Pad the variable axis to a multiple of this (TPU sublane tile).
@@ -183,6 +195,9 @@ class SolverOptions:
             raise ValueError(f"unknown pivot_rule {self.pivot_rule!r}")
         if self.degeneracy not in ("continue", "reference"):
             raise ValueError(f"unknown degeneracy policy {self.degeneracy!r}")
+        if int(self.reprice_every) < 1:
+            raise ValueError(
+                f"reprice_every must be >= 1, got {self.reprice_every}")
         object.__setattr__(self, "dtype", np.dtype(self.dtype))
         object.__setattr__(
             self, "vector_dtype",

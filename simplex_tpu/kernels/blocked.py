@@ -417,9 +417,10 @@ def apply_window_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
 # same sweep — the reprice's full-tableau read rides the apply's tiles.
 
 def _apply_reprice_kernel(Tt_ref, F_ref, C_ref, chi_ref, clo_ref,
-                          out_ref, hi_out, lo_out, *, tm, m_pad,
-                          exact_fma=False):
+                          flag_ref, out_ref, hi_out, lo_out, *, tm,
+                          m_pad, exact_fma=False):
     i = pl.program_id(1)               # m tile (fastest-varying)
+    do = flag_ref[0, 0] != 0           # reprice this window?
 
     new = Tt_ref[:] - lax.dot_general(
         F_ref[:], C_ref[:], (((0,), (0,)), ((), ())),
@@ -479,15 +480,23 @@ def _apply_reprice_kernel(Tt_ref, F_ref, C_ref, chi_ref, clo_ref,
         lo_out[:] = lo_out[:] + (e + sl)
         hi_out[:] = s
 
+    # The reprice's VPU pair-accumulation is skipped entirely when the
+    # flag is 0 (a non-reprice window): the sweep then costs ~the plain
+    # apply, and (hi, lo) stay the zeros _init wrote. Gating happens
+    # INSIDE the kernel (pl.when on a traced scalar) rather than as a
+    # lax.cond around two tableau sweeps, which XLA may lower to
+    # execute-both-branches (see solver.pivot_out_artificials).
     n_tiles = cdiv(m_pad, tm)
     if m_pad % tm == 0:
-        accumulate(masked=False)
+        @pl.when(do)
+        def _full():
+            accumulate(masked=False)
     else:
-        @pl.when(i != n_tiles - 1)
+        @pl.when(do & (i != n_tiles - 1))
         def _full():
             accumulate(masked=False)
 
-        @pl.when(i == n_tiles - 1)
+        @pl.when(do & (i == n_tiles - 1))
         def _edge():
             accumulate(masked=True)
 
@@ -497,6 +506,7 @@ def _apply_reprice_kernel(Tt_ref, F_ref, C_ref, chi_ref, clo_ref,
                                     "exact_fma"))
 def apply_reprice_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
                        c_hi: jax.Array, c_lo: jax.Array,
+                       do_reprice: jax.Array | None = None,
                        interpret: bool = False,
                        tile_m: int | None = None,
                        tile_r: int | None = None,
@@ -507,7 +517,11 @@ def apply_reprice_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
     reprice_pass). One sweep over the tableau instead of two: the apply
     alone measured 24.5 ms and the standalone reprice 21.9 ms at the
     flagship shape; fused, the reprice's read is free and only its VPU
-    pair arithmetic is added to the apply's tiles.
+    pair arithmetic is added to the apply's tiles (~6 ms at the
+    flagship shape — see SolverOptions.reprice_every).
+
+    ``do_reprice``: traced scalar; 0 skips the reprice arithmetic inside
+    the kernel (the apply still runs; mv returns zeros). None = always.
 
     Returns (Tt_new, mv_hi, mv_lo) with Tt_new aliased over Tt and
     (mv_hi, mv_lo) the (R_pad,) f32 pair of coeffs @ Tt_new.
@@ -540,6 +554,10 @@ def apply_reprice_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
         # rounded) ops, so the one-op error form is 0 there — never
         # valid; on hardware it is gated by the probed constant.
         exact_fma = VPU_EXACT_FMA and not interpret
+    if do_reprice is None:
+        flag = jnp.ones((1, 1), jnp.int32)
+    else:
+        flag = do_reprice.astype(jnp.int32).reshape(1, 1)
 
     out, hi, lo = pl.pallas_call(
         functools.partial(_apply_reprice_kernel, tm=tm, m_pad=m_pad,
@@ -556,6 +574,8 @@ def apply_reprice_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tm, 1), lambda j, i: (i, _i0()),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda j, i: (_i0(), _i0()),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((tm, tr), lambda j, i: (i, j),
@@ -578,7 +598,7 @@ def apply_reprice_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(Tt, F, C, c_hi.reshape(m_pad, 1), c_lo.reshape(m_pad, 1))
+    )(Tt, F, C, c_hi.reshape(m_pad, 1), c_lo.reshape(m_pad, 1), flag)
     return out, hi.reshape(r_pad), lo.reshape(r_pad)
 
 

@@ -94,9 +94,12 @@ def main():
            lambda Tt, C: apply_window_pass(Tt, C, F))
 
     import os
-    configs = ((632, 4096), (512, 4096), (632, 8192))
+    # tm is the F block's LANE dim: must be a multiple of 128 (632-class
+    # divisors fail the Mosaic lowering — see apply_reprice_pass).
+    configs = ((896, 4096), (512, 4096), (768, 4096), (1280, 4096),
+               (512, 8192))
     if os.environ.get("SCAN_EXTRA"):
-        configs += ((1264, 4096), (256, 4096))
+        configs += ((896, 2048), (256, 4096), (384, 4096), (640, 4096))
     for tm, tr in configs:
         vmem = 4 * tm * tr * 4 / 2**20
         if vmem > 96:
