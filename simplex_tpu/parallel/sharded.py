@@ -764,13 +764,19 @@ def pivot_out_artificials_sharded(tab: Tableau,
     return out
 
 
-def _two_phase_core(tab: Tableau, c: jax.Array, b_scale,
+def _two_phase_core(tab: Tableau, c: jax.Array, b_scale, inputs_finite,
                     options: SolverOptions,
                     max_iter: int,
                     interpret: bool = False) -> ShardedSolveOutput:
     """Both phases under one shard_map (mirror of
     two_phase.solve_device's device core, incl. the 'continue' degeneracy
-    repair)."""
+    repair, the NUMERIC guards, and the recomputed ``c @ x`` objective —
+    the sharded and single-chip cores must return identical statuses and
+    objectives on the same pivot walk; tests/test_sharded.py pins it).
+
+    ``inputs_finite`` is the pre-flight input scan (two_phase.solve_device
+    computes it over A/b/c before the build); it is computed OUTSIDE the
+    shard_map by the caller because A never enters the core."""
     eps = float(options.eps_resolved)
     n, m = tab.n, tab.m
 
@@ -806,17 +812,33 @@ def _two_phase_core(tab: Tableau, c: jax.Array, b_scale,
 
     fuse1 = status1 == int(Status.RUNNING)
     fuse2 = status2 == int(Status.RUNNING)
+    phase1_failed = infeasible | fuse1
+    if options.degeneracy == "reference":
+        phase1_failed = phase1_failed | degenerate
+
     status = jnp.where(fuse2, int(Status.MAXITER), status2)
     if options.degeneracy == "reference":
         status = jnp.where(degenerate, int(Status.DEGENERATE), status)
     status = jnp.where(infeasible, int(Status.INFEASIBLE), status)
     status = jnp.where(fuse1, int(Status.MAXITER), status)
+    # NUMERIC guards, identical to two_phase.solve_device:175-181 — x, z,
+    # z_phase1 and inputs_finite are all replicated, so the guard is
+    # shard-local math with no collective.
+    finite = jnp.isfinite(tab2.z) & jnp.isfinite(x).all()
+    status = jnp.where(finite | phase1_failed, status,
+                       int(Status.NUMERIC))
+    status = jnp.where(jnp.isfinite(z_phase1), status,
+                       int(Status.NUMERIC))
+    status = jnp.where(inputs_finite, status, int(Status.NUMERIC))
     status = status.astype(jnp.int32)
 
-    phase1_failed = infeasible | fuse1
-    if options.degeneracy == "reference":
-        phase1_failed = phase1_failed | degenerate
-    objective = jnp.where(phase1_failed, z_phase1, tab2.z)
+    # Drift-immune recomputed objective (two_phase.solve_device:183-188):
+    # c and x are replicated, so c @ x is shard-local.
+    objective_opt = jnp.dot(c.astype(x.dtype), x,
+                            precision=lax.Precision.HIGHEST)
+    objective = jnp.where(phase1_failed, z_phase1,
+                          jnp.where(status2 == int(Status.OPTIMAL),
+                                    objective_opt, tab2.z))
     x = jnp.where(status == int(Status.OPTIMAL), x, jnp.zeros_like(x))
     iters2 = jnp.where(phase1_failed, 0, iters2)
     return ShardedSolveOutput(status, x, objective,
@@ -863,7 +885,7 @@ def make_sharded_solver(mesh: Mesh, n: int, m: int,
         partial(_two_phase_core, options=options,
                 max_iter=resolved_max_iter, interpret=interpret),
         mesh=mesh,
-        in_specs=(tab_specs, P(None), P()),
+        in_specs=(tab_specs, P(None), P(), P()),
         out_specs=ShardedSolveOutput(
             P(), P(None), P(), P(), P(), P()),
         check_vma=False,
@@ -871,6 +893,10 @@ def make_sharded_solver(mesh: Mesh, n: int, m: int,
 
     @partial(jax.jit, donate_argnums=(0,) if donate_a else ())
     def solve_fn(A, b, c):
+        # Pre-flight NUMERIC scan (two_phase.solve_device:118-119) runs
+        # here, before the build — A is not an input of the shard_map core.
+        inputs_finite = (jnp.isfinite(A).all() & jnp.isfinite(b).all()
+                         & jnp.isfinite(c).all())
         tab = build_phase1_sharded(A, b, n, m, n_shards, options,
                                    kernel=kernel)
         tab = jax.lax.with_sharding_constraint(
@@ -881,7 +907,7 @@ def make_sharded_solver(mesh: Mesh, n: int, m: int,
         b_scale = 1.0 + jnp.max(jnp.abs(
             b.astype(jnp.dtype(options.vector_dtype))))
         return core(tab, c.astype(jnp.dtype(options.vector_dtype)),
-                    b_scale)
+                    b_scale, inputs_finite)
 
     return solve_fn
 
