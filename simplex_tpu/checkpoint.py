@@ -33,11 +33,17 @@ _FIELDS = ("T", "b", "costs", "z", "base")
 
 
 def save_state(path: str, tab: Tableau, *, phase: int,
-               iterations: int, iters1: int = 0) -> None:
-    """Atomically persist a Tableau + progress counters to ``path``."""
+               iterations: int, iters1: int = 0,
+               n_shards: int = 0) -> None:
+    """Atomically persist a Tableau + progress counters to ``path``.
+
+    ``n_shards`` records the mesh width for sharded checkpoints (0 =
+    unsharded); ``np.asarray`` on a sharded array gathers the global
+    value, so the file format is mesh-independent — only the resume-side
+    validation cares."""
     arrays = {f: np.asarray(getattr(tab, f)) for f in _FIELDS}
-    meta = np.array([tab.n, tab.m, tab.r, phase, iterations, iters1],
-                    dtype=np.int64)
+    meta = np.array([tab.n, tab.m, tab.r, phase, iterations, iters1,
+                     n_shards], dtype=np.int64)
     d = os.path.dirname(os.path.abspath(path)) or "."
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".ckpt")
@@ -51,16 +57,18 @@ def save_state(path: str, tab: Tableau, *, phase: int,
         raise
 
 
-def load_state(path: str) -> tuple[Tableau, int, int, int]:
-    """Inverse of save_state: (tableau, phase, iterations, iters1)."""
+def load_state(path: str) -> tuple[Tableau, int, int, int, int]:
+    """Inverse of save_state:
+    (tableau, phase, iterations, iters1, n_shards)."""
     with np.load(path) as z:
-        n, m, r, phase, iterations, iters1 = (
-            int(v) for v in z["__meta__"])
+        meta = [int(v) for v in z["__meta__"]]
+        n, m, r, phase, iterations, iters1 = meta[:6]
+        n_shards = meta[6] if len(meta) > 6 else 0
         tab = Tableau(
             T=jnp.asarray(z["T"]), b=jnp.asarray(z["b"]),
             costs=jnp.asarray(z["costs"]), z=jnp.asarray(z["z"]),
             base=jnp.asarray(z["base"]), n=n, m=m, r=r)
-    return tab, phase, iterations, iters1
+    return tab, phase, iterations, iters1, n_shards
 
 
 def _phase_costs0(tab: Tableau, problem, phase: int):
@@ -79,9 +87,14 @@ def _phase_costs0(tab: Tableau, problem, phase: int):
 
 def _run_windows(tab: Tableau, options: SolverOptions, max_iter: int,
                  path: str, phase: int, done: int, every: int,
-                 costs0, iters1: int = 0):
+                 costs0, iters1: int = 0, make_run=None,
+                 n_shards: int = 0):
     """Run the solve loop ``every`` pivots at a time, checkpointing after
     each window. Returns (tab, status:int, total_iterations).
+
+    ``make_run(window) -> fn(tab, costs0) -> (tab, status, iters)``
+    overrides the loop runner (the sharded resume path supplies a
+    shard_map'd one); default is the single-chip run_solve_loop.
 
     Limitation (documented): the stall counter behind the Bland
     anti-cycling fallback resets at window boundaries, so ``every`` is
@@ -103,15 +116,22 @@ def _run_windows(tab: Tableau, options: SolverOptions, max_iter: int,
                 RuntimeWarning, stacklevel=3)
         every = clamped
 
-    @partial(jax.jit, static_argnames=("window",))
-    def run(t, window):
-        return run_solve_loop(t, options, window, costs0)
+    if make_run is None:
+        @partial(jax.jit, static_argnames=("window",))
+        def _default_run(t, c0, window):
+            return run_solve_loop(t, options, window, c0)
 
+        def make_run(window):
+            return partial(_default_run, window=window)
+
+    runners: dict[int, object] = {}
     while True:
         window = min(every, max_iter - done)
         if window <= 0:
             return tab, int(Status.RUNNING), done
-        tab, status, it = run(tab, window)
+        if window not in runners:
+            runners[window] = make_run(window)
+        tab, status, it = runners[window](tab, costs0)
         done += int(it)           # scalar readback syncs the executable
         status = int(status)
         if status == int(Status.RUNNING) and int(it) == 0:
@@ -122,7 +142,8 @@ def _run_windows(tab: Tableau, options: SolverOptions, max_iter: int,
             return tab, int(Status.MAXITER), done
         if status != int(Status.RUNNING) or done >= max_iter:
             return tab, status, done
-        save_state(path, tab, phase=phase, iterations=done, iters1=iters1)
+        save_state(path, tab, phase=phase, iterations=done, iters1=iters1,
+                   n_shards=n_shards)
 
 
 def solve_resumable(problem: Problem, checkpoint_path: str,
@@ -149,7 +170,12 @@ def solve_resumable(problem: Problem, checkpoint_path: str,
     c = jnp.asarray(problem.c)
 
     if os.path.exists(checkpoint_path):
-        tab, phase, done, iters1 = load_state(checkpoint_path)
+        tab, phase, done, iters1, ck_shards = load_state(checkpoint_path)
+        if ck_shards:
+            raise ValueError(
+                f"checkpoint was written by a {ck_shards}-shard sharded "
+                "solve; resume it with solve_resumable_sharded / "
+                "--sharded")
         if (tab.n, tab.m) != (n, m):
             raise ValueError(
                 f"checkpoint is for a {tab.n}x{tab.m} problem, "
@@ -194,6 +220,162 @@ def solve_resumable(problem: Problem, checkpoint_path: str,
         checkpoint_every, _phase_costs0(tab, problem, 2), iters1)
     if status2 == int(Status.RUNNING):
         # Keep the checkpoint: rerunning with a larger max_iter resumes.
+        return SolveResult(Status.MAXITER, None, float(tab.z), iters1, done)
+    if os.path.exists(checkpoint_path):
+        os.unlink(checkpoint_path)
+    if status2 != int(Status.OPTIMAL):
+        return SolveResult(Status(status2), None, float(tab.z), iters1,
+                           done, degenerate=degenerate)
+    x = np.asarray(extract_solution(tab))
+    objective = float(np.dot(problem.c, x))
+    return SolveResult(Status.OPTIMAL, x, objective, iters1, done,
+                       degenerate=degenerate)
+
+
+def solve_resumable_sharded(problem: Problem, mesh, checkpoint_path: str,
+                            checkpoint_every: int = 1000,
+                            options: SolverOptions | None = None,
+                            interpret: bool = False,
+                            **replacements) -> SolveResult:
+    """Sharded two-phase solve with iteration-level checkpoint/resume —
+    the north-star n=1M column-sharded configuration is the
+    longest-running solve in the framework and (as of round 3) the only
+    one that can survive a crash.
+
+    Same windowed contract as ``solve_resumable``, with every stage
+    shard_map'd over ``mesh`` ('vars' axis): build + Gaussian elimination
+    sharded, each window of pivots runs the full sharded hot loop
+    (parallel/sharded.py run_solve_loop_sharded — the fused-kernel
+    blocked path when eligible), and the checkpoint file holds the
+    gathered GLOBAL arrays plus the mesh width (``np.asarray`` on a
+    sharded array assembles it), so the artifact is identical in shape to
+    a single-chip checkpoint and resume just re-shards it onto the same
+    mesh width. ``interpret`` runs the Pallas passes in interpret mode
+    (CPU-mesh tests)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .parallel import sharded as sh
+
+    options = options or DEFAULT_OPTIONS
+    if replacements:
+        options = dataclasses.replace(options, **replacements)
+    if options.needs_x64:
+        jax.config.update("jax_enable_x64", True)
+
+    m, n = problem.constraints, problem.vars
+    n_shards = int(mesh.shape[sh.AXIS])
+    kernel = sh.kernel_blocked_sharded_enabled(options, interpret)
+    eps = float(options.eps_resolved)
+    max_iter = options.resolved_max_iter(n + 2 * m, m)
+    r1 = n + 2 * m
+
+    def specs(r):
+        return Tableau(T=P(sh.AXIS, None), b=P(None), costs=P(sh.AXIS),
+                       z=P(), base=P(None), n=n, m=m, r=r)
+
+    def shardings(r):
+        return jax.tree.map(
+            lambda s: NamedSharding(mesh, s) if isinstance(s, P) else s,
+            specs(r), is_leaf=lambda x: isinstance(x, P))
+
+    @jax.jit
+    def build_fn(A, b):
+        tab = sh.build_phase1_sharded(A, b, n, m, n_shards, options,
+                                      kernel=kernel)
+        tab = jax.lax.with_sharding_constraint(tab, shardings(r1))
+        return jax.shard_map(
+            sh.gaussian_eliminate_sharded, mesh=mesh,
+            in_specs=(specs(r1),), out_specs=specs(r1),
+            check_vma=False)(tab)
+
+    def make_run_factory(r):
+        sp = specs(r)
+
+        def make_run(window):
+            core = jax.shard_map(
+                lambda t, c0: sh.run_solve_loop_sharded(
+                    t, options, window, c0, interpret),
+                mesh=mesh, in_specs=(sp, P(sh.AXIS)),
+                out_specs=(sp, P(), P()), check_vma=False)
+            return jax.jit(core)
+
+        return make_run
+
+    @jax.jit
+    def pivot_out_fn(tab):
+        return jax.shard_map(
+            lambda t: sh.pivot_out_artificials_sharded(t, options),
+            mesh=mesh, in_specs=(specs(r1),), out_specs=specs(r1),
+            check_vma=False)(tab)
+
+    @jax.jit
+    def phase2_fn(tab, c):
+        def core(t, c):
+            t2 = dataclasses.replace(
+                t, costs=sh._phase2_costs_local(t, c), r=n + m)
+            return sh.gaussian_eliminate_sharded(t2)
+
+        return jax.shard_map(
+            core, mesh=mesh, in_specs=(specs(r1), P(None)),
+            out_specs=specs(n + m), check_vma=False)(tab, c)
+
+    A = jnp.asarray(problem.A)
+    b = jnp.asarray(problem.b)
+    vdtype = jnp.dtype(options.vector_dtype)
+    c = jnp.asarray(problem.c, vdtype)
+
+    if os.path.exists(checkpoint_path):
+        tab, phase, done, iters1, ck_shards = load_state(checkpoint_path)
+        if ck_shards != n_shards:
+            raise ValueError(
+                f"checkpoint was written on a {ck_shards}-shard mesh, "
+                f"resuming on {n_shards} shards (re-shard by deleting "
+                "the checkpoint or matching the mesh)")
+        if (tab.n, tab.m) != (n, m):
+            raise ValueError(
+                f"checkpoint is for a {tab.n}x{tab.m} problem, "
+                f"got {n}x{m}")
+        if (tab.T.dtype != jnp.dtype(options.dtype)
+                or tab.b.dtype != jnp.dtype(options.vector_dtype)):
+            raise ValueError(
+                f"checkpoint dtypes ({tab.T.dtype}/{tab.b.dtype}) do not "
+                f"match options ({options.dtype}/{options.vector_dtype})")
+        tab = jax.device_put(tab, shardings(tab.r))
+    else:
+        tab = build_fn(A, b)
+        phase, done, iters1 = 1, 0, 0
+
+    degenerate = False
+    if phase == 1:
+        tab, status1, done = _run_windows(
+            tab, options, max_iter, checkpoint_path, 1, done,
+            checkpoint_every, _phase_costs0(tab, problem, 1),
+            make_run=make_run_factory(r1), n_shards=n_shards)
+        if status1 == int(Status.RUNNING):
+            return SolveResult(Status.MAXITER, None, float(tab.z), done, 0)
+        z1 = float(phase1_objective(tab))
+        b_scale = 1.0 + float(np.max(np.abs(problem.b)))
+        if z1 <= -eps * b_scale:
+            if os.path.exists(checkpoint_path):
+                os.unlink(checkpoint_path)
+            return SolveResult(Status.INFEASIBLE, None, z1, done, 0)
+        degenerate = int(count_basic_artificials(tab)) > 0
+        if degenerate and options.degeneracy == "reference":
+            return SolveResult(Status.DEGENERATE, None, z1, done, 0,
+                               degenerate=True)
+        if degenerate:
+            tab = pivot_out_fn(tab)
+        tab = phase2_fn(tab, c)
+        phase, iters1, done = 2, done, 0
+        save_state(checkpoint_path, tab, phase=2, iterations=0,
+                   iters1=iters1, n_shards=n_shards)
+
+    tab, status2, done = _run_windows(
+        tab, options, max_iter, checkpoint_path, 2, done,
+        checkpoint_every, _phase_costs0(tab, problem, 2), iters1,
+        make_run=make_run_factory(n + m), n_shards=n_shards)
+    if status2 == int(Status.RUNNING):
         return SolveResult(Status.MAXITER, None, float(tab.z), iters1, done)
     if os.path.exists(checkpoint_path):
         os.unlink(checkpoint_path)

@@ -261,12 +261,10 @@ def main(argv: list[str] | None = None) -> int:
             print(f"Seed file saved to {path}")
 
     if args.sharded:
-        if args.timer or args.per_iteration or args.batch > 1 \
-                or args.checkpoint:
+        if args.timer or args.per_iteration or args.batch > 1:
             raise SystemExit(
                 "--sharded runs one fused device program and is "
-                "incompatible with --timer/--per-iteration/--batch/"
-                "--checkpoint")
+                "incompatible with --timer/--per-iteration/--batch")
         import jax
         from jax.sharding import Mesh
 
@@ -279,7 +277,16 @@ def main(argv: list[str] | None = None) -> int:
         mesh = Mesh(np.array(devices[:args.sharded]), ("vars",))
         print(f"Resolving on a {args.sharded}-device 'vars' mesh....")
         t0 = time.time()
-        result = solve_sharded(problem, mesh, options)
+        if args.checkpoint:
+            from .checkpoint import solve_resumable_sharded
+
+            if os.path.exists(args.checkpoint):
+                print(f"Resuming from checkpoint {args.checkpoint}")
+            result = solve_resumable_sharded(
+                problem, mesh, args.checkpoint,
+                checkpoint_every=args.checkpoint_every, options=options)
+        else:
+            result = solve_sharded(problem, mesh, options)
         print(f"Sharded solve finished in {time.time() - t0:.3f}s")
         _report(result, problem, args.data_dir)
         return 0

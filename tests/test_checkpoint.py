@@ -50,8 +50,8 @@ def test_state_roundtrip(problem, tmp_path):
         jnp.asarray(problem.A), jnp.asarray(problem.b), problem.vars,
         problem.constraints, DEFAULT_OPTIONS))
     save_state(path, tab, phase=1, iterations=7, iters1=3)
-    tab2, phase, iterations, iters1 = load_state(path)
-    assert (phase, iterations, iters1) == (1, 7, 3)
+    tab2, phase, iterations, iters1, n_shards = load_state(path)
+    assert (phase, iterations, iters1, n_shards) == (1, 7, 3, 0)
     assert (tab2.n, tab2.m, tab2.r) == (tab.n, tab.m, tab.r)
     np.testing.assert_array_equal(np.asarray(tab.T), np.asarray(tab2.T))
     np.testing.assert_array_equal(np.asarray(tab.base),
@@ -98,3 +98,95 @@ def test_dtype_mismatch_rejected(problem, tmp_path):
     with pytest.raises(ValueError, match="dtypes"):
         solve_resumable(problem, path,
                         options=SolverOptions(dtype=np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Sharded checkpoint/resume (VERDICT r2 #4): the n=1M column-sharded solve
+# is the longest-running configuration — it gets the same crash-recovery
+# contract as the single-chip path, on the virtual 8-device CPU mesh.
+
+def _mesh(n_devices):
+    import jax
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(jax.devices()[:n_devices]), ("vars",))
+
+
+def test_sharded_full_run_with_small_windows(problem, tmp_path):
+    from simplex_tpu.checkpoint import solve_resumable_sharded
+
+    path = str(tmp_path / "state.npz")
+    want = solve_oracle(problem)
+    got = solve_resumable_sharded(problem, _mesh(4), path,
+                                  checkpoint_every=50)
+    assert got.status == Status.OPTIMAL
+    assert got.objective == pytest.approx(want.objective, rel=1e-9)
+    assert not os.path.exists(path), "checkpoint removed on success"
+
+
+def test_sharded_resume_midway_matches_oracle(problem, tmp_path):
+    """Write a mid-phase-1 sharded checkpoint, then resume from it: the
+    windowed sharded runner must pick up the exact state (global arrays
+    re-sharded onto the mesh) and finish at the oracle optimum."""
+    from simplex_tpu.checkpoint import solve_resumable_sharded
+
+    path = str(tmp_path / "state.npz")
+
+    # Interrupt by running with an artificially tiny max_iter: the
+    # checkpoint survives (MAXITER keeps the file for a bigger rerun).
+    got = solve_resumable_sharded(problem, _mesh(4), path,
+                                  checkpoint_every=50, max_iter=60,
+                                  bland_threshold=None)
+    assert got.status == Status.MAXITER
+    assert os.path.exists(path), "MAXITER keeps the checkpoint"
+
+    want = solve_oracle(problem)
+    got = solve_resumable_sharded(problem, _mesh(4), path,
+                                  checkpoint_every=50,
+                                  bland_threshold=None)
+    assert got.status == Status.OPTIMAL
+    assert got.objective == pytest.approx(want.objective, rel=1e-9)
+    assert not os.path.exists(path)
+
+
+def test_sharded_mesh_width_mismatch_rejected(problem, tmp_path):
+    from simplex_tpu.checkpoint import solve_resumable_sharded
+
+    path = str(tmp_path / "state.npz")
+    got = solve_resumable_sharded(problem, _mesh(4), path,
+                                  checkpoint_every=50, max_iter=60,
+                                  bland_threshold=None)
+    assert got.status == Status.MAXITER and os.path.exists(path)
+    with pytest.raises(ValueError, match="4-shard mesh"):
+        solve_resumable_sharded(problem, _mesh(2), path)
+
+
+def test_single_chip_rejects_sharded_checkpoint(problem, tmp_path):
+    from simplex_tpu.checkpoint import solve_resumable_sharded
+
+    path = str(tmp_path / "state.npz")
+    got = solve_resumable_sharded(problem, _mesh(4), path,
+                                  checkpoint_every=50, max_iter=60,
+                                  bland_threshold=None)
+    assert got.status == Status.MAXITER and os.path.exists(path)
+    with pytest.raises(ValueError, match="sharded"):
+        solve_resumable(problem, path)
+
+
+def test_sharded_checkpoint_blocked_kernel_path(problem, tmp_path):
+    """The windowed sharded runner dispatches to the fused-kernel blocked
+    loop (interpret mode on the CPU mesh) like the non-checkpointed
+    production path."""
+    from simplex_tpu.checkpoint import solve_resumable_sharded
+    from simplex_tpu.config import SolverOptions
+
+    path = str(tmp_path / "state.npz")
+    opts = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                         eps=1e-5, block_pivots=8)
+    want = solve_oracle(problem)
+    got = solve_resumable_sharded(problem, _mesh(4), path,
+                                  checkpoint_every=60, options=opts,
+                                  interpret=True)
+    assert got.status == Status.OPTIMAL
+    assert got.objective == pytest.approx(want.objective, rel=1e-4)
+    assert not os.path.exists(path)

@@ -181,3 +181,60 @@ def test_sharded_flag_rejections(tmp_path):
                 tmp_path)
     with pytest.raises(SystemExit, match="device"):
         run_cli(["-r", "10", "5", "1", "--sharded", "999"], tmp_path)
+
+
+@pytest.mark.slow
+def test_cli_sharded_checkpoint_survives_kill9(tmp_path):
+    """Kill-9-and-resume for the SHARDED solver (VERDICT r2 #4): SIGKILL
+    the CLI mid-solve on a 4-device mesh, rerun the same command, resume
+    from the sharded checkpoint and finish OPTIMAL at the oracle value."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    from simplex_tpu.generator import benchmark_seed
+    from simplex_tpu.problem import write_seed_file
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    seed_file = tmp_path / "seed.txt"
+    n, m = 512, 512          # 835 + 22 pivots: several checkpoint windows
+    write_seed_file(seed_file, n, m, benchmark_seed(n, m), 1.0, 100.0)
+    ck = tmp_path / "state.npz"
+    cmd = [sys.executable, "-m", "simplex_tpu.cli", "-rf", str(seed_file),
+           "--sharded", "4", "--checkpoint", str(ck),
+           "--checkpoint-every", "200",
+           "--platform", "cpu", "--data-dir", str(tmp_path)]
+    # The conftest-set XLA_FLAGS (8 virtual CPU devices) is inherited.
+    env = dict(os.environ)
+
+    proc = subprocess.Popen(cmd, cwd=root, env=env,
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    deadline = time.time() + 300
+    while (not ck.exists() and time.time() < deadline
+           and proc.poll() is None):
+        time.sleep(0.02)
+    assert proc.poll() is None, (
+        "CLI finished before the first checkpoint window; enlarge the "
+        "instance or shrink --checkpoint-every")
+    assert ck.exists(), "no checkpoint appeared within the deadline"
+    proc.send_signal(9)      # SIGKILL, no cleanup possible
+    proc.wait(timeout=60)
+    assert ck.exists(), "checkpoint must survive the kill"
+
+    out = subprocess.run(cmd, cwd=root, env=env, capture_output=True,
+                         text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Resuming from checkpoint" in out.stdout
+    assert "Problem solved!" in out.stdout
+    assert not ck.exists(), "checkpoint removed on success"
+
+    from simplex_tpu import generate_random_problem, solve_oracle
+
+    want = solve_oracle(generate_random_problem(n, m, benchmark_seed(n, m),
+                                                1.0, 100.0))
+    line = [l for l in out.stdout.splitlines()
+            if l.startswith("Optimal value:")][0]
+    got = float(line.split(":")[1])
+    assert got == pytest.approx(want.objective, rel=1e-6)
