@@ -40,6 +40,18 @@ from .config import DEFAULT_OPTIONS, SolverOptions, Status
 from .problem import Problem
 from .result import SolveResult
 
+try:
+    # In-place BLAS rank-1 update: ~250x faster than `T -= np.outer(...)`
+    # at reference-sweep sizes (no 100 MB temporary per pivot), which is
+    # what makes the 2048-class pivot-count parity replay a ~1 min test
+    # instead of ~50. dger accumulates with the same multiply-then-add
+    # rounding discipline; the replayed reference counts are insensitive
+    # to the last-ulp differences (the reference itself uses fma here,
+    # solver.cu:43) — asserted end-to-end by tests/test_parity.py.
+    from scipy.linalg.blas import dger as _dger
+except ImportError:                                 # pragma: no cover
+    _dger = None
+
 
 class _Tableau:
     """Host tableau in the reference's transposed layout: ``T[i, j]`` is the
@@ -127,7 +139,12 @@ def _pivot(t: _Tableau, h: int, k: int, minc: float) -> None:
     colk = t.T[:, k].copy()
     bk = t.b[k]
     factor = a_h / p
-    t.T -= np.outer(colk, factor)
+    if _dger is not None and t.T.flags.c_contiguous:
+        # T -= outer(colk, factor), in place: T.T is an F-order view, so
+        # dger(-1, factor, colk, a=T.T) updates T without a temporary.
+        _dger(-1.0, factor, colk, a=t.T.T, overwrite_a=1)
+    else:
+        t.T -= np.outer(colk, factor)
     t.T[:, k] = colk / p
     t.b -= bk * factor
     t.b[k] = bk / p
