@@ -75,6 +75,9 @@ def main() -> int:
                         help="force the pure-XLA loop (kernels off)")
     parser.add_argument("--block", type=int, default=128,
                         help="deferred block-pivot window L (0/1 = off)")
+    parser.add_argument("--reprice-every", type=int, default=None,
+                        help="exact re-pricing cadence in windows "
+                             "(default: SolverOptions default)")
     args = parser.parse_args()
 
     import jax
@@ -91,10 +94,12 @@ def main() -> int:
 
     n, m, K = args.vars, args.constraints, args.iters
     dtype = jnp.dtype(args.dtype)
+    extra = ({"reprice_every": args.reprice_every}
+             if args.reprice_every is not None else {})
     options = SolverOptions(dtype=np.dtype(args.dtype),
                             vector_dtype=np.dtype(args.vector_dtype),
                             use_pallas=not args.no_pallas,
-                            block_pivots=args.block or None)
+                            block_pivots=args.block or None, **extra)
 
     log(f"building phase-1 tableau n={n} m={m} dtype={dtype.name} ...")
     t0 = time.perf_counter()

@@ -168,17 +168,22 @@ class SolverOptions:
     #: rank-1 path, so last-bit fp may differ). None/<=1 disables.
     block_pivots: Optional[int] = None
 
-    #: Exact window-boundary re-pricing cadence for the blocked loops:
-    #: recompute the reduced costs from the applied tableau every this
-    #: many windows (1 = every window, the most conservative). The
+    #: Exact window-boundary re-pricing cadence for the blocked-KERNEL
+    #: loops: recompute the reduced costs from the applied tableau every
+    #: this many windows (1 = every window, the most conservative). The
     #: in-window cost updates already carry double-f32 (~2^-48 relative)
     #: pair arithmetic, so the reprice corrects only the slow f32
     #: tableau-noise drift; a window that ends with a non-RUNNING status
     #: ALWAYS reprices so the premature-optimal check runs on exact
     #: costs regardless of cadence. Skipped windows drop the reprice's
-    #: VPU pair-accumulation from the tableau sweep (measured ~6 ms of
-    #: a ~26 ms window at the flagship shape).
-    reprice_every: int = 1
+    #: VPU pair-accumulation from the tableau sweep. Default 2: measured
+    #: 0.32 -> 0.27 ms/pivot at the flagship shape (r3), with cadence 4
+    #: no better — and the accuracy envelope unchanged (the drift the
+    #: reprice corrects accumulates at f32-tableau-noise rate, one
+    #: deferred window = ~L pivots of it; statuses still decided on
+    #: exact costs). The pure-XLA blocked loops ignore the cadence and
+    #: re-price every window (their reprice is one fused matvec).
+    reprice_every: int = 2
 
     #: Pad the constraint axis to a multiple of this (TPU lane width).
     lane_pad: int = 128

@@ -141,16 +141,17 @@ def ff32_to_f64(hi, lo, dtype=jnp.float64):
 # ---------------------------------------------------------------------------
 # R-side pass: colk = Tt[k, :] - w @ C, costs -= u * colk, next argmin.
 
-def _colk_kernel(idx_ref,                       # prefetch: [k, live_segs]
+def _colk_kernel(idx_ref,                       # prefetch: [k, live, r, t]
                  Trows_ref,                     # (8, TR): rows 8*(k//8)..+8
                  C_ref,                         # (SEG, TR) live segment
-                 w_ref,                         # (L_pad, 1) = F[:, k]
+                 Fk_ref,                        # (L, 128): F lanes around k
                  chi_ref, clo_ref,              # (1, TR) cost pair (in)
                  scal_ref,                      # SMEM (1, 3): u_hi, u_lo, do
-                 colk_ref, chi_out, clo_out,    # (1, TR) outs (aliased)
-                 dval_out, didx_out, bval_out, bidx_out,   # SMEM (1, 1)
-                 acc_ref, acc_val, acc_idx,     # scratch
-                 *, tr, seg, n_segs, eps):
+                 crow_ref, chi_out, clo_out,    # (1, TR) outs (aliased)
+                 dval_out, didx_out, dlo_out,   # SMEM (1, 1)
+                 bval_out, bidx_out, blo_out,   # SMEM (1, 1)
+                 acc_ref, acc_val, acc_idx, acc_lo,   # scratch
+                 *, tr, seg, n_segs, eps, fk_w):
     i = pl.program_id(0)       # R tile
     s = pl.program_id(1)       # liveness segment (fastest-varying)
     k = idx_ref[0]
@@ -165,7 +166,15 @@ def _colk_kernel(idx_ref,                       # prefetch: [k, live_segs]
 
     @pl.when(s < jnp.maximum(live, 1))
     def _accumulate():
-        w = w_ref[pl.ds(s * seg, seg), :]       # (seg, 1) live eta weights
+        # Eta weights w = F[:, k], lane-selected from the (L, 128) F
+        # block around column k — folding the caller's strided XLA
+        # gather (~57 us/pivot of op overhead for L values) into a 64 KB
+        # block read.
+        kk = lax.rem(k, jnp.int32(fk_w))
+        lane = lax.broadcasted_iota(jnp.int32, (seg, fk_w), 1)
+        fseg = Fk_ref[pl.ds(s * seg, seg), :]
+        w = jnp.sum(jnp.where(lane == kk, fseg, 0.0), axis=1,
+                    keepdims=True)              # (seg, 1) live eta weights
         acc_ref[:] += jnp.sum(C_ref[:] * w, axis=0, keepdims=True)
 
     @pl.when(s == n_segs - 1)
@@ -178,7 +187,31 @@ def _colk_kernel(idx_ref,                       # prefetch: [k, live_segs]
         trow = jnp.sum(jnp.where(sub == kk, Trows_ref[:], 0.0), axis=0,
                        keepdims=True)                       # (1, TR)
         colk = trow - acc_ref[:]
-        colk_ref[:] = colk
+        # Write the live leaving row straight into C's row t (the eta
+        # column for this pivot), zeroed on a skipped pivot — folding
+        # the XLA glue's O(R) ``C.at[t].set`` dynamic-update-slice (plus
+        # the separate colk output write) into this pass. Mosaic needs
+        # an 8-sublane output block, so the write covers C's 8-row slab
+        # around t: rows < t pass through bitwise (they sit in the final
+        # live segment, already in VMEM — when t % seg == 0 the slab is
+        # entirely dead and the clamped slice is masked to zero anyway),
+        # rows > t stay zero by the liveness contract.
+        do = scal_ref[0, 2] != 0.0
+        t_ = idx_ref[3]
+        h_rows = crow_ref.shape[0]                # 8, or L when L < 8
+        base = lax.div(t_, jnp.int32(h_rows)) * jnp.int32(h_rows)
+        seg_base = jnp.int32(seg) * jnp.maximum(live - jnp.int32(1),
+                                                jnp.int32(0))
+        off = jnp.clip(base - seg_base, jnp.int32(0),
+                       jnp.int32(max(seg - h_rows, 0)))
+        # base, seg_base and the clip bound are all multiples of h_rows;
+        # Mosaic needs the alignment hint to vector-load at the offset.
+        slab = C_ref[pl.ds(pl.multiple_of(off, h_rows), h_rows), :]
+        grow = base + lax.broadcasted_iota(jnp.int32, (h_rows, tr), 0)
+        crow_ref[:] = jnp.where(
+            grow == t_,
+            jnp.where(do, colk, jnp.zeros_like(colk)),
+            jnp.where(grow < t_, slab, jnp.zeros_like(slab)))
 
         # costs -= u * colk in double-float32 (error-free transforms).
         u_hi = scal_ref[0, 0]
@@ -195,6 +228,8 @@ def _colk_kernel(idx_ref,                       # prefetch: [k, live_segs]
 
         # Entering candidates over the UPDATED costs (hi part; ties ->
         # lowest index via the ascending grid, like kernels/pivot.py).
+        # The lo parts at the winning indices ride along so the solver
+        # never gathers from the cost pair again.
         big = jnp.int32(BIG_INDEX)
         gi = i.astype(jnp.int32) * jnp.int32(tr) + \
             lax.broadcasted_iota(jnp.int32, (1, tr), 1)
@@ -202,58 +237,74 @@ def _colk_kernel(idx_ref,                       # prefetch: [k, live_segs]
                        jnp.asarray(jnp.inf, jnp.float32))
         slab_min = jnp.min(cm)
         slab_idx = jnp.min(jnp.where(cm == slab_min, gi, big))
+        slab_dlo = jnp.sum(jnp.where(gi == slab_idx, nlo, 0.0))
         eligible = cm <= jnp.asarray(-eps, jnp.float32)
         slab_bidx = jnp.min(jnp.where(eligible, gi, big))
         slab_bval = jnp.min(jnp.where(gi == slab_bidx, cm,
                                       jnp.asarray(jnp.inf, jnp.float32)))
+        slab_blo = jnp.sum(jnp.where(gi == slab_bidx, nlo, 0.0))
 
         @pl.when(i == 0)
         def _first():
             acc_val[0] = slab_min
             acc_idx[0] = slab_idx
+            acc_lo[0] = slab_dlo
             acc_val[1] = slab_bval
             acc_idx[1] = slab_bidx
+            acc_lo[1] = slab_blo
 
         @pl.when(i > 0)
         def _fold():
             take = slab_min < acc_val[0]
             acc_val[0] = jnp.where(take, slab_min, acc_val[0])
             acc_idx[0] = jnp.where(take, slab_idx, acc_idx[0])
+            acc_lo[0] = jnp.where(take, slab_dlo, acc_lo[0])
             take_b = slab_bidx < acc_idx[1]
             acc_val[1] = jnp.where(take_b, slab_bval, acc_val[1])
             acc_idx[1] = jnp.where(take_b, slab_bidx, acc_idx[1])
+            acc_lo[1] = jnp.where(take_b, slab_blo, acc_lo[1])
 
         @pl.when(i == pl.num_programs(0) - 1)
         def _emit():
             dval_out[0, 0] = acc_val[0]
             didx_out[0, 0] = acc_idx[0]
+            dlo_out[0, 0] = acc_lo[0]
             bval_out[0, 0] = acc_val[1]
             bidx_out[0, 0] = acc_idx[1]
+            blo_out[0, 0] = acc_lo[1]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("eps", "interpret", "tile_r",
                                     "seg_rows"))
-def colk_costs_pass(Tt: jax.Array, C: jax.Array, w: jax.Array,
+def colk_costs_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
                     chi: jax.Array, clo: jax.Array,
                     k: jax.Array, t: jax.Array,
                     u_hi: jax.Array, u_lo: jax.Array,
-                    r, eps: float, interpret: bool = False,
+                    r, eps: float, do: jax.Array | None = None,
+                    interpret: bool = False,
                     tile_r: int | None = None,
                     seg_rows: int | None = None):
     """One fused R-side pivot pass.
 
     Args: Tt (M_pad, R_pad) f32 stale transposed tableau; C (L, R_pad)
-    f32 eta columns (rows >= t are zero); w (L,) f32 = F[:, k]; costs as
+    f32 eta columns (rows >= t are zero); F (L, M_pad) f32 eta rows (the
+    eta weights w = F[:, k] are lane-selected in-kernel from the 128-lane
+    block around k); costs as
     the (hi, lo) f32 pair, each (R_pad,); traced scalars k (leaving
     constraint), t (window fill, for liveness DMA-skipping), u = minc/p
     as an (u_hi, u_lo) pair, r (valid-row limit — LOCAL under shard_map,
-    where the candidate indices it bounds are local too); static eps.
+    where the candidate indices it bounds are local too), do (whether
+    this pivot applies: row t of C gets the live leaving row when true,
+    zeros when false; None = true); static eps.
 
-    Returns (colk, chi', clo', h_dantzig, v_dantzig, h_bland, v_bland)
-    where colk (R_pad,) f32 is the LIVE leaving row and the candidates
-    are over the updated costs' hi parts. Pass u = 0 for an identity
-    pass (costs unchanged, candidates recomputed).
+    Returns (C', chi', clo', h_dantzig, v_dantzig_hi, v_dantzig_lo,
+    h_bland, v_bland_hi, v_bland_lo): C' is C with row t written IN
+    PLACE (aliased — the caller's XLA ``C.at[t].set`` glue is folded into
+    this pass), the cost pair is updated in place, and the candidates
+    over the updated costs carry their full (hi, lo) values so nothing
+    ever gathers from the cost vector. Pass u = 0 for an identity pass
+    (costs unchanged, candidates recomputed).
     """
     m_pad, r_pad = Tt.shape
     L = C.shape[0]
@@ -268,16 +319,29 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, w: jax.Array,
 
     live_segs = jnp.minimum(lax.div(t + seg - 1, jnp.int32(seg)),
                             jnp.int32(n_segs))
+    # The C-row write target; clamped so the read-everything test usage
+    # (t = L) cannot index an out-of-bounds block (the solver always
+    # passes t in [0, L-1]).
+    t_row = jnp.clip(t.astype(jnp.int32), 0, L - 1)
     idx = jnp.stack([k.astype(jnp.int32), live_segs.astype(jnp.int32),
-                     jnp.asarray(r, jnp.int32)])
+                     jnp.asarray(r, jnp.int32), t_row])
+    do_f = (jnp.float32(1) if do is None
+            else do.astype(jnp.float32))
     scal = jnp.stack([u_hi.astype(jnp.float32), u_lo.astype(jnp.float32),
-                      jnp.float32(0)]).reshape(1, 3)
-    w2 = w.astype(jnp.float32).reshape(L, 1)
+                      do_f]).reshape(1, 3)
     chi2 = chi.reshape(1, r_pad)
     clo2 = clo.reshape(1, r_pad)
 
+    # Output slab height for the in-place C-row write: Mosaic's minimum
+    # sublane block (8), or the whole (tiny) L axis.
+    h_rows = 8 if L >= 8 else L
+    assert F.shape == (L, m_pad), (F.shape, L, m_pad)
+    # F's lane-block width for the in-kernel w = F[:, k] selection: one
+    # 128-lane tile, or the whole (lane-legal) axis on toy shapes.
+    fk_w = 128 if m_pad % 128 == 0 else m_pad
+
     kernel = functools.partial(_colk_kernel, tr=tr, seg=seg,
-                               n_segs=n_segs, eps=float(eps))
+                               n_segs=n_segs, eps=float(eps), fk_w=fk_w)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -295,7 +359,13 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, w: jax.Array,
                     jnp.minimum(s, jnp.maximum(idx[1] - jnp.int32(1),
                                                jnp.int32(0))), i),
                 memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 1), lambda i, s, idx: (_i0(), _i0()),
+            # F's 128-lane block around column k (the eta weights are
+            # lane-selected in-kernel); fetched once, reused across the
+            # whole grid.
+            pl.BlockSpec((L, fk_w),
+                         lambda i, s, idx: (_i0(),
+                                            lax.div(idx[0],
+                                                    jnp.int32(fk_w))),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tr), lambda i, s, idx: (_i0(), i),
                          memory_space=pltpu.VMEM),
@@ -305,12 +375,22 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, w: jax.Array,
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
+            # The 8-row slab of C around row t (Mosaic's minimum output
+            # sublane block), written once per R tile at the final
+            # segment step: row t gets the live leaving row, rows < t
+            # pass through bitwise, rows > t stay zero.
+            pl.BlockSpec(
+                (h_rows, tr),
+                lambda i, s, idx: (lax.div(idx[3], jnp.int32(h_rows)), i),
+                memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tr), lambda i, s, idx: (_i0(), i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tr), lambda i, s, idx: (_i0(), i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tr), lambda i, s, idx: (_i0(), i),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, s, idx: (_i0(), _i0()),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, s, idx: (_i0(), _i0()),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i, s, idx: (_i0(), _i0()),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i, s, idx: (_i0(), _i0()),
@@ -324,22 +404,27 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, w: jax.Array,
             pltpu.VMEM((1, tr), jnp.float32),
             pltpu.SMEM((2,), jnp.float32),
             pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((2,), jnp.float32),
         ],
     )
 
-    colk2, nhi2, nlo2, dval, didx, bval, bidx = pl.pallas_call(
+    C2, nhi2, nlo2, dval, didx, dlo, bval, bidx, blo = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((L, r_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
-        input_output_aliases={4: 1, 5: 2},   # chi, clo update in place
+        # C, chi, clo update in place (input positions count the
+        # prefetch-scalar arg: idx=0, Tt=1, C=2, w=3, chi=4, clo=5).
+        input_output_aliases={2: 0, 4: 1, 5: 2},
         cost_estimate=pl.CostEstimate(
             flops=2 * L * r_pad + 30 * r_pad,
             bytes_accessed=(L * r_pad + 8 * r_pad + 5 * r_pad) * 4,
@@ -348,11 +433,11 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, w: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(idx, Tt, C, w2, chi2, clo2, scal)
+    )(idx, Tt, C, F, chi2, clo2, scal)
 
-    return (colk2.reshape(r_pad), nhi2.reshape(r_pad),
-            nlo2.reshape(r_pad), didx[0, 0], dval[0, 0], bidx[0, 0],
-            bval[0, 0])
+    return (C2, nhi2.reshape(r_pad), nlo2.reshape(r_pad),
+            didx[0, 0], dval[0, 0], dlo[0, 0],
+            bidx[0, 0], bval[0, 0], blo[0, 0])
 
 
 # ---------------------------------------------------------------------------
@@ -711,10 +796,10 @@ def reprice_pass(Tt: jax.Array, c_hi: jax.Array, c_lo: jax.Array,
 def _ah_kernel(idx_ref,                 # prefetch: [h, live_segs]
                Tcols_ref,               # (TM, 128): lanes around column h
                F_ref,                   # (SEG, TM) live eta segment
-               v_ref,                   # (L, 1) = C[:, h]
+               Ch_ref,                  # (L, ck_w): C lanes around col h
                ah_ref,                  # out (1, TM)
                acc_ref,                 # scratch (1, TM)
-               *, tm, seg, n_segs):
+               *, tm, seg, n_segs, ck_w):
     s = pl.program_id(1)                # liveness segment (fastest)
     h = idx_ref[0]
     live = idx_ref[1]
@@ -725,7 +810,14 @@ def _ah_kernel(idx_ref,                 # prefetch: [h, live_segs]
 
     @pl.when(s < jnp.maximum(live, 1))
     def _accumulate():
-        vseg = v_ref[pl.ds(s * seg, seg), :]          # (seg, 1)
+        # v = C[:, h], lane-selected from the (L, ck_w) C block around
+        # column h (folds the caller's strided XLA gather, ~56 us/pivot
+        # of op overhead, into a 64 KB block read).
+        hh = lax.rem(h, jnp.int32(ck_w))
+        lane = lax.broadcasted_iota(jnp.int32, (seg, ck_w), 1)
+        cseg = Ch_ref[pl.ds(s * seg, seg), :]
+        vseg = jnp.sum(jnp.where(lane == hh, cseg, 0.0), axis=1,
+                       keepdims=True)                 # (seg, 1)
         acc_ref[:] += jnp.sum(F_ref[:] * vseg, axis=0, keepdims=True)
 
     @pl.when(s == n_segs - 1)
@@ -747,12 +839,14 @@ def _ah_kernel(idx_ref,                 # prefetch: [h, live_segs]
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "seg_rows"))
-def ah_pass(Tt: jax.Array, F: jax.Array, v: jax.Array, h: jax.Array,
+def ah_pass(Tt: jax.Array, F: jax.Array, C: jax.Array, h: jax.Array,
             t: jax.Array | None = None, interpret: bool = False,
             seg_rows: int | None = None) -> jax.Array:
-    """Live entering column: ``Tt[:, h] - v @ F`` fused (column fetch
-    reads the same 128-lane tiles the XLA gather touches, without its
-    op overhead). v = C[:, h]; returns a_h (M_pad,) f32.
+    """Live entering column: ``Tt[:, h] - C[:, h] @ F`` fused (the column
+    fetch reads the same 128-lane tiles the XLA gather touches, without
+    its op overhead, and the eta weights v = C[:, h] are lane-selected
+    in-kernel from C's 128-lane block around h). Returns a_h (M_pad,)
+    f32.
 
     Liveness-aware like colk_costs_pass: eta rows >= the window fill
     ``t`` are all-zero, so dead SEG-row segments of F alias an
@@ -763,14 +857,15 @@ def ah_pass(Tt: jax.Array, F: jax.Array, v: jax.Array, h: jax.Array,
     """
     m_pad, r_pad = Tt.shape
     L = F.shape[0]
+    assert C.shape == (L, r_pad), (C.shape, L, r_pad)
     seg = min(seg_rows or SEG, L)
     assert L % seg == 0, (L, seg)
     n_segs = L // seg
     # tm is the LANE dim of the F/out blocks: Mosaic requires it to be a
     # multiple of 128 or the full axis (toy shapes).
     tm = pick_tile(m_pad, 128, 2048) if m_pad % 128 == 0 else m_pad
+    ck_w = 128 if r_pad % 128 == 0 else r_pad
     grid = (cdiv(m_pad, tm), n_segs)
-    v2 = v.astype(jnp.float32).reshape(L, 1)
     if t is None:
         live_segs = jnp.int32(n_segs)
     else:
@@ -794,7 +889,10 @@ def ah_pass(Tt: jax.Array, F: jax.Array, v: jax.Array, h: jax.Array,
                     jnp.minimum(s, jnp.maximum(idx[1] - jnp.int32(1),
                                                jnp.int32(0))), i),
                 memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 1), lambda i, s, idx: (_i0(), _i0()),
+            pl.BlockSpec((L, ck_w),
+                         lambda i, s, idx: (_i0(),
+                                            lax.div(idx[0],
+                                                    jnp.int32(ck_w))),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tm), lambda i, s, idx: (_i0(), i),
@@ -803,7 +901,8 @@ def ah_pass(Tt: jax.Array, F: jax.Array, v: jax.Array, h: jax.Array,
     )
 
     ah2 = pl.pallas_call(
-        functools.partial(_ah_kernel, tm=tm, seg=seg, n_segs=n_segs),
+        functools.partial(_ah_kernel, tm=tm, seg=seg, n_segs=n_segs,
+                          ck_w=ck_w),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -814,5 +913,5 @@ def ah_pass(Tt: jax.Array, F: jax.Array, v: jax.Array, h: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(idx, Tt, F, v2)
+    )(idx, Tt, F, C)
     return ah2.reshape(m_pad)

@@ -410,6 +410,10 @@ class BlockedKernelShardedState(NamedTuple):
     bland: jax.Array
     h_d: jax.Array      # global Dantzig candidate
     h_b: jax.Array      # global Bland candidate (BIG_INDEX if none)
+    vd_hi: jax.Array    # reduced cost at h_d, double-f32 pair (replicated)
+    vd_lo: jax.Array
+    vb_hi: jax.Array    # reduced cost at h_b (inf when none eligible)
+    vb_lo: jax.Array
     windows: jax.Array
 
 
@@ -453,50 +457,65 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
     def offset32():
         return (lax.axis_index(AXIS) * R_loc).astype(jnp.int32)
 
-    def fold_candidates(v_d, lh_d, lh_b, offset):
-        """Global (h_d, h_b) from each shard's local candidates: the
-        same f32-value lexicographic fold the kernel does across its R
-        tiles, extended across shards (ties -> lowest global index,
-        contiguous shard blocks keep the order global)."""
-        # dtype-preserving: the in-window fold gets the kernels' f32 hi
-        # values (same comparison the single-chip kernel folds across R
-        # tiles), but the POST-REPRICE fold gets the exact f64 view —
-        # casting that to f32 here would tie values the single-chip
-        # xla_candidates distinguishes, and knife-edge instances would
-        # take different pivot walks sharded vs unsharded.
+    def fold_candidates(vd_hi, vd_lo, vb_hi, vb_lo, lh_d, lh_b, offset,
+                        exact: bool):
+        """Global (h_d, vd pair, h_b, vb pair) from each shard's local
+        candidates (ties -> lowest global index; contiguous shard blocks
+        keep the order global). The candidate VALUES ride the same fold,
+        so the solver never pays a separate minc psum per pivot.
+
+        ``exact`` preserves the round-2 dtype discipline: the IN-WINDOW
+        fold compares hi parts only (the same comparison the single-chip
+        kernel folds across its R tiles), while the POST-REPRICE fold
+        compares the exact (hi + lo) f64 view — the comparison the
+        single-chip xla_candidates makes; folding that at f32 would tie
+        values it distinguishes, and knife-edge instances would take
+        different pivot walks sharded vs unsharded."""
         gd = jnp.where(lh_d >= big, big, offset + lh_d).astype(jnp.int32)
         gb = jnp.where(lh_b >= big, big, offset + lh_b).astype(jnp.int32)
-        vals = lax.all_gather(v_d, AXIS)
-        # Both int32 candidates ride ONE gather (stacked), so the fold
-        # costs two all_gathers total — and XLA's collective combiner
-        # may merge those further.
+        # All four f32 values ride ONE gather and both int32 candidates
+        # another — two all_gathers per fold, as in round 2 (and XLA's
+        # collective combiner may merge them further).
+        vals = lax.all_gather(jnp.stack([vd_hi, vd_lo, vb_hi, vb_lo]),
+                              AXIS)                        # (P, 4)
         idxs = lax.all_gather(jnp.stack([gd, gb]), AXIS)   # (P, 2)
-        gmin = jnp.min(vals)
-        h_d = jnp.min(jnp.where(vals == gmin, idxs[:, 0],
+        if exact:
+            key = ff32_to_f64(vals[:, 0], vals[:, 1], vdtype)
+        else:
+            key = vals[:, 0]
+        gmin = jnp.min(key)
+        h_d = jnp.min(jnp.where(key == gmin, idxs[:, 0],
                                 big)).astype(jnp.int32)
+        at_d = idxs[:, 0] == h_d           # global indices are unique
+        d_hi = jnp.sum(jnp.where(at_d, vals[:, 0], 0.0))
+        d_lo = jnp.sum(jnp.where(at_d, vals[:, 1], 0.0))
         h_b = jnp.min(idxs[:, 1]).astype(jnp.int32)
-        return h_d, h_b
+        none_b = h_b >= big
+        at_b = idxs[:, 1] == h_b
+        b_hi = jnp.where(none_b, jnp.float32(jnp.inf),
+                         jnp.sum(jnp.where(at_b, vals[:, 2], 0.0)))
+        b_lo = jnp.where(none_b, jnp.float32(0),
+                         jnp.sum(jnp.where(at_b, vals[:, 3], 0.0)))
+        return h_d, d_hi, d_lo, h_b, b_hi, b_lo
 
-    def gather_cost_view(chi, clo, h, offset):
-        """Replicate the double-f32 cost view at GLOBAL row h (one
-        scalar psum from the owner) — the sharded analogue of the
-        single-chip loop's ``chi[h] + clo[h]`` read."""
-        lh = h - offset
-        own = (lh >= 0) & (lh < R_loc)
-        lhs = jnp.clip(lh, 0, R_loc - 1)
-        val = ff32_to_f64(chi[lhs], clo[lhs], vdtype)
-        return lax.psum(jnp.where(own, val, jnp.zeros_like(val)), AXIS)
-
-    def local_candidates(view, gmask):
-        """Post-repricing candidates from the exact local cost view
-        (the sharded mirror of the single-chip xla_candidates)."""
-        masked = jnp.where(gmask, view, jnp.inf)
-        lh_d = jnp.argmin(masked).astype(jnp.int32)
-        v_d = masked[lh_d]       # full precision: see fold_candidates
+    def local_candidates(chi, clo, gmask):
+        """Post-repricing candidates from the exact local cost pair
+        (the sharded mirror of the single-chip xla_candidates): masked
+        rows carry (inf, 0) so a fully-padded shard can never win the
+        fold."""
+        mchi = jnp.where(gmask, chi, jnp.float32(jnp.inf))
+        mclo = jnp.where(gmask, clo, jnp.float32(0))
+        view = ff32_to_f64(mchi, mclo, vdtype)
+        lh_d = jnp.argmin(view).astype(jnp.int32)
         iota = jnp.arange(R_loc, dtype=jnp.int32)
-        eligible = masked <= -eps
+        eligible = view <= -eps
         lh_b = jnp.min(jnp.where(eligible, iota, big)).astype(jnp.int32)
-        return v_d, lh_d, lh_b
+        lb_safe = jnp.minimum(lh_b, R_loc - 1)
+        none_b = lh_b >= big
+        return (mchi[lh_d], mclo[lh_d],
+                jnp.where(none_b, jnp.float32(jnp.inf), mchi[lb_safe]),
+                jnp.where(none_b, jnp.float32(0), mclo[lb_safe]),
+                lh_d, lh_b)
 
     def inner(t, carry):
         C, F, s = carry
@@ -505,13 +524,17 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
 
         use_bland = s.bland & (s.h_b < big)
         h = jnp.where(use_bland, s.h_b, s.h_d).astype(jnp.int32)
-        minc = gather_cost_view(s.chi, s.clo, h, offset)
+        # minc rides the carry (folded with the candidates) — no
+        # per-pivot minc psum.
+        minc = ff32_to_f64(jnp.where(use_bland, s.vb_hi, s.vd_hi),
+                           jnp.where(use_bland, s.vb_lo, s.vd_lo),
+                           vdtype)
         optimal = minc > -eps
 
         lh = h - offset
         own = (lh >= 0) & (lh < R_loc)
         lhs = jnp.clip(lh, 0, R_loc - 1).astype(jnp.int32)
-        a_h32_loc = ah_pass(s.Tt, F, C[:, lhs], lhs,
+        a_h32_loc = ah_pass(s.Tt, F, C, lhs,
                             t.astype(jnp.int32), interpret=interpret)
         a_h32 = lax.psum(jnp.where(own, a_h32_loc,
                                    jnp.zeros_like(a_h32_loc)), AXIS)
@@ -527,10 +550,13 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
         u = jnp.where(do, minc / p, jnp.zeros_like(minc))
         u_hi, u_lo = ff32_from_f64(u)
         r_lim = jnp.clip(jnp.int32(tab.r) - offset, 0, R_loc)
-        colk32, chi2, clo2, lh_d, v_d, lh_b, _ = colk_costs_pass(
-            s.Tt, C, F[:, k], s.chi, s.clo, k, t.astype(jnp.int32),
-            u_hi, u_lo, r=r_lim, eps=eps, interpret=interpret)
-        h_d, h_b = fold_candidates(v_d, lh_d, lh_b, offset)
+        C2, chi2, clo2, lh_d, lvd_hi, lvd_lo, lh_b, lvb_hi, lvb_lo = \
+            colk_costs_pass(
+                s.Tt, C, F, s.chi, s.clo, k, t.astype(jnp.int32),
+                u_hi, u_lo, r=r_lim, eps=eps, do=do, interpret=interpret)
+        h_d, vd_hi, vd_lo, h_b, vb_hi, vb_lo = fold_candidates(
+            lvd_hi, lvd_lo, lvb_hi, lvb_lo, lh_d, lh_b, offset,
+            exact=False)
 
         bk = s.b[k]
         z2 = jnp.where(do, s.z - u * bk, s.z)
@@ -541,7 +567,6 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
         base2 = jnp.where(do, s.base.at[k].set(h.astype(s.base.dtype)),
                           s.base)
         v = ((a_h / p).at[k].set(1.0 - 1.0 / p)).astype(dtype)
-        C2 = C.at[t, :].set(jnp.where(do, colk32, jnp.zeros_like(colk32)))
         F2 = F.at[t, :].set(jnp.where(do, v, jnp.zeros_like(v)))
 
         status = jnp.where(
@@ -559,7 +584,9 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
         return (C2, F2, BlockedKernelShardedState(
             s.Tt, b2, chi2, clo2, z2, base2, status,
             s.iterations + do.astype(jnp.int32), stall, bland, h_d, h_b,
-            s.windows))
+            vd_hi, vd_lo, vb_hi, vb_lo, s.windows))
+
+    reprice_every = max(1, int(options.reprice_every))
 
     def outer(s: BlockedKernelShardedState):
         C = jnp.zeros((L, R_loc), dtype)
@@ -571,16 +598,23 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
         else:
             # Exact window-boundary re-pricing on the freshly applied
             # LOCAL slice (see solver.solve_loop_blocked_kernel for the
-            # round-tripped-view requirement): basic-cost gather is one
-            # (M_pad,) psum, then ONE fused tableau sweep applies the
-            # window and pair-accumulates the reprice matvec
-            # (kernels.blocked.apply_reprice_pass).
+            # round-tripped-view requirement and the reprice cadence
+            # contract): basic-cost gather is one (M_pad,) psum, then
+            # ONE fused tableau sweep applies the window and
+            # pair-accumulates the reprice matvec
+            # (kernels.blocked.apply_reprice_pass). Off-cadence windows
+            # skip the reprice arithmetic inside the kernel; a window
+            # ending non-RUNNING always re-prices.
+            do_r = ((s.status != int(Status.RUNNING))
+                    | (lax.rem(s.windows + 1,
+                               jnp.int32(reprice_every)) == 0))
             offset = offset32()
             coeffs = _gather_basic_coeffs(s.base.astype(jnp.int32),
                                           costs0, tab.r, R_loc)
             c_hi, c_lo = ff32_from_f64(coeffs)
             Tt2, mv_hi, mv_lo = apply_reprice_pass(
-                s.Tt, C, F, c_hi, c_lo, interpret=interpret)
+                s.Tt, C, F, c_hi, c_lo, do_reprice=do_r,
+                interpret=interpret)
             s = s._replace(Tt=Tt2)
             costs_exact = costs0 - (mv_hi.astype(costs0.dtype)
                                     + mv_lo.astype(costs0.dtype))
@@ -590,12 +624,23 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
             lmin = jnp.min(jnp.where(gmask, costs_view, jnp.inf))
             vmin = jnp.min(lax.all_gather(lmin, AXIS))
             premature = (s.status == int(Status.OPTIMAL)) & (vmin <= -eps)
-            status = jnp.where(premature, int(Status.RUNNING),
+            status = jnp.where(do_r & premature, int(Status.RUNNING),
                                s.status).astype(jnp.int32)
-            v_d, lh_d, lh_b = local_candidates(costs_view, gmask)
-            h_d, h_b = fold_candidates(v_d, lh_d, lh_b, offset)
-            s = s._replace(chi=chi, clo=clo, status=status, h_d=h_d,
-                           h_b=h_b)
+            lvd_hi, lvd_lo, lvb_hi, lvb_lo, lh_d, lh_b = local_candidates(
+                chi, clo, gmask)
+            h_d, vd_hi, vd_lo, h_b, vb_hi, vb_lo = fold_candidates(
+                lvd_hi, lvd_lo, lvb_hi, lvb_lo, lh_d, lh_b, offset,
+                exact=True)
+            s = s._replace(
+                chi=jnp.where(do_r, chi, s.chi),
+                clo=jnp.where(do_r, clo, s.clo),
+                status=status,
+                h_d=jnp.where(do_r, h_d, s.h_d),
+                h_b=jnp.where(do_r, h_b, s.h_b),
+                vd_hi=jnp.where(do_r, vd_hi, s.vd_hi),
+                vd_lo=jnp.where(do_r, vd_lo, s.vd_lo),
+                vb_hi=jnp.where(do_r, vb_hi, s.vb_hi),
+                vb_lo=jnp.where(do_r, vb_lo, s.vb_lo))
         return s._replace(windows=s.windows + 1)
 
     def cond(s: BlockedKernelShardedState):
@@ -604,15 +649,17 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
                 & (s.iterations < max_iter) & (s.windows < max_iter))
 
     chi0, clo0 = ff32_from_f64(tab.costs)
-    view0 = ff32_to_f64(chi0, clo0, vdtype)
-    v_d0, lh_d0, lh_b0 = local_candidates(view0, _local_row_mask(tab))
-    h_d0, h_b0 = fold_candidates(v_d0, lh_d0, lh_b0,
-                                 _global_row_offset(tab).astype(jnp.int32))
+    lvd_hi0, lvd_lo0, lvb_hi0, lvb_lo0, lh_d0, lh_b0 = local_candidates(
+        chi0, clo0, _local_row_mask(tab))
+    h_d0, vd_hi0, vd_lo0, h_b0, vb_hi0, vb_lo0 = fold_candidates(
+        lvd_hi0, lvd_lo0, lvb_hi0, lvb_lo0, lh_d0, lh_b0,
+        _global_row_offset(tab).astype(jnp.int32), exact=True)
     init = BlockedKernelShardedState(
         tab.T.T, tab.b, chi0, clo0, tab.z, tab.base,
         jnp.asarray(int(Status.RUNNING), jnp.int32),
         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-        jnp.asarray(bland_static), h_d0, h_b0, jnp.zeros((), jnp.int32))
+        jnp.asarray(bland_static), h_d0, h_b0, vd_hi0, vd_lo0, vb_hi0,
+        vb_lo0, jnp.zeros((), jnp.int32))
     final = lax.while_loop(cond, outer, init)
     costs_out = ff32_to_f64(final.chi, final.clo, vdtype)
     out_tab = dataclasses.replace(

@@ -605,6 +605,10 @@ class BlockedKernelState(NamedTuple):
     bland: jax.Array
     h_d: jax.Array     # Dantzig candidate over current costs
     h_b: jax.Array     # Bland candidate (BIG_INDEX if none eligible)
+    vd_hi: jax.Array   # reduced cost at h_d, double-f32 pair
+    vd_lo: jax.Array
+    vb_hi: jax.Array   # reduced cost at h_b (inf when none eligible)
+    vb_lo: jax.Array
     windows: jax.Array  # outer-loop count (absolute device-time bound)
 
 
@@ -644,16 +648,24 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
     row_iota = jnp.arange(r_pad)
     row_mask = row_iota < tab.r
 
-    def xla_candidates(costs):
-        """(h_d, h_b) over a full-precision cost vector — used at init
-        and after each window's exact re-pricing (same lowest-index tie
-        rule as the kernel's folded reductions)."""
-        masked = jnp.where(row_mask, costs, jnp.inf)
+    def xla_candidates(chi, clo):
+        """(h_d, vd pair, h_b, vb pair) over a (hi, lo) cost pair — used
+        at init and after each window's exact re-pricing (same
+        lowest-index tie rule as the kernel's folded reductions; the
+        argmin compares the full round-tripped view, which for
+        normalized pairs orders identically to (hi, then lo))."""
+        view = ff32_to_f64(chi, clo, vdtype)
+        masked = jnp.where(row_mask, view, jnp.inf)
         h_d = jnp.argmin(masked).astype(jnp.int32)
         eligible = masked <= -eps
         h_b = jnp.min(jnp.where(eligible, row_iota,
                                 BIG_INDEX)).astype(jnp.int32)
-        return h_d, h_b
+        hb_safe = jnp.minimum(h_b, r_pad - 1)
+        none = h_b >= BIG_INDEX
+        inf32 = jnp.float32(jnp.inf)
+        return (h_d, chi[h_d], clo[h_d], h_b,
+                jnp.where(none, inf32, chi[hb_safe]),
+                jnp.where(none, jnp.float32(0), clo[hb_safe]))
 
     def inner(t, carry):
         C, F, s = carry
@@ -662,10 +674,14 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
         use_bland = s.bland & (s.h_b < BIG_INDEX)
         h = jnp.where(use_bland, s.h_b, s.h_d).astype(jnp.int32)
         h_safe = jnp.minimum(h, r_pad - 1)
-        minc = ff32_to_f64(s.chi[h_safe], s.clo[h_safe], vdtype)
+        # minc rides the carry (the previous pass's candidate fold
+        # emitted its (hi, lo) value) — no gather from the cost pair.
+        minc = ff32_to_f64(jnp.where(use_bland, s.vb_hi, s.vd_hi),
+                           jnp.where(use_bland, s.vb_lo, s.vd_lo),
+                           vdtype)
         optimal = minc > -eps
 
-        a_h32 = ah_pass(s.Tt, F, C[:, h_safe], h_safe,
+        a_h32 = ah_pass(s.Tt, F, C, h_safe,
                         t.astype(jnp.int32), interpret=interpret)
         a_h = a_h32.astype(vdtype)
         mask = a_h32 >= eps
@@ -678,9 +694,10 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
         p = jnp.where(do, p_raw, jnp.ones_like(p_raw))
         u = jnp.where(do, minc / p, jnp.zeros_like(minc))
         u_hi, u_lo = ff32_from_f64(u)
-        colk32, chi2, clo2, h_d, _, h_b, _ = colk_costs_pass(
-            s.Tt, C, F[:, k], s.chi, s.clo, k, t.astype(jnp.int32),
-            u_hi, u_lo, r=tab.r, eps=eps, interpret=interpret)
+        C2, chi2, clo2, h_d, vd_hi, vd_lo, h_b, vb_hi, vb_lo = \
+            colk_costs_pass(
+                s.Tt, C, F, s.chi, s.clo, k, t.astype(jnp.int32),
+                u_hi, u_lo, r=tab.r, eps=eps, do=do, interpret=interpret)
 
         bk = s.b[k]
         z2 = jnp.where(do, s.z - u * bk, s.z)
@@ -691,7 +708,6 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
         base2 = jnp.where(do, s.base.at[k].set(h.astype(s.base.dtype)),
                           s.base)
         v = ((a_h / p).at[k].set(1.0 - 1.0 / p)).astype(dtype)
-        C2 = C.at[t, :].set(jnp.where(do, colk32, jnp.zeros_like(colk32)))
         F2 = F.at[t, :].set(jnp.where(do, v, jnp.zeros_like(v)))
 
         status = jnp.where(
@@ -709,7 +725,9 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
         return (C2, F2, BlockedKernelState(
             s.Tt, b2, chi2, clo2, z2, base2, status,
             s.iterations + do.astype(jnp.int32), stall, bland, h_d, h_b,
-            s.windows))
+            vd_hi, vd_lo, vb_hi, vb_lo, s.windows))
+
+    reprice_every = max(1, int(options.reprice_every))
 
     def outer(s: BlockedKernelState):
         C = jnp.zeros((L, r_pad), dtype)
@@ -730,6 +748,17 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
             # anything, and the premature/zero-pivot cycle loops the
             # device forever (observed as a TPU watchdog kill at
             # n=300 m=900 seed=777 phase 2).
+            #
+            # Cadence (options.reprice_every): the reprice arithmetic is
+            # skipped inside the kernel on off-cadence windows (the
+            # apply still runs; the in-window double-f32 cost updates
+            # are ~2^-48 exact, so only slow f32 tableau-noise drift
+            # accumulates between re-prices) — EXCEPT that a window
+            # ending non-RUNNING always re-prices so the premature-
+            # optimal check runs on exact costs regardless of cadence.
+            do_r = ((s.status != int(Status.RUNNING))
+                    | (lax.rem(s.windows + 1,
+                               jnp.int32(reprice_every)) == 0))
             valid = s.base < tab.r
             coeffs = jnp.where(
                 valid, costs0[jnp.minimum(s.base, r_pad - 1)], 0.0)
@@ -738,7 +767,8 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
             # standalone widening-dot reprice alone cost 539 ms/window).
             c_hi, c_lo = ff32_from_f64(coeffs)
             Tt2, mv_hi, mv_lo = apply_reprice_pass(
-                s.Tt, C, F, c_hi, c_lo, interpret=interpret)
+                s.Tt, C, F, c_hi, c_lo, do_reprice=do_r,
+                interpret=interpret)
             s = s._replace(Tt=Tt2)
             costs_exact = costs0 - (mv_hi.astype(vdtype)
                                     + mv_lo.astype(vdtype))
@@ -746,11 +776,22 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
             costs_view = ff32_to_f64(chi, clo, vdtype)
             vmin = jnp.min(jnp.where(row_mask, costs_view, jnp.inf))
             premature = (s.status == int(Status.OPTIMAL)) & (vmin <= -eps)
-            status = jnp.where(premature, int(Status.RUNNING),
+            status = jnp.where(do_r & premature, int(Status.RUNNING),
                                s.status).astype(jnp.int32)
-            h_d, h_b = xla_candidates(costs_view)
-            s = s._replace(chi=chi, clo=clo, status=status, h_d=h_d,
-                           h_b=h_b)
+            h_d, vd_hi, vd_lo, h_b, vb_hi, vb_lo = xla_candidates(chi,
+                                                                  clo)
+            # On a skipped reprice the mv pair is zeros — keep the
+            # in-window pair and candidates (still current).
+            s = s._replace(
+                chi=jnp.where(do_r, chi, s.chi),
+                clo=jnp.where(do_r, clo, s.clo),
+                status=status,
+                h_d=jnp.where(do_r, h_d, s.h_d),
+                h_b=jnp.where(do_r, h_b, s.h_b),
+                vd_hi=jnp.where(do_r, vd_hi, s.vd_hi),
+                vd_lo=jnp.where(do_r, vd_lo, s.vd_lo),
+                vb_hi=jnp.where(do_r, vb_hi, s.vb_hi),
+                vb_lo=jnp.where(do_r, vb_lo, s.vb_lo))
         return s._replace(windows=s.windows + 1)
 
     def cond(s: BlockedKernelState):
@@ -763,13 +804,14 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
                 & (s.iterations < max_iter) & (s.windows < max_iter))
 
     chi0, clo0 = ff32_from_f64(tab.costs)
-    view0 = ff32_to_f64(chi0, clo0, vdtype)
-    h_d0, h_b0 = xla_candidates(view0)
+    h_d0, vd_hi0, vd_lo0, h_b0, vb_hi0, vb_lo0 = xla_candidates(chi0,
+                                                                clo0)
     init = BlockedKernelState(
         tab.T.T, tab.b, chi0, clo0, tab.z, tab.base,
         jnp.asarray(int(Status.RUNNING), jnp.int32),
         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-        jnp.asarray(bland_static), h_d0, h_b0, jnp.zeros((), jnp.int32))
+        jnp.asarray(bland_static), h_d0, h_b0, vd_hi0, vd_lo0, vb_hi0,
+        vb_lo0, jnp.zeros((), jnp.int32))
     final = lax.while_loop(cond, outer, init)
     costs_out = ff32_to_f64(final.chi, final.clo, vdtype)
     out_tab = dataclasses.replace(

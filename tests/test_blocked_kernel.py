@@ -31,7 +31,7 @@ class TestColkCostsPass:
         C = np.array(_rand((self.L, self.r_pad), 1))
         C[5:] = 0.0                      # only t=5 etas live
         self.C = jnp.asarray(C)
-        self.w = _rand((self.L,), 2)
+        self.F = _rand((self.L, self.m_pad), 2)
         self.costs = jnp.asarray(
             np.random.Generator(np.random.Philox(3)).uniform(
                 -1, 1, self.r_pad))      # float64 under x64
@@ -42,78 +42,106 @@ class TestColkCostsPass:
         u_arr = jnp.asarray(u, self.costs.dtype)
         u_hi, u_lo = ff32_from_f64(u_arr)
         return colk_costs_pass(
-            self.Tt, self.C, self.w, chi, clo, jnp.int32(k), jnp.int32(t),
+            self.Tt, self.C, self.F, chi, clo, jnp.int32(k), jnp.int32(t),
             u_hi, u_lo, r=self.r, eps=1e-6, interpret=True)
 
     def test_colk_and_costs_match_reference_math(self):
-        k, u = 7, 0.375
-        colk, chi2, clo2, h_d, v_d, h_b, v_b = self.run_pass(k=k, u=u)
+        k, u, t = 7, 0.375, 5
+        C2, chi2, clo2, h_d, vd_hi, vd_lo, h_b, vb_hi, vb_lo = \
+            self.run_pass(k=k, t=t, u=u)
+        colk = np.asarray(C2)[t]          # written in place into row t
         T = np.asarray(self.Tt, np.float64)
         C = np.asarray(self.C, np.float64)
-        w = np.asarray(self.w, np.float64)
+        w = np.asarray(self.F, np.float64)[:, k]
         want_colk = T[k] - w @ C
-        np.testing.assert_allclose(np.asarray(colk), want_colk, atol=1e-5)
+        np.testing.assert_allclose(colk, want_colk, atol=1e-5)
+        # Rows other than t are untouched (in-place alias semantics).
+        np.testing.assert_array_equal(np.asarray(C2)[:t], C[:t])
         # The cost pair is updated with the kernel's own (f32) colk; the
         # double-f32 arithmetic itself is error-free to ~2^-48.
         want_costs = (np.asarray(self.costs)
-                      - u * np.asarray(colk, np.float64))
+                      - u * colk.astype(np.float64))
         got_costs = np.asarray(ff32_to_f64(chi2, clo2))
         np.testing.assert_allclose(got_costs, want_costs, atol=1e-12)
 
         masked = np.where(np.arange(self.r_pad) < self.r, got_costs,
                           np.inf)
         assert int(h_d) == int(np.argmin(masked.astype(np.float32)))
+        # The candidate's (hi, lo) value pair rides along exactly.
+        np.testing.assert_array_equal(
+            np.asarray(vd_hi), np.asarray(chi2)[int(h_d)])
+        np.testing.assert_array_equal(
+            np.asarray(vd_lo), np.asarray(clo2)[int(h_d)])
         eligible = np.nonzero(masked.astype(np.float32) <= -1e-6)[0]
         want_hb = int(eligible[0]) if eligible.size else BIG_INDEX
         assert int(h_b) == want_hb
+        if eligible.size:
+            np.testing.assert_array_equal(
+                np.asarray(vb_hi), np.asarray(chi2)[want_hb])
+            np.testing.assert_array_equal(
+                np.asarray(vb_lo), np.asarray(clo2)[want_hb])
 
     def test_liveness_ignores_dead_segments(self):
-        """Eta rows >= t are zero; passing a smaller t must not change
-        the result (the skipped segments contribute nothing)."""
+        """Eta rows >= t are zero; passing a larger t must not change
+        the result (the extra segments contribute nothing)."""
         a = self.run_pass(t=5)
-        b = self.run_pass(t=self.L)      # read everything
-        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        b = self.run_pass(t=7)           # reads the dead rows 5, 6 too
+        np.testing.assert_array_equal(np.asarray(a[0])[5],
+                                      np.asarray(b[0])[7])
         np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
 
     def test_identity_pass_when_u_zero(self):
         chi, clo = ff32_from_f64(self.costs)
-        colk, chi2, clo2, h_d, _, h_b, _ = self.run_pass(u=0.0)
+        C2, chi2, clo2, h_d, _, _, h_b, _, _ = self.run_pass(u=0.0)
         np.testing.assert_array_equal(np.asarray(chi2), np.asarray(chi))
         np.testing.assert_array_equal(np.asarray(clo2), np.asarray(clo))
 
-    def test_pivot_row_not_8_aligned(self):
-        colk, *_ = self.run_pass(k=13)
-        want = (np.asarray(self.Tt, np.float64)[13]
-                - np.asarray(self.w, np.float64) @ np.asarray(
-                    self.C, np.float64))
-        np.testing.assert_allclose(np.asarray(colk), want, atol=1e-5)
+    def test_skipped_pivot_writes_zero_row(self):
+        """do=False: the eta row is zeroed (a skipped pivot must leave
+        C's row t dead), costs unchanged under u=0."""
+        chi, clo = ff32_from_f64(self.costs)
+        C2, *_ = colk_costs_pass(
+            self.Tt, self.C, self.F, chi, clo, jnp.int32(7), jnp.int32(5),
+            jnp.float32(0), jnp.float32(0), r=self.r, eps=1e-6,
+            do=jnp.asarray(False), interpret=True)
+        np.testing.assert_array_equal(np.asarray(C2)[5],
+                                      np.zeros(self.r_pad, np.float32))
 
-    @pytest.mark.parametrize("t", [5, 32, 33, 64])
+    def test_pivot_row_not_8_aligned(self):
+        C2, *_ = self.run_pass(k=13)
+        want = (np.asarray(self.Tt, np.float64)[13]
+                - np.asarray(self.F, np.float64)[:, 13] @ np.asarray(
+                    self.C, np.float64))
+        np.testing.assert_allclose(np.asarray(C2)[5], want, atol=1e-5)
+
+    @pytest.mark.parametrize("t", [5, 32, 33, 63])
     def test_multi_segment_liveness(self, t):
         """L=64 -> two SEG=32 liveness segments (production L=128+ runs
         4+; every other test here uses L=8 -> a single segment). The
         dead-segment index aliasing and the ``s < live`` accumulation
         gate must yield the exact reference math at every window fill:
         partially through segment 0 (t=5), at the boundary (t=32), one
-        row into segment 1 (t=33), and full (t=64)."""
+        row into segment 1 (t=33), and nearly full (t=63)."""
         L, r_pad, m_pad = 64, 384, 16
         Tt = _rand((m_pad, r_pad), 30)
         C = np.array(_rand((L, r_pad), 31))
         C[t:] = 0.0                      # rows >= t are dead by contract
-        w = _rand((L,), 32)
+        F = _rand((L, m_pad), 32)
+        w = np.asarray(F, np.float64)[:, 9]
         costs = jnp.asarray(
             np.random.Generator(np.random.Philox(33)).uniform(
                 -1, 1, r_pad))
         chi, clo = ff32_from_f64(costs)
-        colk, chi2, clo2, h_d, _, h_b, _ = colk_costs_pass(
-            Tt, jnp.asarray(C), w, chi, clo, jnp.int32(9), jnp.int32(t),
+        C2, chi2, clo2, h_d, _, _, h_b, _, _ = colk_costs_pass(
+            Tt, jnp.asarray(C), F, chi, clo, jnp.int32(9), jnp.int32(t),
             jnp.float32(0.25), jnp.float32(0), r=r_pad, eps=1e-6,
             interpret=True)
+        colk = np.asarray(C2)[t]
         want = (np.asarray(Tt, np.float64)[9]
-                - np.asarray(w, np.float64) @ C.astype(np.float64))
-        np.testing.assert_allclose(np.asarray(colk), want, atol=1e-5)
+                - w @ C.astype(np.float64))
+        np.testing.assert_allclose(colk, want, atol=1e-5)
         want_costs = (np.asarray(costs)
-                      - 0.25 * np.asarray(colk, np.float64))
+                      - 0.25 * colk.astype(np.float64))
         np.testing.assert_allclose(np.asarray(ff32_to_f64(chi2, clo2)),
                                    want_costs, atol=1e-12)
 
@@ -157,20 +185,22 @@ class TestTileChoice:
         """colk pass on an r_pad NOT divisible by the tile target still
         matches the reference math (exercises the cdiv edge block)."""
         m_pad, r_pad, L = 16, 8192 + 256, 8
+        t = L - 1
         Tt = _rand((m_pad, r_pad), 7)
-        C = _rand((L, r_pad), 8)
-        w = _rand((L,), 9)
+        C = np.array(_rand((L, r_pad), 8))
+        C[t:] = 0.0                      # rows >= t dead by contract
+        F = _rand((L, m_pad), 9)
         costs = jnp.asarray(
             np.random.Generator(np.random.Philox(10)).uniform(
                 -1, 1, r_pad))
         chi, clo = ff32_from_f64(costs)
-        colk, chi2, clo2, h_d, _, h_b, _ = colk_costs_pass(
-            Tt, C, w, chi, clo, jnp.int32(3), jnp.int32(L),
+        C2, chi2, clo2, h_d, _, _, h_b, _, _ = colk_costs_pass(
+            Tt, jnp.asarray(C), F, chi, clo, jnp.int32(3), jnp.int32(t),
             jnp.float32(0.25), jnp.float32(0), r=r_pad - 100, eps=1e-6,
             interpret=True)
         want = (np.asarray(Tt, np.float64)[3]
-                - np.asarray(w, np.float64) @ np.asarray(C, np.float64))
-        np.testing.assert_allclose(np.asarray(colk), want, atol=1e-5)
+                - np.asarray(F, np.float64)[:, 3] @ C.astype(np.float64))
+        np.testing.assert_allclose(np.asarray(C2)[t], want, atol=1e-5)
 
 
 class TestApplyWindowPass:
@@ -315,10 +345,11 @@ class TestAhPass:
         m_pad, r_pad, L = 24, 256, 8
         Tt = _rand((m_pad, r_pad), 4)
         F = _rand((L, m_pad), 5)
-        v = _rand((L,), 6)
-        got = ah_pass(Tt, F, v, jnp.int32(h), interpret=True)
+        C = _rand((L, r_pad), 6)
+        got = ah_pass(Tt, F, C, jnp.int32(h), interpret=True)
+        v = np.asarray(C, np.float64)[:, h]
         want = (np.asarray(Tt, np.float64)[:, h]
-                - np.asarray(v, np.float64) @ np.asarray(F, np.float64))
+                - v @ np.asarray(F, np.float64))
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
     @pytest.mark.parametrize("t", [0, 1, 5, 9, 16])
@@ -329,14 +360,15 @@ class TestAhPass:
         m_pad, r_pad, L, seg = 24, 256, 16, 4
         Tt = _rand((m_pad, r_pad), 14)
         F = np.array(_rand((L, m_pad), 15))
-        v = np.array(_rand((L,), 16))
+        C = np.array(_rand((L, r_pad), 16))
         F[t:] = 0.0
-        v[t:] = 0.0
-        Fj, vj = jnp.asarray(F), jnp.asarray(v)
-        got = ah_pass(Tt, Fj, vj, jnp.int32(7), jnp.int32(t),
+        C[t:] = 0.0
+        Fj, Cj = jnp.asarray(F), jnp.asarray(C)
+        got = ah_pass(Tt, Fj, Cj, jnp.int32(7), jnp.int32(t),
                       interpret=True, seg_rows=seg)
+        v = C.astype(np.float64)[:, 7]
         want = (np.asarray(Tt, np.float64)[:, 7]
-                - v.astype(np.float64) @ F.astype(np.float64))
+                - v @ F.astype(np.float64))
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
 
@@ -405,3 +437,46 @@ class TestKernelLoopEndToEnd:
         want = solve_oracle(p)
         assert float(np.dot(p.c, x)) == pytest.approx(want.objective,
                                                       rel=1e-4)
+
+    @pytest.mark.parametrize("every", [2, 4])
+    def test_reprice_cadence_matches_oracle(self, every):
+        """reprice_every > 1 skips the re-price arithmetic on off-cadence
+        windows (the in-window double-f32 cost updates are ~2^-48 exact,
+        so skipping only defers slow tableau-noise correction); the solve
+        must still end OPTIMAL at the oracle objective, and a window
+        ending non-RUNNING always re-prices so the premature-optimal
+        check stays exact."""
+        from simplex_tpu.tableau import phase1_objective
+
+        opt = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                            eps=1e-5, block_pivots=8,
+                            reprice_every=every)
+        p = generate_random_problem(96, 24, 11, 1, 100)
+        dims = (round_up(96 + 48, 128), round_up(24, 128))
+        tab = build_phase1(jnp.asarray(p.A), jnp.asarray(p.b), 96, 24,
+                           opt, dims=dims)
+        costs0 = tab.costs
+        tab = gaussian_eliminate(tab)
+        got_tab, got_status, got_iters = solve_loop_blocked_kernel(
+            tab, opt, 2000, costs0, interpret=True)
+        assert int(got_status) == int(Status.OPTIMAL)
+        assert float(phase1_objective(got_tab)) > -1e-4
+
+    def test_reprice_cadence_sharded_matches_oracle(self):
+        """Cadence wiring in the sharded mirror (CPU mesh, interpret)."""
+        import jax
+        from jax.sharding import Mesh
+
+        from simplex_tpu.parallel.sharded import make_sharded_solver
+
+        opt = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                            eps=1e-5, block_pivots=8, reprice_every=4)
+        p = generate_random_problem(96, 24, seed=7, lo=1.0, hi=100.0)
+        mesh = Mesh(np.array(jax.devices()[:4]), ("vars",))
+        fn = make_sharded_solver(mesh, 96, 24, opt, interpret=True)
+        out = jax.device_get(fn(jnp.asarray(p.A), jnp.asarray(p.b),
+                                jnp.asarray(p.c)))
+        want = solve_oracle(p)
+        assert int(out.status) == int(Status.OPTIMAL)
+        assert float(out.objective) == pytest.approx(want.objective,
+                                                     rel=1e-4)

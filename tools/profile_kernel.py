@@ -79,30 +79,30 @@ def main():
 
     def colk_pass_only(Tt, C, chi, clo):
         def body(i, carry):
-            chi, clo, acc = carry
+            C, chi, clo, acc = carry
             k = dep_idx(acc, i, m_pad)
             u_hi = jnp.float32(1e-7) * acc
-            colk, chi, clo, h_d, _, h_b, _ = colk_costs_pass(
-                Tt, C, F[:, k], chi, clo, k, jnp.int32(L),
+            C, chi, clo, h_d, _, _, h_b, _, _ = colk_costs_pass(
+                Tt, C, F, chi, clo, k, jnp.int32(L),
                 u_hi, jnp.float32(0), r=r_pad - 64, eps=1e-5)
-            return chi, clo, acc + colk[0]
-        return lax.fori_loop(0, K, body, (chi, clo, jnp.float32(0)))
+            return C, chi, clo, acc + C[L - 1, 0]
+        return lax.fori_loop(0, K, body, (C, chi, clo, jnp.float32(0)))
 
     def colk_pass_half_live(Tt, C, chi, clo):
         def body(i, carry):
-            chi, clo, acc = carry
+            C, chi, clo, acc = carry
             k = dep_idx(acc, i, m_pad)
             u_hi = jnp.float32(1e-7) * acc
-            colk, chi, clo, h_d, _, h_b, _ = colk_costs_pass(
-                Tt, C, F[:, k], chi, clo, k, jnp.int32(L // 2),
+            C, chi, clo, h_d, _, _, h_b, _, _ = colk_costs_pass(
+                Tt, C, F, chi, clo, k, jnp.int32(L // 2),
                 u_hi, jnp.float32(0), r=r_pad - 64, eps=1e-5)
-            return chi, clo, acc + colk[0]
-        return lax.fori_loop(0, K, body, (chi, clo, jnp.float32(0)))
+            return C, chi, clo, acc + C[L // 2, 0]
+        return lax.fori_loop(0, K, body, (C, chi, clo, jnp.float32(0)))
 
     def ah_pass_only(Tt, F):
         def body(i, acc):
             h = dep_idx(acc, i, r_pad)
-            ah = ah_pass(Tt, F, C[:, h], h)
+            ah = ah_pass(Tt, F, C, h)
             return acc + ah[0]
         return lax.fori_loop(0, K, body, jnp.float32(0))
 
@@ -177,7 +177,7 @@ def main():
             t = i % L
             h = dep_idx(acc, i, r_pad)
             minc = ff32_to_f64(chi[h], clo[h], vdtype)
-            a_h32 = ah_pass(Tt, F, C[:, h], h)
+            a_h32 = ah_pass(Tt, F, C, h)
             a_h = a_h32.astype(vdtype)
             mask = a_h32 >= 1e-5
             ratios = jnp.where(mask, b / jnp.where(mask, a_h, 1.0),
@@ -186,16 +186,18 @@ def main():
             p = a_h[k]
             u = minc / jnp.where(p == 0, 1.0, p) * 1e-9
             u_hi, u_lo = ff32_from_f64(u)
-            colk, chi, clo, h_d, _, h_b, _ = colk_costs_pass(
-                Tt, C, F[:, k], chi, clo, k, jnp.int32(t),
+            C, chi, clo, h_d, _, _, h_b, _, _ = colk_costs_pass(
+                Tt, C, F, chi, clo, k, jnp.int32(t),
                 u_hi, u_lo, r=r_pad - 64, eps=1e-5)
+            # keep values bounded across K sim pivots (the production
+            # loop zeroes C per window; this sim never does)
+            C = C.at[t, :].set(C[t] * 1e-9)
             bk = b[k]
             is_k = jnp.arange(m_pad) == k
             b = jnp.where(is_k, bk / p, b - bk * (a_h / p) * 1e-9)
             v = ((a_h / p).at[k].set(1.0 - 1.0 / p)).astype(dtype)
-            C = C.at[t, :].set(colk * 1e-9)
             F = F.at[t, :].set(v * 1e-9)
-            return C, F, chi, clo, b, acc + colk[0]
+            return C, F, chi, clo, b, acc + C[t, 0]
         return lax.fori_loop(0, K, body,
                              (C, F, chi, clo, b, jnp.float32(0)))
 

@@ -91,21 +91,21 @@ def main():
     def k_ah(Tt, C, F):
         def body(i, acc):
             h = dep_idx(acc, i, r_pad)
-            a_h = ah_pass(Tt, F, C[:, h], h)
+            a_h = ah_pass(Tt, F, C, h)
             return acc + a_h[i % m_pad].astype(jnp.int32)
         return lax.fori_loop(0, K, body, jnp.int32(0))
 
     def k_colk(Tt, C, F, chi, clo):
         def body(i, carry):
-            chi, clo, acc = carry
+            C, chi, clo, acc = carry
             k = dep_idx(acc, i, m_pad)
             t = jnp.int32(L // 2)      # average live window fill
-            colk, chi, clo, h_d, _, h_b, _ = colk_costs_pass(
-                Tt, C, F[:, k], chi, clo, k, t,
+            C, chi, clo, h_d, _, _, h_b, _, _ = colk_costs_pass(
+                Tt, C, F, chi, clo, k, t,
                 jnp.float32(1e-9), jnp.float32(0), r=n + 2 * m,
                 eps=1e-5)
-            return chi, clo, acc + h_d
-        return lax.fori_loop(0, K, body, (chi, clo, jnp.int32(0)))
+            return C, chi, clo, acc + h_d
+        return lax.fori_loop(0, K, body, (C, chi, clo, jnp.int32(0)))
 
     def k_glue(b, C, F):
         """Everything inner() does besides the two kernels: ratio test,

@@ -148,15 +148,15 @@ def main():
     def time_colk(name, tr, seg, reps=3):
         def loop(Tt, C, chi, clo):
             def body(i, carry):
-                chi, clo, acc = carry
+                C, chi, clo, acc = carry
                 k = ((i * 7919) ^ jnp.int32(acc) % 997) % m_pad
                 t = jnp.int32(L // 2)
-                colk, chi, clo, h_d, _, h_b, _ = colk_costs_pass(
-                    Tt, C, F[:, k], chi, clo, k, t,
+                C, chi, clo, h_d, _, _, h_b, _, _ = colk_costs_pass(
+                    Tt, C, F, chi, clo, k, t,
                     jnp.float32(1e-9), jnp.float32(0),
                     r=r_pad - 100, eps=1e-5, tile_r=tr, seg_rows=seg)
-                return chi, clo, acc + h_d
-            return lax.fori_loop(0, K, body, (chi, clo, jnp.int32(0)))
+                return C, chi, clo, acc + h_d
+            return lax.fori_loop(0, K, body, (C, chi, clo, jnp.int32(0)))
         fn = jax.jit(loop)
         out = fn(Tt, C, chi_r, clo_r)
         float(out[2])

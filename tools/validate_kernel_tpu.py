@@ -50,17 +50,20 @@ def main():
     C_np = rng.uniform(-1, 1, (L, r_pad)).astype(np.float32)
     C_np[21:] = 0.0
     C = jnp.asarray(C_np)
-    w = jnp.asarray(rng.uniform(-1, 1, L), jnp.float32)
+    Fm = jnp.asarray(rng.uniform(-1, 1, (L, m_pad)), jnp.float32)
     costs = jnp.asarray(rng.uniform(-1, 1, r_pad))
     chi, clo = ff32_from_f64(costs)
     u = jnp.asarray(0.8125)
     u_hi, u_lo = ff32_from_f64(u)
-    colk, chi2, clo2, h_d, v_d, h_b, v_b = colk_costs_pass(
-        Tt, C, w, chi, clo, jnp.int32(13), jnp.int32(21), u_hi, u_lo,
-        r=250, eps=1e-6)
-    colk = np.asarray(colk)
+    C2out, chi2, clo2, h_d, vd_hi, vd_lo, h_b, vb_hi, vb_lo = \
+        colk_costs_pass(
+            Tt, C, Fm, chi, clo, jnp.int32(13), jnp.int32(21), u_hi, u_lo,
+            r=250, eps=1e-6)
+    colk = np.asarray(C2out)[21]      # written in place into C row t
+    np.testing.assert_array_equal(np.asarray(C2out)[:21], C_np[:21])
+    w = np.asarray(Fm, np.float64)[:, 13]
     want_colk = (np.asarray(Tt, np.float64)[13]
-                 - np.asarray(w, np.float64) @ C_np.astype(np.float64))
+                 - w @ C_np.astype(np.float64))
     err = np.abs(colk - want_colk).max()
     assert err < 1e-5, f"colk err {err}"
     got_costs = np.asarray(ff32_to_f64(chi2, clo2))
@@ -72,11 +75,12 @@ def main():
     assert int(h_d) == int(np.argmin(masked)), (int(h_d),
                                                 int(np.argmin(masked)))
     F = jnp.asarray(rng.uniform(-1, 1, (L, m_pad)), jnp.float32)
-    v = jnp.asarray(rng.uniform(-1, 1, L), jnp.float32)
+    Cv = jnp.asarray(rng.uniform(-1, 1, (L, r_pad)), jnp.float32)
     for h in (0, 129, 255):
-        ah = np.asarray(ah_pass(Tt, F, v, jnp.int32(h)))
+        ah = np.asarray(ah_pass(Tt, F, Cv, jnp.int32(h)))
+        v = np.asarray(Cv, np.float64)[:, h]
         want = (np.asarray(Tt, np.float64)[:, h]
-                - np.asarray(v, np.float64) @ np.asarray(F, np.float64))
+                - v @ np.asarray(F, np.float64))
         err = np.abs(ah - want).max()
         assert err < 1e-5, f"ah err {err} at h={h}"
     log("kernel math on TPU: OK")
