@@ -141,17 +141,29 @@ def ff32_to_f64(hi, lo, dtype=jnp.float64):
 # ---------------------------------------------------------------------------
 # R-side pass: colk = Tt[k, :] - w @ C, costs -= u * colk, next argmin.
 
-def _colk_kernel(idx_ref,                       # prefetch: [k, live, r, t]
-                 Trows_ref,                     # (8, TR): rows 8*(k//8)..+8
-                 C_ref,                         # (SEG, TR) live segment
-                 Fk_ref,                        # (L, 128): F lanes around k
-                 chi_ref, clo_ref,              # (1, TR) cost pair (in)
-                 scal_ref,                      # SMEM (1, 3): u_hi, u_lo, do
-                 crow_ref, chi_out, clo_out,    # (1, TR) outs (aliased)
-                 dval_out, didx_out, dlo_out,   # SMEM (1, 1)
-                 bval_out, bidx_out, blo_out,   # SMEM (1, 1)
-                 acc_ref, acc_val, acc_idx, acc_lo,   # scratch
-                 *, tr, seg, n_segs, eps, fk_w):
+def _colk_kernel(idx_ref,                       # prefetch: [k,live,r,t,h]
+                 *refs,
+                 # refs, in order: Trows (8, TR) rows 8*(k//8)..+8;
+                 # C (SEG, TR) live segment; Fk (L, fk_w) lanes around k;
+                 # chi, clo (1, TR) cost pair (in); scal SMEM (1, 6):
+                 # [u_hi, u_lo, do, p, bk_hi, bk_lo]; with bf also
+                 # ah/bhi/blo/basev (1, M_pad) full-lane inputs; then the
+                 # outputs (crow slab, chi, clo, six candidate scalars;
+                 # with bf also bh/bl/base aliased + v fresh) and the
+                 # fold scratch.
+                 tr, seg, n_segs, eps, fk_w, bf):
+    if bf:
+        (Trows_ref, C_ref, Fk_ref, chi_ref, clo_ref, scal_ref,
+         ah_ref, bhi_ref, blo_ref, basev_ref,
+         crow_ref, chi_out, clo_out,
+         dval_out, didx_out, dlo_out, bval_out, bidx_out, blo_out,
+         bh_out, bl_out, base_out, v_out,
+         acc_ref, acc_val, acc_idx, acc_lo) = refs
+    else:
+        (Trows_ref, C_ref, Fk_ref, chi_ref, clo_ref, scal_ref,
+         crow_ref, chi_out, clo_out,
+         dval_out, didx_out, dlo_out, bval_out, bidx_out, blo_out,
+         acc_ref, acc_val, acc_idx, acc_lo) = refs
     i = pl.program_id(0)       # R tile
     s = pl.program_id(1)       # liveness segment (fastest-varying)
     k = idx_ref[0]
@@ -159,6 +171,53 @@ def _colk_kernel(idx_ref,                       # prefetch: [k, live, r, t]
     r = idx_ref[2]             # valid-row limit (traced: per-shard under
     #                            shard_map, where each shard masks rows
     #                            whose GLOBAL index is >= tab.r)
+
+    if bf:
+        # b-pair / base / eta-row-v updates (the XLA glue this pass
+        # absorbs), computed ONCE per pivot at the first tile's final
+        # segment step from full-lane (1, M_pad) blocks. Pair arithmetic
+        # mirrors the old f64 glue to ~2^-48: factor = a_h / p and
+        # bk / p as exact-residual pair divisions, b - bk*factor via
+        # error-free transforms.
+        @pl.when((i == 0) & (s == n_segs - 1))
+        def _bf_update():
+            do = scal_ref[0, 2] != jnp.float32(0)
+            pp = scal_ref[0, 3]
+            bk_h = scal_ref[0, 4]
+            bk_l = scal_ref[0, 5]
+            h = idx_ref[4]
+            m_lane = ah_ref.shape[1]
+            lane = lax.broadcasted_iota(jnp.int32, (1, m_lane), 1)
+            is_k = lane == k
+            ah = ah_ref[:]
+            bhi = bhi_ref[:]
+            blo = blo_ref[:]
+            # factor pair d = a_h / p
+            d1 = ah / pp
+            r1, re = _two_prod(d1, pp)
+            d2 = ((ah - r1) - re) / pp
+            # bk * factor, pair product (lo*lo dropped)
+            p1, pe = _two_prod(bk_h, d1)
+            pe = pe + (bk_h * d2 + bk_l * d1)
+            # b - bk*factor
+            s1, e1 = _two_sum(bhi, -p1)
+            lo_sum = e1 + (blo - pe)
+            nbh, nbl = _fast_two_sum(s1, lo_sum)
+            # lane k: bk / p as a pair
+            q1 = bk_h / pp
+            rq, rqe = _two_prod(q1, pp)
+            q2 = (((bk_h - rq) - rqe) + bk_l) / pp
+            nbh = jnp.where(is_k, q1, nbh)
+            nbl = jnp.where(is_k, q2, nbl)
+            bh_out[:] = jnp.where(do, nbh, bhi)
+            bl_out[:] = jnp.where(do, nbl, blo)
+            # eta row v = (a_h / p) with v[k] = 1 - 1/p (f32 correctly
+            # rounded; the old glue rounded the f64 quotient, which can
+            # differ by one f32 ulp in double-rounding corner cases)
+            v = jnp.where(is_k, jnp.float32(1) - jnp.float32(1) / pp,
+                          d1)
+            v_out[:] = jnp.where(do, v, jnp.zeros_like(v))
+            base_out[:] = jnp.where(do & is_k, h, basev_ref[:])
 
     @pl.when(s == 0)
     def _init_tile():
@@ -284,7 +343,8 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
                     r, eps: float, do: jax.Array | None = None,
                     interpret: bool = False,
                     tile_r: int | None = None,
-                    seg_rows: int | None = None):
+                    seg_rows: int | None = None,
+                    bf: tuple | None = None):
     """One fused R-side pivot pass.
 
     Args: Tt (M_pad, R_pad) f32 stale transposed tableau; C (L, R_pad)
@@ -298,12 +358,23 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
     this pivot applies: row t of C gets the live leaving row when true,
     zeros when false; None = true); static eps.
 
+    ``bf`` (optional) folds the remaining per-pivot M-side glue into
+    this same dispatch: a tuple (ah, b_hi, b_lo, base, h, p, bk_hi,
+    bk_lo) where ah is the live entering column (M_pad,) f32, (b_hi,
+    b_lo) the right-hand-side double-f32 pair, base the (M_pad,) int32
+    basis vector, h the entering row, p = ah[k] and bk = b[k] as
+    scalars (from ah_ratio_pass). The kernel then also updates b (pair
+    arithmetic, ~2^-48 of the old f64 glue), sets base[k] = h, and
+    emits the eta row v = (ah/p, v[k] = 1 - 1/p) ready for the caller's
+    one remaining ``F.at[t].set(v)``.
+
     Returns (C', chi', clo', h_dantzig, v_dantzig_hi, v_dantzig_lo,
-    h_bland, v_bland_hi, v_bland_lo): C' is C with row t written IN
-    PLACE (aliased — the caller's XLA ``C.at[t].set`` glue is folded into
-    this pass), the cost pair is updated in place, and the candidates
-    over the updated costs carry their full (hi, lo) values so nothing
-    ever gathers from the cost vector. Pass u = 0 for an identity pass
+    h_bland, v_bland_hi, v_bland_lo[, b_hi', b_lo', base', v]): C' is C
+    with row t written IN PLACE (aliased — the caller's XLA
+    ``C.at[t].set`` glue is folded into this pass), the cost pair and
+    (with bf) b/base are updated in place, and the candidates over the
+    updated costs carry their full (hi, lo) values so nothing ever
+    gathers from the cost vector. Pass u = 0 for an identity pass
     (costs unchanged, candidates recomputed).
     """
     m_pad, r_pad = Tt.shape
@@ -323,12 +394,19 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
     # (t = L) cannot index an out-of-bounds block (the solver always
     # passes t in [0, L-1]).
     t_row = jnp.clip(t.astype(jnp.int32), 0, L - 1)
+    h_i = (bf[4].astype(jnp.int32) if bf is not None else jnp.int32(0))
     idx = jnp.stack([k.astype(jnp.int32), live_segs.astype(jnp.int32),
-                     jnp.asarray(r, jnp.int32), t_row])
+                     jnp.asarray(r, jnp.int32), t_row, h_i])
     do_f = (jnp.float32(1) if do is None
             else do.astype(jnp.float32))
+    if bf is not None:
+        p_f = bf[5].astype(jnp.float32)
+        bkh_f = bf[6].astype(jnp.float32)
+        bkl_f = bf[7].astype(jnp.float32)
+    else:
+        p_f = bkh_f = bkl_f = jnp.float32(0)
     scal = jnp.stack([u_hi.astype(jnp.float32), u_lo.astype(jnp.float32),
-                      do_f]).reshape(1, 3)
+                      do_f, p_f, bkh_f, bkl_f]).reshape(1, 6)
     chi2 = chi.reshape(1, r_pad)
     clo2 = clo.reshape(1, r_pad)
 
@@ -341,7 +419,8 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
     fk_w = 128 if m_pad % 128 == 0 else m_pad
 
     kernel = functools.partial(_colk_kernel, tr=tr, seg=seg,
-                               n_segs=n_segs, eps=float(eps), fk_w=fk_w)
+                               n_segs=n_segs, eps=float(eps), fk_w=fk_w,
+                               bf=bf is not None)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -371,9 +450,20 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tr), lambda i, s, idx: (_i0(), i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3), lambda i, s, idx: (_i0(), _i0()),
+            pl.BlockSpec((1, 6), lambda i, s, idx: (_i0(), _i0()),
                          memory_space=pltpu.SMEM),
-        ],
+        ] + ([
+            # bf full-lane vectors: ah, b_hi, b_lo, base — pinned, one
+            # fetch each (the lane axis M_pad is the whole array).
+            pl.BlockSpec((1, m_pad), lambda i, s, idx: (_i0(), _i0()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad), lambda i, s, idx: (_i0(), _i0()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad), lambda i, s, idx: (_i0(), _i0()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad), lambda i, s, idx: (_i0(), _i0()),
+                         memory_space=pltpu.VMEM),
+        ] if bf is not None else []),
         out_specs=[
             # The 8-row slab of C around row t (Mosaic's minimum output
             # sublane block), written once per R tile at the final
@@ -399,7 +489,16 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i, s, idx: (_i0(), _i0()),
                          memory_space=pltpu.SMEM),
-        ],
+        ] + ([
+            pl.BlockSpec((1, m_pad), lambda i, s, idx: (_i0(), _i0()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad), lambda i, s, idx: (_i0(), _i0()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad), lambda i, s, idx: (_i0(), _i0()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad), lambda i, s, idx: (_i0(), _i0()),
+                         memory_space=pltpu.VMEM),
+        ] if bf is not None else []),
         scratch_shapes=[
             pltpu.VMEM((1, tr), jnp.float32),
             pltpu.SMEM((2,), jnp.float32),
@@ -408,23 +507,41 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
         ],
     )
 
-    C2, nhi2, nlo2, dval, didx, dlo, bval, bidx, blo = pl.pallas_call(
+    out_shape = [
+        jax.ShapeDtypeStruct((L, r_pad), jnp.float32),
+        jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
+        jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+    ]
+    # C, chi, clo (and with bf: b pair + base) update in place (input
+    # positions count the prefetch-scalar arg: idx=0, Tt=1, C=2, F=3,
+    # chi=4, clo=5, scal=6[, ah=7, bhi=8, blo=9, base=10]).
+    aliases = {2: 0, 4: 1, 5: 2}
+    operands = [idx, Tt, C, F, chi2, clo2, scal]
+    if bf is not None:
+        ah, b_hi, b_lo, basev = bf[0], bf[1], bf[2], bf[3]
+        operands += [ah.reshape(1, m_pad),
+                     b_hi.astype(jnp.float32).reshape(1, m_pad),
+                     b_lo.astype(jnp.float32).reshape(1, m_pad),
+                     basev.astype(jnp.int32).reshape(1, m_pad)]
+        out_shape += [
+            jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, m_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
+        ]
+        aliases = {**aliases, 8: 9, 9: 10, 10: 11}
+
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((L, r_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        ],
-        # C, chi, clo update in place (input positions count the
-        # prefetch-scalar arg: idx=0, Tt=1, C=2, w=3, chi=4, clo=5).
-        input_output_aliases={2: 0, 4: 1, 5: 2},
+        out_shape=out_shape,
+        input_output_aliases=aliases,
         cost_estimate=pl.CostEstimate(
             flops=2 * L * r_pad + 30 * r_pad,
             bytes_accessed=(L * r_pad + 8 * r_pad + 5 * r_pad) * 4,
@@ -433,11 +550,17 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(idx, Tt, C, F, chi2, clo2, scal)
+    )(*operands)
+    C2, nhi2, nlo2, dval, didx, dlo, bval, bidx, blo = outs[:9]
 
-    return (C2, nhi2.reshape(r_pad), nlo2.reshape(r_pad),
-            didx[0, 0], dval[0, 0], dlo[0, 0],
-            bidx[0, 0], bval[0, 0], blo[0, 0])
+    base_out = (C2, nhi2.reshape(r_pad), nlo2.reshape(r_pad),
+                didx[0, 0], dval[0, 0], dlo[0, 0],
+                bidx[0, 0], bval[0, 0], blo[0, 0])
+    if bf is None:
+        return base_out
+    nbh, nbl, nbase, v = outs[9:]
+    return base_out + (nbh.reshape(m_pad), nbl.reshape(m_pad),
+                       nbase.reshape(m_pad), v.reshape(m_pad))
 
 
 # ---------------------------------------------------------------------------
@@ -835,6 +958,223 @@ def _ah_kernel(idx_ref,                 # prefetch: [h, live_segs]
         # values to ~2e-3 relative; the 3-pass product is f32-exact for
         # a 0/1 one-hot operand.
         ah_ref[:] = col - acc_ref[:]
+
+
+def _ah_ratio_kernel(idx_ref,            # prefetch: [h, live_segs]
+                     Tcols_ref,          # (TM, 128): lanes around col h
+                     F_ref,              # (SEG, TM) live eta segment
+                     Ch_ref,             # (L, ck_w): C lanes around col h
+                     bhi_ref, blo_ref,   # (1, TM) right-hand-side pair
+                     ah_ref,             # out (1, TM)
+                     k_out, p_out, bkh_out, bkl_out, unb_out,  # SMEM (1,1)
+                     acc_ref,            # scratch (1, TM)
+                     rat_scr,            # SMEM (4,) f32: q1, q2, p, bk_hi
+                     rat_scr2,           # SMEM (2,) f32: bk_lo, spare
+                     ridx_scr,           # SMEM (2,) i32: k, eligible_any
+                     *, tm, m_pad, seg, n_segs, ck_w, eps):
+    """ah_pass extended with the min-ratio leaving test folded across
+    the M tiles (the reference's createIndicatorsVector + minElement,
+    reduction.cu:106-140, in the same sweep that builds a_h).
+
+    Ratios are computed in double-f32 pair arithmetic — q = b / a_h with
+    an exact-division residual — and compared (q1, then q2, then lowest
+    index): for normalized pairs this orders like the f64 quotients to
+    ~2^-48, i.e. the same leaving choice as the XLA glue's f64 ratio
+    test except on sub-2^-48 near-ties (exact ties — the degenerate
+    b = 0 rows that matter — compare equal in both and break to the
+    lowest index identically)."""
+    i = pl.program_id(0)
+    s = pl.program_id(1)                # liveness segment (fastest)
+    h = idx_ref[0]
+    live = idx_ref[1]
+    big = jnp.int32(BIG_INDEX)
+    inf = jnp.asarray(jnp.inf, jnp.float32)
+
+    @pl.when(s == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(s < jnp.maximum(live, 1))
+    def _accumulate():
+        hh = lax.rem(h, jnp.int32(ck_w))
+        lane = lax.broadcasted_iota(jnp.int32, (seg, ck_w), 1)
+        cseg = Ch_ref[pl.ds(s * seg, seg), :]
+        vseg = jnp.sum(jnp.where(lane == hh, cseg, 0.0), axis=1,
+                       keepdims=True)                 # (seg, 1)
+        acc_ref[:] += jnp.sum(F_ref[:] * vseg, axis=0, keepdims=True)
+
+    @pl.when(s == n_segs - 1)
+    def _emit():
+        hh = lax.rem(h, jnp.int32(128))
+        onehot = (lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                  == hh).astype(jnp.float32)
+        col = lax.dot_general(onehot, Tcols_ref[:],
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=lax.Precision.HIGHEST)  # (1, TM)
+        ah = col - acc_ref[:]
+        ah_ref[:] = ah
+
+        # --- ratio test over this tile ---
+        gi = i.astype(jnp.int32) * jnp.int32(tm) + \
+            lax.broadcasted_iota(jnp.int32, (1, tm), 1)
+        # OOB lanes of a cdiv edge block hold undefined values: mask by
+        # global lane (padded-but-real lanes have a_h == 0 exactly and
+        # are excluded by the eps test like everywhere else).
+        # All literals pinned to f32: under jax_enable_x64 a bare float
+        # is a weak f64 scalar, which Mosaic cannot lower.
+        zero = jnp.float32(0)
+        mask = (ah >= jnp.asarray(eps, jnp.float32)) & (
+            gi < jnp.int32(m_pad))
+        denom = jnp.where(mask, ah, jnp.float32(1))
+        bhi = bhi_ref[:]
+        blo = blo_ref[:]
+        q1 = bhi / denom
+        r1, re = _two_prod(q1, denom)
+        q2 = (((bhi - r1) - re) + blo) / denom
+        q1 = jnp.where(mask, q1, inf)
+        q2 = jnp.where(mask, q2, zero)
+        m1 = jnp.min(q1)
+        at1 = q1 == m1
+        m2 = jnp.min(jnp.where(at1, q2, inf))
+        at = at1 & (q2 == m2)
+        kidx = jnp.min(jnp.where(at, gi, big))
+        sel = gi == kidx
+        p_t = jnp.sum(jnp.where(sel, ah, zero))
+        bkh_t = jnp.sum(jnp.where(sel, bhi, zero))
+        bkl_t = jnp.sum(jnp.where(sel, blo, zero))
+        # .any() lowers through an f64 reduction under x64, which
+        # Mosaic rejects; an i32 max-reduce is equivalent.
+        elig_t = jnp.max(mask.astype(jnp.int32))
+
+        @pl.when(i == 0)
+        def _first():
+            rat_scr[0] = m1
+            rat_scr[1] = m2
+            rat_scr[2] = p_t
+            rat_scr[3] = bkh_t
+            rat_scr2[0] = bkl_t
+            ridx_scr[0] = kidx
+            ridx_scr[1] = elig_t
+
+        @pl.when(i > 0)
+        def _fold():
+            take = (m1 < rat_scr[0]) | ((m1 == rat_scr[0])
+                                        & (m2 < rat_scr[1]))
+            rat_scr[0] = jnp.where(take, m1, rat_scr[0])
+            rat_scr[1] = jnp.where(take, m2, rat_scr[1])
+            rat_scr[2] = jnp.where(take, p_t, rat_scr[2])
+            rat_scr[3] = jnp.where(take, bkh_t, rat_scr[3])
+            rat_scr2[0] = jnp.where(take, bkl_t, rat_scr2[0])
+            ridx_scr[0] = jnp.where(take, kidx, ridx_scr[0])
+            ridx_scr[1] = ridx_scr[1] | elig_t
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _final():
+            k_out[0, 0] = ridx_scr[0]
+            p_out[0, 0] = rat_scr[2]
+            bkh_out[0, 0] = rat_scr[3]
+            bkl_out[0, 0] = rat_scr2[0]
+            unb_out[0, 0] = jnp.int32(1) - ridx_scr[1]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("eps", "interpret", "seg_rows"))
+def ah_ratio_pass(Tt: jax.Array, F: jax.Array, C: jax.Array,
+                  bhi: jax.Array, blo: jax.Array, h: jax.Array,
+                  t: jax.Array, eps: float, interpret: bool = False,
+                  seg_rows: int | None = None):
+    """ah_pass + the min-ratio leaving test in ONE kernel (the
+    single-chip blocked-kernel loop's M-side pass; the sharded loop
+    keeps plain ah_pass because its ratio test runs on the psum'd
+    replicated column).
+
+    Args as ah_pass, plus the right-hand side as a double-f32 pair
+    (bhi, blo), each (M_pad,). Returns (a_h (M_pad,) f32, k int32,
+    p = a_h[k] f32, bk as an (hi, lo) pair, unbounded int32)."""
+    m_pad, r_pad = Tt.shape
+    L = F.shape[0]
+    assert C.shape == (L, r_pad), (C.shape, L, r_pad)
+    seg = min(seg_rows or SEG, L)
+    assert L % seg == 0, (L, seg)
+    n_segs = L // seg
+    tm = pick_tile(m_pad, 128, 2048) if m_pad % 128 == 0 else m_pad
+    ck_w = 128 if r_pad % 128 == 0 else r_pad
+    grid = (cdiv(m_pad, tm), n_segs)
+    live_segs = jnp.minimum(
+        lax.div(t.astype(jnp.int32) + seg - 1, jnp.int32(seg)),
+        jnp.int32(n_segs))
+    idx = jnp.stack([h.astype(jnp.int32), live_segs])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, 128),
+                         lambda i, s, idx: (i, lax.div(idx[0],
+                                                       jnp.int32(128))),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (seg, tm),
+                lambda i, s, idx: (
+                    jnp.minimum(s, jnp.maximum(idx[1] - jnp.int32(1),
+                                               jnp.int32(0))), i),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, ck_w),
+                         lambda i, s, idx: (_i0(),
+                                            lax.div(idx[0],
+                                                    jnp.int32(ck_w))),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, s, idx: (_i0(), i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, s, idx: (_i0(), i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tm), lambda i, s, idx: (_i0(), i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, s, idx: (_i0(), _i0()),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, s, idx: (_i0(), _i0()),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, s, idx: (_i0(), _i0()),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, s, idx: (_i0(), _i0()),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, s, idx: (_i0(), _i0()),
+                         memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, tm), jnp.float32),
+            pltpu.SMEM((4,), jnp.float32),
+            pltpu.SMEM((2,), jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+    )
+
+    ah2, k, p, bkh, bkl, unb = pl.pallas_call(
+        functools.partial(_ah_ratio_kernel, tm=tm, m_pad=m_pad, seg=seg,
+                          n_segs=n_segs, ck_w=ck_w, eps=float(eps)),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * m_pad + 40 * m_pad,
+            bytes_accessed=(128 * m_pad + L * m_pad + 3 * m_pad) * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(idx, Tt, F, C, bhi.reshape(1, m_pad), blo.reshape(1, m_pad))
+    return (ah2.reshape(m_pad), k[0, 0], p[0, 0], bkh[0, 0], bkl[0, 0],
+            unb[0, 0])
 
 
 @functools.partial(jax.jit,

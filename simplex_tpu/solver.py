@@ -594,7 +594,9 @@ class BlockedKernelState(NamedTuple):
     pass) ride in the carry, so nothing ever re-reads the cost vector."""
 
     Tt: jax.Array
-    b: jax.Array
+    bhi: jax.Array     # right-hand side as a double-f32 pair: the f64
+    blo: jax.Array     # XLA glue moved into the kernels (Mosaic has no
+    #                    f64), ~2^-48 relative — same class as the costs
     chi: jax.Array
     clo: jax.Array
     z: jax.Array
@@ -633,7 +635,8 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
     f32/mixed accuracy behaviour is unchanged. Requires an f32 tableau
     padded to 128-lane tiles on the variable axis (tableau.padded_dims
     arranges this when config.kernel_blocked_enabled)."""
-    from .kernels.blocked import (BIG_INDEX, ah_pass, apply_reprice_pass,
+    from .kernels.blocked import (BIG_INDEX, ah_ratio_pass,
+                                  apply_reprice_pass,
                                   apply_window_pass, colk_costs_pass,
                                   ff32_from_f64, ff32_to_f64)
 
@@ -681,34 +684,33 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
                            vdtype)
         optimal = minc > -eps
 
-        a_h32 = ah_pass(s.Tt, F, C, h_safe,
-                        t.astype(jnp.int32), interpret=interpret)
-        a_h = a_h32.astype(vdtype)
-        mask = a_h32 >= eps
-        unbounded = ~mask.any()
-        ratios = jnp.where(mask, s.b / jnp.where(mask, a_h, 1.0), jnp.inf)
-        k = jnp.argmin(ratios).astype(jnp.int32)
+        # M-side pass: live entering column + the min-ratio leaving
+        # test folded across its tiles (pair-arithmetic ratios; the
+        # leaving choice can differ from the old f64 glue only on
+        # sub-2^-48 near-ties — exact degenerate ties break identically).
+        a_h32, k, p32, bk_hi, bk_lo, unb = ah_ratio_pass(
+            s.Tt, F, C, s.bhi, s.blo, h_safe, t.astype(jnp.int32),
+            eps=eps, interpret=interpret)
+        unbounded = unb != 0
+        k = jnp.minimum(k, m_pad - 1)      # BIG_INDEX when unbounded
         do = active & ~(optimal | unbounded)
 
-        p_raw = a_h[k]
-        p = jnp.where(do, p_raw, jnp.ones_like(p_raw))
+        p = p32.astype(vdtype)
+        p = jnp.where(do, p, jnp.ones_like(p))
+        p32s = jnp.where(do, p32, jnp.float32(1))
         u = jnp.where(do, minc / p, jnp.zeros_like(minc))
         u_hi, u_lo = ff32_from_f64(u)
-        C2, chi2, clo2, h_d, vd_hi, vd_lo, h_b, vb_hi, vb_lo = \
-            colk_costs_pass(
-                s.Tt, C, F, s.chi, s.clo, k, t.astype(jnp.int32),
-                u_hi, u_lo, r=tab.r, eps=eps, do=do, interpret=interpret)
+        # R-side pass, with the b/base/eta-row glue folded in (bf).
+        (C2, chi2, clo2, h_d, vd_hi, vd_lo, h_b, vb_hi, vb_lo,
+         bhi2, blo2, base2, v) = colk_costs_pass(
+            s.Tt, C, F, s.chi, s.clo, k, t.astype(jnp.int32),
+            u_hi, u_lo, r=tab.r, eps=eps, do=do,
+            bf=(a_h32, s.bhi, s.blo, s.base, h, p32s, bk_hi, bk_lo),
+            interpret=interpret)
 
-        bk = s.b[k]
+        bk = ff32_to_f64(bk_hi, bk_lo, vdtype)
         z2 = jnp.where(do, s.z - u * bk, s.z)
-        is_k = jnp.arange(m_pad) == k
-        b2 = jnp.where(do,
-                       jnp.where(is_k, bk / p, s.b - bk * (a_h / p)),
-                       s.b)
-        base2 = jnp.where(do, s.base.at[k].set(h.astype(s.base.dtype)),
-                          s.base)
-        v = ((a_h / p).at[k].set(1.0 - 1.0 / p)).astype(dtype)
-        F2 = F.at[t, :].set(jnp.where(do, v, jnp.zeros_like(v)))
+        F2 = F.at[t, :].set(v)             # v already zeroed when !do
 
         status = jnp.where(
             active,
@@ -723,7 +725,7 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
             bland_static=bland_static, threshold=threshold)
 
         return (C2, F2, BlockedKernelState(
-            s.Tt, b2, chi2, clo2, z2, base2, status,
+            s.Tt, bhi2, blo2, chi2, clo2, z2, base2, status,
             s.iterations + do.astype(jnp.int32), stall, bland, h_d, h_b,
             vd_hi, vd_lo, vb_hi, vb_lo, s.windows))
 
@@ -804,18 +806,20 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
                 & (s.iterations < max_iter) & (s.windows < max_iter))
 
     chi0, clo0 = ff32_from_f64(tab.costs)
+    bhi0, blo0 = ff32_from_f64(tab.b)
     h_d0, vd_hi0, vd_lo0, h_b0, vb_hi0, vb_lo0 = xla_candidates(chi0,
                                                                 clo0)
     init = BlockedKernelState(
-        tab.T.T, tab.b, chi0, clo0, tab.z, tab.base,
+        tab.T.T, bhi0, blo0, chi0, clo0, tab.z, tab.base,
         jnp.asarray(int(Status.RUNNING), jnp.int32),
         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
         jnp.asarray(bland_static), h_d0, h_b0, vd_hi0, vd_lo0, vb_hi0,
         vb_lo0, jnp.zeros((), jnp.int32))
     final = lax.while_loop(cond, outer, init)
     costs_out = ff32_to_f64(final.chi, final.clo, vdtype)
+    b_out = ff32_to_f64(final.bhi, final.blo, vdtype)
     out_tab = dataclasses.replace(
-        tab, T=final.Tt.T, b=final.b, costs=costs_out, z=final.z,
+        tab, T=final.Tt.T, b=b_out, costs=costs_out, z=final.z,
         base=final.base)
     return out_tab, final.status, final.iterations
 

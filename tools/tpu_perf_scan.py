@@ -159,12 +159,12 @@ def main():
             return lax.fori_loop(0, K, body, (C, chi, clo, jnp.int32(0)))
         fn = jax.jit(loop)
         out = fn(Tt, C, chi_r, clo_r)
-        float(out[2])
+        float(out[3])
         best = np.inf
         for _ in range(reps):
             t0 = time.perf_counter()
             out = fn(Tt, C, chi_r, clo_r)
-            float(out[2])
+            float(out[3])
             best = min(best, (time.perf_counter() - t0) / K)
         log(f"[colk] {name:36s} {best*1e6:8.1f} us/pivot")
         return best
