@@ -95,6 +95,10 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug", action="store_true",
                    help="print the parsed/generated problem and the "
                         "tableau after every stage (reference -D DEBUG)")
+    p.add_argument("--pause", action="store_true",
+                   help="with --debug: wait for Enter after each tableau "
+                        "dump (the reference DEBUG build's getchar() "
+                        "pause, solver.cu:112-116)")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="write a jax.profiler (TensorBoard) trace of the "
                         "solve to DIR")
@@ -349,7 +353,7 @@ def main(argv: list[str] | None = None) -> int:
     with profiler_cm, chrono:
         result = solve_timed(problem, options, chrono,
                              per_iteration=args.per_iteration,
-                             debug=args.debug)
+                             debug=args.debug, pause=args.pause)
     _report(result, problem, args.data_dir)
     return 0
 

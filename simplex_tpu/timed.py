@@ -180,13 +180,15 @@ def _run_solve(tab, options, max_iter, chrono, rows_csv, per_iteration,
 def solve_timed(problem: Problem, options: SolverOptions | None = None,
                 chrono: Chrono | NullChrono | None = None,
                 per_iteration: bool = False, debug: bool = False,
+                pause: bool = False,
                 **replacements) -> SolveResult:
     """Host-orchestrated two-phase solve with per-op CSV timing; same
     result contract as two_phase.solve (and the reference's host
     early-returns for INFEASIBLE/DEGENERATE, twoPhaseMethod.cu:414-427).
     ``debug=True`` prints the tableau after every stage (the reference's
-    -D DEBUG dumps, twoPhaseMethod.cu:237-262 via tabular.cu:41-98,
-    without the getchar() pauses)."""
+    -D DEBUG dumps, twoPhaseMethod.cu:237-262 via tabular.cu:41-98);
+    ``pause=True`` additionally waits for Enter after each dump — the
+    reference's interactive ``getchar()`` pause (solver.cu:112-116)."""
     options = options or DEFAULT_OPTIONS
     if replacements:
         options = dataclasses.replace(options, **replacements)
@@ -216,11 +218,16 @@ def solve_timed(problem: Problem, options: SolverOptions | None = None,
         if debug:
             print(f"--- {stage} ---")
             print(format_tableau(tab))
+            if pause:
+                try:
+                    input("[debug] Enter to continue...")
+                except EOFError:       # non-interactive stdin: no pause
+                    pass
 
     # Per-pivot tableau dumps in the per-iteration driver — the exact
     # behaviour of the reference's -D DEBUG build, which prints the
-    # tableau after EVERY pivot (solver.cu:112-116, minus the getchar()
-    # pause).
+    # tableau after EVERY pivot and pauses on getchar()
+    # (solver.cu:112-116; the pause needs ``pause=True``).
     pivot_cb = ((lambda t, it: dump(f"pivot {it}", t))
                 if (debug and per_iteration) else None)
 

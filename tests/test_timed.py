@@ -226,3 +226,23 @@ def test_sweep_resume_manifest_covers_non_optimal(tmp_path):
     assert _sweep_csv_complete(measures, 512, 256)
     # Other sizes are not affected by the entry.
     assert not _sweep_csv_complete(measures, 256, 256)
+
+
+def test_debug_pause_waits_for_enter(small_problem, capsys, monkeypatch):
+    """--pause: the reference DEBUG build's getchar() per dump
+    (solver.cu:112-116) — every tableau dump waits for Enter."""
+    prompts = []
+
+    def fake_input(prompt=""):
+        prompts.append(prompt)
+        return ""
+
+    monkeypatch.setattr("builtins.input", fake_input)
+    from simplex_tpu.timed import solve_timed
+
+    result = solve_timed(small_problem, per_iteration=True, debug=True,
+                         pause=True)
+    assert result.status.name == "OPTIMAL"
+    out = capsys.readouterr().out
+    n_dumps = out.count("--- ")
+    assert prompts and len(prompts) == n_dumps

@@ -1,0 +1,93 @@
+"""Batched scenario solving benchmark (north-star config 3) on TPU.
+
+256 independent seeded LPs (m=500 constraints x n=2,000 vars each) in
+ONE vmapped device call, across solver configurations, with statuses
+checked and a few lanes cross-checked against the NumPy oracle.
+
+Run alone on the TPU: python tools/bench_batch.py [--batch 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--vars", type=int, default=2000)
+    parser.add_argument("--constraints", type=int, default=500)
+    parser.add_argument("--repeats", type=int, default=2)
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+
+    from simplex_tpu.batch import solve_batched
+    from simplex_tpu.config import SolverOptions, Status
+    from simplex_tpu.generator import generate_random_problem
+    from simplex_tpu.oracle import solve_oracle
+
+    log(f"devices: {jax.devices()}")
+    n, m, B = args.vars, args.constraints, args.batch
+    log(f"generating {B} instances ({n} x {m}, seeds 1000..{1000 + B - 1})")
+    problems = [generate_random_problem(n, m, 1000 + i, 1, 100)
+                for i in range(B)]
+
+    configs = [
+        ("f32 L=32 (r1 configuration)",
+         SolverOptions(dtype=np.float32, block_pivots=32, eps=1e-4)),
+        ("mixed L=32",
+         SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                       block_pivots=32, eps=1e-5)),
+        ("mixed L=128 (production defaults)",
+         SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                       block_pivots=128, eps=1e-5)),
+        ("mixed sequential (L=1)",
+         SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                       eps=1e-5)),
+    ]
+
+    for name, opt in configs:
+        t0 = time.perf_counter()
+        results = solve_batched(problems, opt)
+        warm = time.perf_counter() - t0
+        times = []
+        for _ in range(args.repeats - 1):
+            t0 = time.perf_counter()
+            results = solve_batched(problems, opt)
+            times.append(time.perf_counter() - t0)
+        best = min(times) if times else warm
+        n_opt = sum(r.status == Status.OPTIMAL for r in results)
+        log(f"[batch] {name:36s} {best:8.1f} s "
+            f"({best / B * 1e3:6.1f} ms/instance), "
+            f"{n_opt}/{B} OPTIMAL (cold {warm:.1f} s)")
+        assert n_opt == B, f"{name}: {B - n_opt} lanes not OPTIMAL"
+
+    # Spot-check a few lanes against the oracle (production config).
+    results = solve_batched(problems, configs[2][1])
+    for i in (0, B // 2, B - 1):
+        want = solve_oracle(problems[i])
+        rel = abs(results[i].objective - want.objective) / (
+            1 + abs(want.objective))
+        log(f"lane {i}: objective rel err {rel:.1e} "
+            f"(pivots {results[i].iterations_phase1}"
+            f"+{results[i].iterations_phase2})")
+        assert rel < 1e-4, (i, results[i].objective, want.objective)
+    print("BENCH_BATCH_OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
