@@ -27,6 +27,10 @@ def main():
     parser.add_argument("--vars", type=int, default=2000)
     parser.add_argument("--constraints", type=int, default=500)
     parser.add_argument("--repeats", type=int, default=2)
+    parser.add_argument("--config", default=None,
+                        help="run only the config whose name contains "
+                             "this substring (one TPU process per "
+                             "config keeps runs short and killable)")
     args = parser.parse_args()
 
     import jax
@@ -54,10 +58,14 @@ def main():
         ("mixed L=128 (production defaults)",
          SolverOptions(dtype=np.float32, vector_dtype=np.float64,
                        block_pivots=128, eps=1e-5)),
-        ("mixed sequential (L=1)",
-         SolverOptions(dtype=np.float32, vector_dtype=np.float64,
-                       eps=1e-5)),
     ]
+    # (The vmapped SEQUENTIAL loop is deliberately absent: each pivot
+    # streams the whole 1.6 GB batch tableau, ~600x per phase — tens of
+    # minutes for a number r1 already established is ~2.5x slower than
+    # blocked. Blocked configs are the decision that needs refreshing.)
+    if args.config:
+        configs = [(n_, o) for n_, o in configs if args.config in n_]
+        assert configs, f"no config matches {args.config!r}"
 
     for name, opt in configs:
         t0 = time.perf_counter()
@@ -75,8 +83,8 @@ def main():
             f"{n_opt}/{B} OPTIMAL (cold {warm:.1f} s)")
         assert n_opt == B, f"{name}: {B - n_opt} lanes not OPTIMAL"
 
-    # Spot-check a few lanes against the oracle (production config).
-    results = solve_batched(problems, configs[2][1])
+    # Spot-check a few lanes against the oracle (last config run).
+    results = solve_batched(problems, configs[-1][1])
     for i in (0, B // 2, B - 1):
         want = solve_oracle(problems[i])
         rel = abs(results[i].objective - want.objective) / (
