@@ -146,6 +146,114 @@ def _run_windows(tab: Tableau, options: SolverOptions, max_iter: int,
                    n_shards=n_shards)
 
 
+def _resumable_core(problem: Problem, checkpoint_path: str,
+                    checkpoint_every: int, options: SolverOptions, *,
+                    build, phase2, pivot_out, put=None,
+                    make_run_for_r=None, n_shards: int = 0) -> SolveResult:
+    """The shared two-phase resumable orchestration: load-or-build,
+    windowed phase 1, the INFEASIBLE/DEGENERATE/MAXITER ladder, the
+    phase-2 transition checkpoint, windowed phase 2, and the checkpoint
+    lifecycle (terminal statuses delete the file; MAXITER keeps it so a
+    rerun with a larger budget resumes). The single-chip and sharded
+    entry points differ only in the injected stage callables:
+
+    * ``build()`` -> eliminated phase-1 tableau,
+    * ``phase2(tab, c)`` -> eliminated phase-2 tableau,
+    * ``pivot_out(tab)`` -> degenerate-basis repair,
+    * ``put(tab)`` -> lay a loaded (host/global) tableau out on the
+      target devices (None = leave as-is),
+    * ``make_run_for_r(r)`` -> a window-runner factory for _run_windows
+      (None = the single-chip default),
+    * ``n_shards`` -> written into the checkpoint metadata (0 = unsharded).
+    """
+    m, n = problem.constraints, problem.vars
+    eps = float(options.eps_resolved)
+    max_iter = options.resolved_max_iter(n + 2 * m, m)
+    r1 = n + 2 * m
+
+    if os.path.exists(checkpoint_path):
+        tab, phase, done, iters1, ck_shards = load_state(checkpoint_path)
+        if ck_shards != n_shards:
+            if n_shards == 0:
+                raise ValueError(
+                    f"checkpoint was written by a {ck_shards}-shard "
+                    "sharded solve; resume it with "
+                    "solve_resumable_sharded / --sharded")
+            if ck_shards == 0:
+                raise ValueError(
+                    "checkpoint was written by a single-chip solve; "
+                    "resume it without --sharded (or delete it)")
+            raise ValueError(
+                f"checkpoint was written on a {ck_shards}-shard mesh, "
+                f"resuming on {n_shards} shards (re-shard by deleting "
+                "the checkpoint or matching the mesh)")
+        if (tab.n, tab.m) != (n, m):
+            raise ValueError(
+                f"checkpoint is for a {tab.n}x{tab.m} problem, "
+                f"got {n}x{m}")
+        if (tab.T.dtype != jnp.dtype(options.dtype)
+                or tab.b.dtype != jnp.dtype(options.vector_dtype)):
+            raise ValueError(
+                f"checkpoint dtypes ({tab.T.dtype}/{tab.b.dtype}) do not "
+                f"match options ({options.dtype}/{options.vector_dtype})")
+        if put is not None:
+            tab = put(tab)
+    else:
+        tab = build()
+        phase, done, iters1 = 1, 0, 0
+
+    def runner(r):
+        return make_run_for_r(r) if make_run_for_r is not None else None
+
+    degenerate = False
+    if phase == 1:
+        tab, status1, done = _run_windows(
+            tab, options, max_iter, checkpoint_path, 1, done,
+            checkpoint_every, _phase_costs0(tab, problem, 1),
+            make_run=runner(r1), n_shards=n_shards)
+        if status1 == int(Status.RUNNING):
+            return SolveResult(Status.MAXITER, None, float(tab.z), done, 0)
+        z1 = float(phase1_objective(tab))
+        b_scale = 1.0 + float(np.max(np.abs(problem.b)))
+        if z1 <= -eps * b_scale:
+            if os.path.exists(checkpoint_path):
+                os.unlink(checkpoint_path)
+            return SolveResult(Status.INFEASIBLE, None, z1, done, 0)
+        degenerate = int(count_basic_artificials(tab)) > 0
+        if degenerate and options.degeneracy == "reference":
+            # Terminal verdict: the phase-1 checkpoint is useless for a
+            # rerun (it would re-derive DEGENERATE) — delete it like the
+            # other terminal statuses do.
+            if os.path.exists(checkpoint_path):
+                os.unlink(checkpoint_path)
+            return SolveResult(Status.DEGENERATE, None, z1, done, 0,
+                               degenerate=True)
+        if degenerate:
+            tab = pivot_out(tab)
+        tab = phase2(tab, jnp.asarray(problem.c,
+                                      jnp.dtype(options.vector_dtype)))
+        phase, iters1, done = 2, done, 0
+        save_state(checkpoint_path, tab, phase=2, iterations=0,
+                   iters1=iters1, n_shards=n_shards)
+
+    tab, status2, done = _run_windows(
+        tab, options, max_iter, checkpoint_path, 2, done,
+        checkpoint_every, _phase_costs0(tab, problem, 2), iters1,
+        make_run=runner(n + m), n_shards=n_shards)
+    if status2 == int(Status.RUNNING):
+        # Keep the checkpoint: rerunning with a larger max_iter resumes.
+        return SolveResult(Status.MAXITER, None, float(tab.z), iters1, done)
+    if os.path.exists(checkpoint_path):
+        os.unlink(checkpoint_path)
+    if status2 != int(Status.OPTIMAL):
+        return SolveResult(Status(status2), None, float(tab.z), iters1,
+                           done, degenerate=degenerate)
+    x = np.asarray(extract_solution(tab))
+    objective = float(np.dot(problem.c, x))
+    return SolveResult(Status.OPTIMAL, x, objective, iters1, done,
+                       degenerate=degenerate)
+
+
 def solve_resumable(problem: Problem, checkpoint_path: str,
                     checkpoint_every: int = 1000,
                     options: SolverOptions | None = None,
@@ -162,74 +270,24 @@ def solve_resumable(problem: Problem, checkpoint_path: str,
     if options.needs_x64:
         jax.config.update("jax_enable_x64", True)
 
-    m, n = problem.constraints, problem.vars
-    eps = float(options.eps_resolved)
-    max_iter = options.resolved_max_iter(n + 2 * m, m)
     A = jnp.asarray(problem.A)
     b = jnp.asarray(problem.b)
-    c = jnp.asarray(problem.c)
+    m, n = problem.constraints, problem.vars
 
-    if os.path.exists(checkpoint_path):
-        tab, phase, done, iters1, ck_shards = load_state(checkpoint_path)
-        if ck_shards:
-            raise ValueError(
-                f"checkpoint was written by a {ck_shards}-shard sharded "
-                "solve; resume it with solve_resumable_sharded / "
-                "--sharded")
-        if (tab.n, tab.m) != (n, m):
-            raise ValueError(
-                f"checkpoint is for a {tab.n}x{tab.m} problem, "
-                f"got {n}x{m}")
-        if (tab.T.dtype != jnp.dtype(options.dtype)
-                or tab.b.dtype != jnp.dtype(options.vector_dtype)):
-            raise ValueError(
-                f"checkpoint dtypes ({tab.T.dtype}/{tab.b.dtype}) do not "
-                f"match options ({options.dtype}/{options.vector_dtype})")
-    else:
-        tab = gaussian_eliminate(build_phase1(A, b, n, m, options))
-        phase, done, iters1 = 1, 0, 0
+    def build():
+        return gaussian_eliminate(build_phase1(A, b, n, m, options))
 
-    degenerate = False
-    if phase == 1:
-        tab, status1, done = _run_windows(
-            tab, options, max_iter, checkpoint_path, 1, done,
-            checkpoint_every, _phase_costs0(tab, problem, 1))
-        if status1 == int(Status.RUNNING):
-            return SolveResult(Status.MAXITER, None, float(tab.z), done, 0)
-        z1 = float(phase1_objective(tab))
-        b_scale = 1.0 + float(np.max(np.abs(problem.b)))
-        if z1 <= -eps * b_scale:
-            if os.path.exists(checkpoint_path):
-                os.unlink(checkpoint_path)
-            return SolveResult(Status.INFEASIBLE, None, z1, done, 0)
-        degenerate = int(count_basic_artificials(tab)) > 0
-        if degenerate and options.degeneracy == "reference":
-            return SolveResult(Status.DEGENERATE, None, z1, done, 0,
-                               degenerate=True)
-        if degenerate:
-            from .two_phase import pivot_out_artificials
+    def phase2(tab, c):
+        return gaussian_eliminate(phase2_reset(tab, c, options))
 
-            tab = pivot_out_artificials(tab, options)
-        tab = gaussian_eliminate(phase2_reset(tab, c, options))
-        phase, iters1, done = 2, done, 0
-        save_state(checkpoint_path, tab, phase=2, iterations=0,
-                   iters1=iters1)
+    def pivot_out(tab):
+        from .two_phase import pivot_out_artificials
 
-    tab, status2, done = _run_windows(
-        tab, options, max_iter, checkpoint_path, 2, done,
-        checkpoint_every, _phase_costs0(tab, problem, 2), iters1)
-    if status2 == int(Status.RUNNING):
-        # Keep the checkpoint: rerunning with a larger max_iter resumes.
-        return SolveResult(Status.MAXITER, None, float(tab.z), iters1, done)
-    if os.path.exists(checkpoint_path):
-        os.unlink(checkpoint_path)
-    if status2 != int(Status.OPTIMAL):
-        return SolveResult(Status(status2), None, float(tab.z), iters1,
-                           done, degenerate=degenerate)
-    x = np.asarray(extract_solution(tab))
-    objective = float(np.dot(problem.c, x))
-    return SolveResult(Status.OPTIMAL, x, objective, iters1, done,
-                       degenerate=degenerate)
+        return pivot_out_artificials(tab, options)
+
+    return _resumable_core(problem, checkpoint_path, checkpoint_every,
+                           options, build=build, phase2=phase2,
+                           pivot_out=pivot_out)
 
 
 def solve_resumable_sharded(problem: Problem, mesh, checkpoint_path: str,
@@ -242,17 +300,17 @@ def solve_resumable_sharded(problem: Problem, mesh, checkpoint_path: str,
     longest-running solve in the framework and (as of round 3) the only
     one that can survive a crash.
 
-    Same windowed contract as ``solve_resumable``, with every stage
-    shard_map'd over ``mesh`` ('vars' axis): build + Gaussian elimination
-    sharded, each window of pivots runs the full sharded hot loop
-    (parallel/sharded.py run_solve_loop_sharded — the fused-kernel
-    blocked path when eligible), and the checkpoint file holds the
-    gathered GLOBAL arrays plus the mesh width (``np.asarray`` on a
-    sharded array assembles it), so the artifact is identical in shape to
-    a single-chip checkpoint and resume just re-shards it onto the same
-    mesh width. ``interpret`` runs the Pallas passes in interpret mode
-    (CPU-mesh tests)."""
-    import jax
+    Same windowed contract as ``solve_resumable`` (one shared
+    orchestration core), with every stage shard_map'd over ``mesh``
+    ('vars' axis): build + Gaussian elimination sharded, each window of
+    pivots runs the full sharded hot loop (parallel/sharded.py
+    run_solve_loop_sharded — the fused-kernel blocked path when
+    eligible), and the checkpoint file holds the gathered GLOBAL arrays
+    plus the mesh width (``np.asarray`` on a sharded array assembles
+    it), so the artifact is identical in shape to a single-chip
+    checkpoint and resume just re-shards it onto the same mesh width.
+    ``interpret`` runs the Pallas passes in interpret mode (CPU-mesh
+    tests)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from .parallel import sharded as sh
@@ -266,8 +324,6 @@ def solve_resumable_sharded(problem: Problem, mesh, checkpoint_path: str,
     m, n = problem.constraints, problem.vars
     n_shards = int(mesh.shape[sh.AXIS])
     kernel = sh.kernel_blocked_sharded_enabled(options, interpret)
-    eps = float(options.eps_resolved)
-    max_iter = options.resolved_max_iter(n + 2 * m, m)
     r1 = n + 2 * m
 
     def specs(r):
@@ -276,8 +332,11 @@ def solve_resumable_sharded(problem: Problem, mesh, checkpoint_path: str,
 
     def shardings(r):
         return jax.tree.map(
-            lambda s: NamedSharding(mesh, s) if isinstance(s, P) else s,
+            lambda sp: NamedSharding(mesh, sp) if isinstance(sp, P) else sp,
             specs(r), is_leaf=lambda x: isinstance(x, P))
+
+    A = jnp.asarray(problem.A)
+    b = jnp.asarray(problem.b)
 
     @jax.jit
     def build_fn(A, b):
@@ -289,7 +348,7 @@ def solve_resumable_sharded(problem: Problem, mesh, checkpoint_path: str,
             in_specs=(specs(r1),), out_specs=specs(r1),
             check_vma=False)(tab)
 
-    def make_run_factory(r):
+    def make_run_for_r(r):
         sp = specs(r)
 
         def make_run(window):
@@ -320,69 +379,9 @@ def solve_resumable_sharded(problem: Problem, mesh, checkpoint_path: str,
             core, mesh=mesh, in_specs=(specs(r1), P(None)),
             out_specs=specs(n + m), check_vma=False)(tab, c)
 
-    A = jnp.asarray(problem.A)
-    b = jnp.asarray(problem.b)
-    vdtype = jnp.dtype(options.vector_dtype)
-    c = jnp.asarray(problem.c, vdtype)
-
-    if os.path.exists(checkpoint_path):
-        tab, phase, done, iters1, ck_shards = load_state(checkpoint_path)
-        if ck_shards != n_shards:
-            raise ValueError(
-                f"checkpoint was written on a {ck_shards}-shard mesh, "
-                f"resuming on {n_shards} shards (re-shard by deleting "
-                "the checkpoint or matching the mesh)")
-        if (tab.n, tab.m) != (n, m):
-            raise ValueError(
-                f"checkpoint is for a {tab.n}x{tab.m} problem, "
-                f"got {n}x{m}")
-        if (tab.T.dtype != jnp.dtype(options.dtype)
-                or tab.b.dtype != jnp.dtype(options.vector_dtype)):
-            raise ValueError(
-                f"checkpoint dtypes ({tab.T.dtype}/{tab.b.dtype}) do not "
-                f"match options ({options.dtype}/{options.vector_dtype})")
-        tab = jax.device_put(tab, shardings(tab.r))
-    else:
-        tab = build_fn(A, b)
-        phase, done, iters1 = 1, 0, 0
-
-    degenerate = False
-    if phase == 1:
-        tab, status1, done = _run_windows(
-            tab, options, max_iter, checkpoint_path, 1, done,
-            checkpoint_every, _phase_costs0(tab, problem, 1),
-            make_run=make_run_factory(r1), n_shards=n_shards)
-        if status1 == int(Status.RUNNING):
-            return SolveResult(Status.MAXITER, None, float(tab.z), done, 0)
-        z1 = float(phase1_objective(tab))
-        b_scale = 1.0 + float(np.max(np.abs(problem.b)))
-        if z1 <= -eps * b_scale:
-            if os.path.exists(checkpoint_path):
-                os.unlink(checkpoint_path)
-            return SolveResult(Status.INFEASIBLE, None, z1, done, 0)
-        degenerate = int(count_basic_artificials(tab)) > 0
-        if degenerate and options.degeneracy == "reference":
-            return SolveResult(Status.DEGENERATE, None, z1, done, 0,
-                               degenerate=True)
-        if degenerate:
-            tab = pivot_out_fn(tab)
-        tab = phase2_fn(tab, c)
-        phase, iters1, done = 2, done, 0
-        save_state(checkpoint_path, tab, phase=2, iterations=0,
-                   iters1=iters1, n_shards=n_shards)
-
-    tab, status2, done = _run_windows(
-        tab, options, max_iter, checkpoint_path, 2, done,
-        checkpoint_every, _phase_costs0(tab, problem, 2), iters1,
-        make_run=make_run_factory(n + m), n_shards=n_shards)
-    if status2 == int(Status.RUNNING):
-        return SolveResult(Status.MAXITER, None, float(tab.z), iters1, done)
-    if os.path.exists(checkpoint_path):
-        os.unlink(checkpoint_path)
-    if status2 != int(Status.OPTIMAL):
-        return SolveResult(Status(status2), None, float(tab.z), iters1,
-                           done, degenerate=degenerate)
-    x = np.asarray(extract_solution(tab))
-    objective = float(np.dot(problem.c, x))
-    return SolveResult(Status.OPTIMAL, x, objective, iters1, done,
-                       degenerate=degenerate)
+    return _resumable_core(
+        problem, checkpoint_path, checkpoint_every, options,
+        build=lambda: build_fn(A, b), phase2=phase2_fn,
+        pivot_out=pivot_out_fn,
+        put=lambda tab: jax.device_put(tab, shardings(tab.r)),
+        make_run_for_r=make_run_for_r, n_shards=n_shards)

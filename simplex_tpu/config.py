@@ -118,6 +118,15 @@ class SolverOptions:
     #: updates stay drift-free — f32-only runs were observed to
     #: accumulate O(0.1) absolute error in b over ~5k pivots, enough to
     #: misclassify feasible problems.
+    #:
+    #: Representation caveat (r3): inside the fused blocked-KERNEL loop
+    #: the costs AND the right-hand side are carried as double-float32
+    #: (hi, lo) pairs (Mosaic has no f64) — ~2^-48 relative precision,
+    #: but the FLOAT32 exponent range: values beyond ~1e38 (or denormal
+    #: below ~1e-38) in b/costs overflow the pair and poison the solve
+    #: (caught by the NUMERIC output guard, not silently wrong). Such
+    #: LPs should be rescaled, or solved with dtype=float64 (the XLA
+    #: loops keep true f64 vectors).
     vector_dtype: Optional[np.dtype] = None
 
     #: Scale-aware pricing for low-precision tableaus: each solve loop

@@ -379,6 +379,15 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
     """
     m_pad, r_pad = Tt.shape
     L = C.shape[0]
+    # The in-place C-row write reads its pass-through slab at an offset
+    # that is a multiple of the 8-row block height ONLY when L (and
+    # hence seg and the clip bound) is 8-aligned; L in {9..15, 17..23,
+    # 25..31} would read the wrong rows (and violate the pl.multiple_of
+    # alignment promise on silicon). The dispatch gates keep such L off
+    # this path — enforce it here too.
+    assert L < 8 or L % 8 == 0, (
+        f"colk_costs_pass requires block_pivots < 8 or a multiple of 8, "
+        f"got L={L}")
     seg = min(seg_rows or SEG, L)
     assert L % seg == 0, (L, seg)
     n_segs = L // seg
@@ -1071,7 +1080,10 @@ def _ah_ratio_kernel(idx_ref,            # prefetch: [h, live_segs]
 
         @pl.when(i == pl.num_programs(0) - 1)
         def _final():
-            k_out[0, 0] = ridx_scr[0]
+            # No eligible lane anywhere -> the fold's kidx is just the
+            # lowest masked lane; emit the BIG_INDEX sentinel instead so
+            # the unbounded case is unambiguous at the caller.
+            k_out[0, 0] = jnp.where(ridx_scr[1] == 0, big, ridx_scr[0])
             p_out[0, 0] = rat_scr[2]
             bkh_out[0, 0] = rat_scr[3]
             bkl_out[0, 0] = rat_scr2[0]

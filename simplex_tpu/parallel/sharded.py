@@ -695,7 +695,10 @@ def run_solve_loop_sharded(tab: Tableau, options: SolverOptions,
         L = int(options.block_pivots)
         if (kernel_blocked_sharded_enabled(options, interpret)
                 and tab.T.shape[0] % 128 == 0
-                and L % min(32, L) == 0):
+                and L % min(32, L) == 0
+                # the kernels' 8-row C-slab write needs an 8-aligned L
+                # (kernels/blocked.py colk_costs_pass); odd L falls back
+                and (L < 8 or L % 8 == 0)):
             out = solve_loop_blocked_kernel_sharded(
                 tab, options, max_iter, costs0, interpret)
         else:

@@ -692,7 +692,10 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
             s.Tt, F, C, s.bhi, s.blo, h_safe, t.astype(jnp.int32),
             eps=eps, interpret=interpret)
         unbounded = unb != 0
-        k = jnp.minimum(k, m_pad - 1)      # BIG_INDEX when unbounded
+        # k is the BIG_INDEX sentinel exactly when unbounded (no
+        # eligible lane) — clamp so the do=False identity pass that
+        # still runs below indexes in range.
+        k = jnp.minimum(k, m_pad - 1)
         do = active & ~(optimal | unbounded)
 
         p = p32.astype(vdtype)
@@ -885,7 +888,10 @@ def run_solve_loop(tab: Tableau, options: SolverOptions, max_iter: int,
         L = int(options.block_pivots)
         if (kernel_blocked_enabled(options)
                 and tab.rows_padded % 128 == 0
-                and L % min(32, L) == 0):
+                and L % min(32, L) == 0
+                # the kernels' 8-row C-slab write needs an 8-aligned L
+                # (kernels/blocked.py colk_costs_pass); odd L falls back
+                and (L < 8 or L % 8 == 0)):
             out = solve_loop_blocked_kernel(tab, options, max_iter,
                                             costs0)
         else:

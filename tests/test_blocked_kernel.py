@@ -480,3 +480,32 @@ class TestKernelLoopEndToEnd:
         assert int(out.status) == int(Status.OPTIMAL)
         assert float(out.objective) == pytest.approx(want.objective,
                                                      rel=1e-4)
+
+    @pytest.mark.parametrize("L", [12, 20])
+    def test_unaligned_L_falls_back_to_xla_loop(self, L):
+        """block_pivots >= 8 but not a multiple of 8 must NOT take the
+        kernel path: the in-place C-slab write would read its
+        pass-through rows at a misaligned offset and silently corrupt
+        live eta columns (r3 review finding). The dispatch falls back to
+        the pure-XLA blocked loop and still reaches the oracle optimum;
+        calling the kernel pass directly with such L is rejected."""
+        from simplex_tpu import solve
+        from simplex_tpu.config import kernel_blocked_eligible
+
+        opt = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                            eps=1e-5, block_pivots=L)
+        assert kernel_blocked_eligible(opt)   # eligible, but...
+        p = generate_random_problem(64, 16, 3, 1, 100)
+        got = solve(p, opt)                   # CPU: XLA loop either way
+        want = solve_oracle(p)
+        assert got.status == Status.OPTIMAL
+        assert got.objective == pytest.approx(want.objective, rel=1e-4)
+
+        with pytest.raises(AssertionError, match="multiple of 8"):
+            Tt = _rand((16, 128), 0)
+            C = jnp.zeros((L, 128), jnp.float32)
+            F = jnp.zeros((L, 16), jnp.float32)
+            chi, clo = ff32_from_f64(jnp.zeros(128))
+            colk_costs_pass(Tt, C, F, chi, clo, jnp.int32(0),
+                            jnp.int32(0), jnp.float32(0), jnp.float32(0),
+                            r=128, eps=1e-6, interpret=True)

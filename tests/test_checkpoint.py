@@ -190,3 +190,37 @@ def test_sharded_checkpoint_blocked_kernel_path(problem, tmp_path):
     assert got.status == Status.OPTIMAL
     assert got.objective == pytest.approx(want.objective, rel=1e-4)
     assert not os.path.exists(path)
+
+
+def test_reference_degeneracy_deletes_checkpoint(tmp_path):
+    """A terminal DEGENERATE verdict (reference policy) removes the
+    checkpoint like the other terminal statuses — a rerun would only
+    re-derive the same verdict from a stale phase-1 file. The resume
+    starts from a hand-built phase-1-OPTIMAL state whose basis still
+    holds an artificial at value 0 (the degenerate fingerprint)."""
+    from simplex_tpu.problem import Problem
+    from simplex_tpu.tableau import Tableau
+
+    n, m = 2, 2
+    problem = Problem(A=np.eye(2), b=np.array([1.0, 0.0]),
+                      c=np.array([1.0, 1.0]))
+    r = n + 2 * m
+    R_pad, M_pad = 8, 128
+    T = np.zeros((R_pad, M_pad))
+    T[0, 0] = 1.0               # x1 basic in constraint 0 at value 1
+    T[n + m + 1, 1] = 1.0       # artificial a2 basic at value 0
+    base = np.full(M_pad, R_pad, np.int32)
+    base[:m] = [0, n + m + 1]
+    b = np.zeros(M_pad)
+    b[0] = 1.0
+    tab = Tableau(T=jnp.asarray(T), b=jnp.asarray(b),
+                  costs=jnp.zeros((R_pad,)),   # all >= 0: loop exits
+                  z=jnp.zeros(()), base=jnp.asarray(base), n=n, m=m, r=r)
+    path = str(tmp_path / "state.npz")
+    save_state(path, tab, phase=1, iterations=5)
+    got = solve_resumable(problem, path, checkpoint_every=50,
+                          degeneracy="reference")
+    assert got.status == Status.DEGENERATE
+    assert got.degenerate
+    assert not os.path.exists(path), (
+        "terminal DEGENERATE must delete the checkpoint")
