@@ -156,3 +156,64 @@ def test_kernel_sharded_multiwindow_stress():
     # f32 tableau noise puts ~2e-5 relative slack in the constraints at
     # this pivot count (measured); 1e-4 is the mixed-mode envelope.
     assert_valid_solution(problem, got, tol=1e-4)
+
+
+def test_per_pivot_collective_structure_pinned():
+    """Regression guard on the sharded kernel loop's communication
+    structure (the §5 cost model): the traced program must contain
+    EXACTLY 8 all_gathers + 2 psums —
+
+    * inner pivot body: 2 all_gathers (the stacked candidate-value and
+      candidate-index folds) + 1 psum (the (M_pad,) live entering row);
+      the r3 fold carries the candidate VALUES, so there is no separate
+      minc psum;
+    * window boundary: 1 psum (basic-coeff gather) + 1 all_gather
+      (premature-optimal vmin) + 2 all_gathers (post-reprice candidate
+      fold);
+    * one-time: 2 all_gathers (initial candidate fold) + 1 all_gather
+      (the scale-aware pricing max).
+
+    A change that adds a per-pivot collective (or reintroduces the minc
+    psum) fails this test before it costs real ICI latency."""
+    from collections import Counter
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from simplex_tpu.parallel import sharded as sh
+    from simplex_tpu.tableau import Tableau
+
+    opt = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                        eps=1e-5, block_pivots=8)
+    n, m = 96, 24
+    mesh = mesh_of(4)
+    R_pad, M_pad = sh.sharded_padded_dims(n, m, 4, opt, kernel=True)
+    tab = Tableau(T=jnp.zeros((R_pad, M_pad), jnp.float32),
+                  b=jnp.zeros((M_pad,)), costs=jnp.zeros((R_pad,)),
+                  z=jnp.zeros(()), base=jnp.zeros((M_pad,), jnp.int32),
+                  n=n, m=m, r=n + 2 * m)
+    specs = Tableau(T=P("vars", None), b=P(None), costs=P("vars"),
+                    z=P(), base=P(None), n=n, m=m, r=n + 2 * m)
+    fn = jax.shard_map(
+        lambda t, c0: sh.run_solve_loop_sharded(t, opt, 100, c0, True),
+        mesh=mesh, in_specs=(specs, P("vars")),
+        out_specs=(specs, P(), P()), check_vma=False)
+    jaxpr = jax.make_jaxpr(fn)(tab, jnp.zeros((R_pad,)))
+
+    def walk(jx, c):
+        for eqn in jx.eqns:
+            c[eqn.primitive.name] += 1
+            for v in eqn.params.values():
+                vs = v if isinstance(v, (list, tuple)) else (v,)
+                for x in vs:
+                    if hasattr(x, "jaxpr"):
+                        walk(x.jaxpr, c)
+                    elif hasattr(x, "eqns"):
+                        walk(x, c)
+        return c
+
+    counts = walk(jaxpr.jaxpr, Counter())
+    collectives = {k: v for k, v in counts.items()
+                   if k in ("all_gather", "psum", "psum_invariant",
+                            "all_to_all", "ppermute", "pmin", "pmax")}
+    assert collectives == {"all_gather": 8, "psum": 2}, collectives
