@@ -118,8 +118,11 @@ def test_pivot_count_parity_2048_2048():
     phase-1 + 268 phase-2 pivots over a 6,145x2,048 tableau, the
     reference's strongest mid-size fingerprint (identical on both its
     GPUs). Feasible as a test since the oracle's rank-1 update went
-    through BLAS dger (~1 min); the 8192-class replay (20,640 pivots over
-    a 24,577x8,192 tableau, ~25x this work) remains honestly infeasible
-    in test time — the 36-size device sweep in BENCHMARKS.md covers those
-    sizes at objective-level parity instead."""
+    through BLAS dger (~1 min); this is also the honest parity BOUNDARY:
+    a measured 4096x4096 replay (~164 s) reaches the same optimum but
+    diverges from the recorded counts by ~1% (8,976+518 vs 8,875+461) —
+    over ~9k pivots the eps-tie pattern becomes sensitive to the last-ulp
+    accumulation differences between the GPU's fma update and any host
+    reproduction, so larger sizes are covered at objective-level parity
+    by the 36-size device sweep in BENCHMARKS.md instead."""
     _assert_parity("random_2048_2048")
