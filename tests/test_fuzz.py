@@ -128,3 +128,37 @@ def test_modes_agree_with_oracle(n, m, seed, lo, hi):
             assert resid < ftol * bscale, (name, resid)
             assert (x >= -ftol * bscale).all(), name
             assert abs(problem.c @ x - got.objective) < otol * scale, name
+
+
+@pytest.mark.parametrize("n,m,seed,lo,hi", CASES)
+def test_kernel_loop_agrees_with_oracle(n, m, seed, lo, hi):
+    """The fused blocked-KERNEL loop (interpret mode via the sharded
+    path, 2 shards) across the same case spread — the wide-net
+    complement to test_blocked_kernel's targeted cases. Padding-boundary
+    shapes here exercise the kernels' full-axis (lane-illegal-width)
+    fallbacks and the r_lim shard edges."""
+    import jax
+    from jax.sharding import Mesh
+
+    from simplex_tpu.parallel.sharded import make_sharded_solver
+
+    problem = generate_random_problem(n, m, seed, lo, hi)
+    want = solve_oracle(problem)
+    opt = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                        block_pivots=8, eps=1e-5)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("vars",))
+    fn = make_sharded_solver(mesh, n, m, opt, interpret=True)
+    import jax.numpy as jnp
+
+    out = jax.device_get(fn(jnp.asarray(problem.A),
+                            jnp.asarray(problem.b),
+                            jnp.asarray(problem.c)))
+    assert Status(int(out.status)) == want.status, (int(out.status),
+                                                    want.status)
+    if want.status == Status.OPTIMAL:
+        scale = 1 + abs(want.objective)
+        assert abs(float(out.objective) - want.objective) < 1e-4 * scale
+        x = np.asarray(out.x)
+        bscale = 1 + np.abs(problem.b).max()
+        assert (problem.A @ x - problem.b).max() < 1e-4 * bscale
+        assert (x >= -1e-4 * bscale).all()
