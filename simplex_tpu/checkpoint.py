@@ -311,7 +311,7 @@ def solve_resumable_sharded(problem: Problem, mesh, checkpoint_path: str,
     checkpoint and resume just re-shards it onto the same mesh width.
     ``interpret`` runs the Pallas passes in interpret mode (CPU-mesh
     tests)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     from .parallel import sharded as sh
 
@@ -327,13 +327,10 @@ def solve_resumable_sharded(problem: Problem, mesh, checkpoint_path: str,
     r1 = n + 2 * m
 
     def specs(r):
-        return Tableau(T=P(sh.AXIS, None), b=P(None), costs=P(sh.AXIS),
-                       z=P(), base=P(None), n=n, m=m, r=r)
+        return sh.tableau_specs(n, m, r)
 
     def shardings(r):
-        return jax.tree.map(
-            lambda sp: NamedSharding(mesh, sp) if isinstance(sp, P) else sp,
-            specs(r), is_leaf=lambda x: isinstance(x, P))
+        return sh.tableau_shardings(mesh, n, m, r)
 
     A = jnp.asarray(problem.A)
     b = jnp.asarray(problem.b)

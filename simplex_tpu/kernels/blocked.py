@@ -942,31 +942,41 @@ def _ah_kernel(idx_ref,                 # prefetch: [h, live_segs]
 
     @pl.when(s < jnp.maximum(live, 1))
     def _accumulate():
-        # v = C[:, h], lane-selected from the (L, ck_w) C block around
-        # column h (folds the caller's strided XLA gather, ~56 us/pivot
-        # of op overhead, into a 64 KB block read).
-        hh = lax.rem(h, jnp.int32(ck_w))
-        lane = lax.broadcasted_iota(jnp.int32, (seg, ck_w), 1)
-        cseg = Ch_ref[pl.ds(s * seg, seg), :]
-        vseg = jnp.sum(jnp.where(lane == hh, cseg, 0.0), axis=1,
-                       keepdims=True)                 # (seg, 1)
-        acc_ref[:] += jnp.sum(F_ref[:] * vseg, axis=0, keepdims=True)
+        _ah_accumulate(Ch_ref, F_ref, acc_ref, s, h, seg=seg, ck_w=ck_w)
 
     @pl.when(s == n_segs - 1)
     def _emit():
-        hh = lax.rem(h, jnp.int32(128))
-        # Lane-select column h%128 as a (1, TM) row via a one-hot
-        # contraction — avoids a (TM, 1) -> (1, TM) relayout.
-        onehot = (lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-                  == hh).astype(jnp.float32)
-        col = lax.dot_general(onehot, Tcols_ref[:],
-                              (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32,
-                              precision=lax.Precision.HIGHEST)  # (1, TM)
-        # HIGHEST: the MXU's default bf16 pass would round the selected
-        # values to ~2e-3 relative; the 3-pass product is f32-exact for
-        # a 0/1 one-hot operand.
-        ah_ref[:] = col - acc_ref[:]
+        ah_ref[:] = _ah_column(Tcols_ref, h) - acc_ref[:]
+
+
+
+def _ah_accumulate(Ch_ref, F_ref, acc_ref, s, h, *, seg, ck_w):
+    """One liveness-segment step of the M-side eta correction shared by
+    _ah_kernel and _ah_ratio_kernel: v = C[:, h] lane-selected from the
+    (L, ck_w) C block around column h (folds the caller's strided XLA
+    gather, ~56 us/pivot of op overhead, into a 64 KB block read), then
+    acc += v_seg @ F_seg."""
+    hh = lax.rem(h, jnp.int32(ck_w))
+    lane = lax.broadcasted_iota(jnp.int32, (seg, ck_w), 1)
+    cseg = Ch_ref[pl.ds(s * seg, seg), :]
+    vseg = jnp.sum(jnp.where(lane == hh, cseg, 0.0), axis=1,
+                   keepdims=True)                 # (seg, 1)
+    acc_ref[:] += jnp.sum(F_ref[:] * vseg, axis=0, keepdims=True)
+
+
+def _ah_column(Tcols_ref, h):
+    """Lane-select column h%128 of the (TM, 128) Tt slab as a (1, TM)
+    row via a one-hot MXU contraction — avoids a (TM, 1) -> (1, TM)
+    relayout. HIGHEST: the MXU's default bf16 pass would round the
+    selected values to ~2e-3 relative; the 3-pass product is f32-exact
+    for a 0/1 one-hot operand."""
+    hh = lax.rem(h, jnp.int32(128))
+    onehot = (lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+              == hh).astype(jnp.float32)
+    return lax.dot_general(onehot, Tcols_ref[:],
+                           (((1,), (1,)), ((), ())),
+                           preferred_element_type=jnp.float32,
+                           precision=lax.Precision.HIGHEST)  # (1, TM)
 
 
 def _ah_ratio_kernel(idx_ref,            # prefetch: [h, live_segs]
@@ -1005,23 +1015,11 @@ def _ah_ratio_kernel(idx_ref,            # prefetch: [h, live_segs]
 
     @pl.when(s < jnp.maximum(live, 1))
     def _accumulate():
-        hh = lax.rem(h, jnp.int32(ck_w))
-        lane = lax.broadcasted_iota(jnp.int32, (seg, ck_w), 1)
-        cseg = Ch_ref[pl.ds(s * seg, seg), :]
-        vseg = jnp.sum(jnp.where(lane == hh, cseg, 0.0), axis=1,
-                       keepdims=True)                 # (seg, 1)
-        acc_ref[:] += jnp.sum(F_ref[:] * vseg, axis=0, keepdims=True)
+        _ah_accumulate(Ch_ref, F_ref, acc_ref, s, h, seg=seg, ck_w=ck_w)
 
     @pl.when(s == n_segs - 1)
     def _emit():
-        hh = lax.rem(h, jnp.int32(128))
-        onehot = (lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-                  == hh).astype(jnp.float32)
-        col = lax.dot_general(onehot, Tcols_ref[:],
-                              (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32,
-                              precision=lax.Precision.HIGHEST)  # (1, TM)
-        ah = col - acc_ref[:]
+        ah = _ah_column(Tcols_ref, h) - acc_ref[:]
         ah_ref[:] = ah
 
         # --- ratio test over this tile ---

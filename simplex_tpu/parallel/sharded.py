@@ -84,6 +84,23 @@ def sharded_padded_dims(n: int, m: int, n_shards: int,
     return r_pad, m_pad
 
 
+def tableau_specs(n: int, m: int, r: int) -> Tableau:
+    """The canonical PartitionSpec pytree for a sharded Tableau: T and
+    costs row-sharded over the 'vars' axis, everything else replicated.
+    Shared by the solver factory, the sharded checkpoint/resume path,
+    and the CPU-mesh tests."""
+    return Tableau(T=P(AXIS, None), b=P(None), costs=P(AXIS), z=P(),
+                   base=P(None), n=n, m=m, r=r)
+
+
+def tableau_shardings(mesh: Mesh, n: int, m: int, r: int) -> Tableau:
+    """tableau_specs with each spec bound to ``mesh`` as a NamedSharding
+    (for device_put / with_sharding_constraint)."""
+    return jax.tree.map(
+        lambda sp: NamedSharding(mesh, sp) if isinstance(sp, P) else sp,
+        tableau_specs(n, m, r), is_leaf=lambda x: isinstance(x, P))
+
+
 def _local_rows(tab: Tableau) -> int:
     return tab.T.shape[0]
 
@@ -927,9 +944,7 @@ def make_sharded_solver(mesh: Mesh, n: int, m: int,
                          else options.resolved_max_iter(n + 2 * m, m))
     kernel = kernel_blocked_sharded_enabled(options, interpret)
 
-    tab_specs = Tableau(
-        T=P(AXIS, None), b=P(None), costs=P(AXIS), z=P(), base=P(None),
-        n=n, m=m, r=n + 2 * m)
+    tab_specs = tableau_specs(n, m, n + 2 * m)
 
     core = jax.shard_map(
         partial(_two_phase_core, options=options,
@@ -950,10 +965,7 @@ def make_sharded_solver(mesh: Mesh, n: int, m: int,
         tab = build_phase1_sharded(A, b, n, m, n_shards, options,
                                    kernel=kernel)
         tab = jax.lax.with_sharding_constraint(
-            tab, jax.tree.map(
-                lambda s: NamedSharding(mesh, s) if isinstance(s, P) else s,
-                tab_specs,
-                is_leaf=lambda x: isinstance(x, P)))
+            tab, tableau_shardings(mesh, n, m, n + 2 * m))
         b_scale = 1.0 + jnp.max(jnp.abs(
             b.astype(jnp.dtype(options.vector_dtype))))
         return core(tab, c.astype(jnp.dtype(options.vector_dtype)),
