@@ -151,8 +151,16 @@ def _colk_kernel(idx_ref,                       # prefetch: [k,live,r,t,h]
                  # outputs (crow slab, chi, clo, six candidate scalars;
                  # with bf also bh/bl/base aliased + v fresh) and the
                  # fold scratch.
-                 tr, seg, n_segs, eps, fk_w, bf):
-    if bf:
+                 tr, seg, n_segs, eps, fk_w, bf, devex):
+    w_ref = w_out = vw_out = None
+    if bf and devex:
+        (Trows_ref, C_ref, Fk_ref, chi_ref, clo_ref, scal_ref,
+         ah_ref, bhi_ref, blo_ref, basev_ref, w_ref,
+         crow_ref, chi_out, clo_out,
+         dval_out, didx_out, dlo_out, bval_out, bidx_out, blo_out,
+         bh_out, bl_out, base_out, v_out, w_out, vw_out,
+         acc_ref, acc_val, acc_idx, acc_lo) = refs
+    elif bf:
         (Trows_ref, C_ref, Fk_ref, chi_ref, clo_ref, scal_ref,
          ah_ref, bhi_ref, blo_ref, basev_ref,
          crow_ref, chi_out, clo_out,
@@ -290,34 +298,65 @@ def _colk_kernel(idx_ref,                       # prefetch: [k,live,r,t,h]
         # The lo parts at the winning indices ride along so the solver
         # never gathers from the cost pair again.
         big = jnp.int32(BIG_INDEX)
+        inf32 = jnp.asarray(jnp.inf, jnp.float32)
         gi = i.astype(jnp.int32) * jnp.int32(tr) + \
             lax.broadcasted_iota(jnp.int32, (1, tr), 1)
-        cm = jnp.where(gi < r, nhi,
-                       jnp.asarray(jnp.inf, jnp.float32))
-        slab_min = jnp.min(cm)
-        slab_idx = jnp.min(jnp.where(cm == slab_min, gi, big))
-        slab_dlo = jnp.sum(jnp.where(gi == slab_idx, nlo, 0.0))
+        cm = jnp.where(gi < r, nhi, inf32)
         eligible = cm <= jnp.asarray(-eps, jnp.float32)
+        if devex:
+            # Devex weight update (Forrest-Goldfarb, riding this tile's
+            # colk): w' = max(w, (colk/p)^2 * w_h), the leaving variable
+            # re-anchored to max(w_h/p^2, 1); then the NEXT candidate is
+            # the eligible column maximizing cost^2 / w'. Framework
+            # resets happen at window boundaries in the solver glue.
+            do_w = scal_ref[0, 2] != jnp.float32(0)
+            pp_w = scal_ref[0, 3]
+            wh = scal_ref[0, 6]
+            lvar = idx_ref[5]
+            alpha = colk / pp_w
+            w2 = jnp.maximum(w_ref[:], alpha * alpha * wh)
+            w2 = jnp.where(gi == lvar,
+                           jnp.maximum(wh / (pp_w * pp_w),
+                                       jnp.float32(1)), w2)
+            w2 = jnp.where(do_w, w2, w_ref[:])
+            w_out[:] = w2
+            key = jnp.where(eligible, (nhi * nhi) / w2,
+                            -inf32)                # maximize
+            slab_key = jnp.max(key)
+            slab_idx = jnp.min(jnp.where(key == slab_key, gi, big))
+            none = slab_idx == big
+            slab_val = jnp.where(
+                none, inf32, jnp.sum(jnp.where(gi == slab_idx, nhi, 0.0)))
+            slab_vw = jnp.sum(jnp.where(gi == slab_idx, w2, 0.0))
+        else:
+            slab_key = -jnp.min(cm)                # fold maximizes key
+            slab_val = jnp.min(cm)
+            slab_idx = jnp.min(jnp.where(cm == slab_val, gi, big))
+            slab_vw = jnp.float32(0)
+        slab_dlo = jnp.sum(jnp.where(gi == slab_idx, nlo, 0.0))
         slab_bidx = jnp.min(jnp.where(eligible, gi, big))
-        slab_bval = jnp.min(jnp.where(gi == slab_bidx, cm,
-                                      jnp.asarray(jnp.inf, jnp.float32)))
+        slab_bval = jnp.min(jnp.where(gi == slab_bidx, cm, inf32))
         slab_blo = jnp.sum(jnp.where(gi == slab_bidx, nlo, 0.0))
 
         @pl.when(i == 0)
         def _first():
-            acc_val[0] = slab_min
+            acc_val[0] = slab_val
+            acc_val[2] = slab_key
             acc_idx[0] = slab_idx
             acc_lo[0] = slab_dlo
+            acc_lo[2] = slab_vw
             acc_val[1] = slab_bval
             acc_idx[1] = slab_bidx
             acc_lo[1] = slab_blo
 
         @pl.when(i > 0)
         def _fold():
-            take = slab_min < acc_val[0]
-            acc_val[0] = jnp.where(take, slab_min, acc_val[0])
+            take = slab_key > acc_val[2]
+            acc_val[0] = jnp.where(take, slab_val, acc_val[0])
+            acc_val[2] = jnp.where(take, slab_key, acc_val[2])
             acc_idx[0] = jnp.where(take, slab_idx, acc_idx[0])
             acc_lo[0] = jnp.where(take, slab_dlo, acc_lo[0])
+            acc_lo[2] = jnp.where(take, slab_vw, acc_lo[2])
             take_b = slab_bidx < acc_idx[1]
             acc_val[1] = jnp.where(take_b, slab_bval, acc_val[1])
             acc_idx[1] = jnp.where(take_b, slab_bidx, acc_idx[1])
@@ -331,6 +370,8 @@ def _colk_kernel(idx_ref,                       # prefetch: [k,live,r,t,h]
             bval_out[0, 0] = acc_val[1]
             bidx_out[0, 0] = acc_idx[1]
             blo_out[0, 0] = acc_lo[1]
+            if devex:
+                vw_out[0, 0] = acc_lo[2]
 
 
 @functools.partial(jax.jit,
@@ -344,7 +385,8 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
                     interpret: bool = False,
                     tile_r: int | None = None,
                     seg_rows: int | None = None,
-                    bf: tuple | None = None):
+                    bf: tuple | None = None,
+                    devex: tuple | None = None):
     """One fused R-side pivot pass.
 
     Args: Tt (M_pad, R_pad) f32 stale transposed tableau; C (L, R_pad)
@@ -368,8 +410,17 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
     emits the eta row v = (ah/p, v[k] = 1 - 1/p) ready for the caller's
     one remaining ``F.at[t].set(v)``.
 
-    Returns (C', chi', clo', h_dantzig, v_dantzig_hi, v_dantzig_lo,
-    h_bland, v_bland_hi, v_bland_lo[, b_hi', b_lo', base', v]): C' is C
+    ``devex`` (optional, requires ``bf``) switches the main entering
+    candidate from the Dantzig argmin to the Devex rule: a tuple
+    (w, w_h, l) with w the (R_pad,) f32 reference-framework weights
+    (updated IN PLACE with this pivot's alpha = colk/p), w_h the
+    entering variable's weight and l the leaving variable's global row.
+    The candidate fold then maximizes cost^2 / w' over eligible columns
+    and two extra outputs ride along: w' and the winner's weight.
+
+    Returns (C', chi', clo', h_cand, v_cand_hi, v_cand_lo,
+    h_bland, v_bland_hi, v_bland_lo[, b_hi', b_lo', base', v]
+    [, w', vw]): C' is C
     with row t written IN PLACE (aliased — the caller's XLA
     ``C.at[t].set`` glue is folded into this pass), the cost pair and
     (with bf) b/base are updated in place, and the candidates over the
@@ -404,8 +455,11 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
     # passes t in [0, L-1]).
     t_row = jnp.clip(t.astype(jnp.int32), 0, L - 1)
     h_i = (bf[4].astype(jnp.int32) if bf is not None else jnp.int32(0))
+    assert devex is None or bf is not None, "devex requires bf"
+    l_i = (devex[2].astype(jnp.int32) if devex is not None
+           else jnp.int32(0))
     idx = jnp.stack([k.astype(jnp.int32), live_segs.astype(jnp.int32),
-                     jnp.asarray(r, jnp.int32), t_row, h_i])
+                     jnp.asarray(r, jnp.int32), t_row, h_i, l_i])
     do_f = (jnp.float32(1) if do is None
             else do.astype(jnp.float32))
     if bf is not None:
@@ -414,8 +468,11 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
         bkl_f = bf[7].astype(jnp.float32)
     else:
         p_f = bkh_f = bkl_f = jnp.float32(0)
+    wh_f = (devex[1].astype(jnp.float32) if devex is not None
+            else jnp.float32(0))
     scal = jnp.stack([u_hi.astype(jnp.float32), u_lo.astype(jnp.float32),
-                      do_f, p_f, bkh_f, bkl_f]).reshape(1, 6)
+                      do_f, p_f, bkh_f, bkl_f, wh_f,
+                      jnp.float32(0)]).reshape(1, 8)
     chi2 = chi.reshape(1, r_pad)
     clo2 = clo.reshape(1, r_pad)
 
@@ -429,7 +486,8 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
 
     kernel = functools.partial(_colk_kernel, tr=tr, seg=seg,
                                n_segs=n_segs, eps=float(eps), fk_w=fk_w,
-                               bf=bf is not None)
+                               bf=bf is not None,
+                               devex=devex is not None)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -459,7 +517,7 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tr), lambda i, s, idx: (_i0(), i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 6), lambda i, s, idx: (_i0(), _i0()),
+            pl.BlockSpec((1, 8), lambda i, s, idx: (_i0(), _i0()),
                          memory_space=pltpu.SMEM),
         ] + ([
             # bf full-lane vectors: ah, b_hi, b_lo, base — pinned, one
@@ -472,7 +530,11 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m_pad), lambda i, s, idx: (_i0(), _i0()),
                          memory_space=pltpu.VMEM),
-        ] if bf is not None else []),
+        ] if bf is not None else []) + ([
+            # devex weights, tiled like the cost pair.
+            pl.BlockSpec((1, tr), lambda i, s, idx: (_i0(), i),
+                         memory_space=pltpu.VMEM),
+        ] if devex is not None else []),
         out_specs=[
             # The 8-row slab of C around row t (Mosaic's minimum output
             # sublane block), written once per R tile at the final
@@ -507,12 +569,17 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m_pad), lambda i, s, idx: (_i0(), _i0()),
                          memory_space=pltpu.VMEM),
-        ] if bf is not None else []),
+        ] if bf is not None else []) + ([
+            pl.BlockSpec((1, tr), lambda i, s, idx: (_i0(), i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, s, idx: (_i0(), _i0()),
+                         memory_space=pltpu.SMEM),
+        ] if devex is not None else []),
         scratch_shapes=[
             pltpu.VMEM((1, tr), jnp.float32),
-            pltpu.SMEM((2,), jnp.float32),
+            pltpu.SMEM((3,), jnp.float32),
             pltpu.SMEM((2,), jnp.int32),
-            pltpu.SMEM((2,), jnp.float32),
+            pltpu.SMEM((3,), jnp.float32),
         ],
     )
 
@@ -545,6 +612,13 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
             jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
         ]
         aliases = {**aliases, 8: 9, 9: 10, 10: 11}
+    if devex is not None:
+        operands += [devex[0].astype(jnp.float32).reshape(1, r_pad)]
+        out_shape += [
+            jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ]
+        aliases = {**aliases, 11: 13}   # w updated in place
 
     outs = pl.pallas_call(
         kernel,
@@ -567,9 +641,13 @@ def colk_costs_pass(Tt: jax.Array, C: jax.Array, F: jax.Array,
                 bidx[0, 0], bval[0, 0], blo[0, 0])
     if bf is None:
         return base_out
-    nbh, nbl, nbase, v = outs[9:]
-    return base_out + (nbh.reshape(m_pad), nbl.reshape(m_pad),
-                       nbase.reshape(m_pad), v.reshape(m_pad))
+    nbh, nbl, nbase, v = outs[9:13]
+    base_out = base_out + (nbh.reshape(m_pad), nbl.reshape(m_pad),
+                           nbase.reshape(m_pad), v.reshape(m_pad))
+    if devex is None:
+        return base_out
+    w2, vw = outs[13:]
+    return base_out + (w2.reshape(r_pad), vw[0, 0])
 
 
 # ---------------------------------------------------------------------------

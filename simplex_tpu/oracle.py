@@ -103,10 +103,14 @@ def _gaussian_eliminate(t: _Tableau) -> None:
     t.z = t.z - t.b @ coeffs
 
 
-def _entering(costs, mask, eps, bland: bool, tie_rule: str = "lowest"):
+def _entering(costs, mask, eps, bland: bool, tie_rule: str = "lowest",
+              weights=None):
     """Entering variable: Dantzig argmin of reduced costs
-    (solver.cu:87, reduction.cu:82-104) or Bland's lowest eligible index.
-    Returns (h, min_cost); h == -1 when optimal (min cost > -eps).
+    (solver.cu:87, reduction.cu:82-104), Bland's lowest eligible index,
+    or — when ``weights`` is given — the Devex rule (largest
+    cost^2 / weight among eligible; Forrest & Goldfarb 1992
+    reference-framework weights). Returns (h, min_cost); h == -1 when
+    optimal (no eligible column).
 
     ``tie_rule='cuda'`` replays the reference GPU's exact eps-tie
     reduction order (utils/cuda_order.py) instead of lowest-index —
@@ -117,6 +121,13 @@ def _entering(costs, mask, eps, bland: bool, tie_rule: str = "lowest"):
         if eligible.size == 0:
             return -1, 0.0
         h = int(eligible[0])
+        return h, float(costs[h])
+    if weights is not None:
+        eligible = masked <= -eps
+        if not eligible.any():
+            return -1, float(masked.min())
+        score = np.where(eligible, masked * masked / weights, -np.inf)
+        h = int(np.argmax(score))      # ties -> lowest index
         return h, float(costs[h])
     if tie_rule == "cuda":
         from .utils.cuda_order import cuda_argmin
@@ -161,9 +172,15 @@ def _solve_loop(t: _Tableau, enter_mask, options: SolverOptions,
     pivots and an iteration fuse (no reference equivalents)."""
     eps = options.eps_resolved
     bland = options.pivot_rule == "bland"
+    devex = options.pivot_rule == "devex"
+    # Devex reference-framework weights (Forrest & Goldfarb 1992), one
+    # per stored variable row, re-initialised to 1 whenever they drift
+    # too far from the reference framework.
+    weights = np.ones(t.costs.shape[0]) if devex else None
     stall = 0
     for it in range(max_iter):
-        h, minc = _entering(t.costs, enter_mask, eps, bland, tie_rule)
+        h, minc = _entering(t.costs, enter_mask, eps, bland, tie_rule,
+                            weights=None if bland else weights)
         if h < 0:
             return Status.OPTIMAL, it
         a_h = t.T[h, :]
@@ -179,8 +196,22 @@ def _solve_loop(t: _Tableau, enter_mask, options: SolverOptions,
                               t.b / np.where(ratio_mask, a_h, 1.0), np.inf)
             k = int(np.argmin(ratios))
         z_before = t.z
+        if devex:
+            # Weight update BEFORE the pivot mutates T: alpha is the
+            # leaving row over all variables (our colk), l the variable
+            # leaving the basis.
+            colk = t.T[:, k]
+            p = a_h[k]
+            l = int(t.base[k])
+            wh = weights[h]
+            alpha = colk / p
+            np.maximum(weights, alpha * alpha * wh, out=weights)
+            if l < weights.shape[0]:
+                weights[l] = max(wh / (p * p), 1.0)
+            if weights.max() > 1e8:    # re-anchor the framework
+                weights[:] = 1.0
         _pivot(t, h, k, minc)
-        if options.pivot_rule == "dantzig" and options.bland_threshold:
+        if options.pivot_rule != "bland" and options.bland_threshold:
             if abs(t.z - z_before) < eps:
                 stall += 1
                 if stall >= options.bland_threshold:

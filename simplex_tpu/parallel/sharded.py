@@ -690,6 +690,13 @@ def run_solve_loop_sharded(tab: Tableau, options: SolverOptions,
                            interpret: bool = False):
     from ..config import EPS_REL_F32, normalize_enabled
 
+    if options.pivot_rule == "devex":
+        raise ValueError(
+            "pivot_rule='devex' is not yet wired through the sharded "
+            "loops (the weights would shard with the costs and the "
+            "candidate fold would carry scores) — use the single-chip "
+            "solver or pivot_rule='dantzig' sharded")
+
     # Scale-aware f32 pricing, as in solver.run_solve_loop (the eps
     # floor at EPS_REL_F32 * cost scale). The scale is a GLOBAL max
     # over the sharded cost vector: local masked max, one all_gather of

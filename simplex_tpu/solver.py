@@ -411,6 +411,8 @@ class BlockedLoopState(NamedTuple):
     costs: jax.Array
     z: jax.Array
     base: jax.Array
+    w: jax.Array             # devex reference weights ((R_pad,), all-ones
+    #                          and untouched under dantzig/bland)
     status: jax.Array
     iterations: jax.Array
     stall: jax.Array
@@ -461,10 +463,12 @@ def solve_loop_blocked(tab: Tableau, options: SolverOptions,
     """
     eps = float(options.eps_resolved)
     bland_static = options.pivot_rule == "bland"
+    devex = options.pivot_rule == "devex"
     threshold = options.bland_threshold
     L = int(options.block_pivots or 1)
     r_pad, m_pad = tab.T.shape
     dtype = tab.T.dtype
+    vdtype = tab.costs.dtype
     row_iota = jnp.arange(r_pad)
     row_mask = row_iota < tab.r
     # Re-price only for drift-prone (narrow-tableau) configs: f64
@@ -484,22 +488,44 @@ def solve_loop_blocked(tab: Tableau, options: SolverOptions,
             return (Ct * w[:, None]).sum(axis=0)
         return jnp.dot(w, Ct, precision=_dot_precision(dtype))
 
-    def entering(costs, bland_flag):
-        """choose_entering on the bare cost vector (same semantics)."""
+    def entering(costs, w, bland_flag):
+        """choose_entering on the bare cost vector (same semantics),
+        with the devex score (cost^2 / weight over eligible columns)
+        replacing the Dantzig argmin when configured."""
         masked = jnp.where(row_mask, costs, jnp.inf)
-        h_dantzig = jnp.argmin(masked)
         eligible = masked <= -eps
+        if devex:
+            score = jnp.where(eligible, masked * masked / w, -jnp.inf)
+            h_main = jnp.argmax(score)
+        else:
+            h_main = jnp.argmin(masked)
         h_bland = jnp.argmin(jnp.where(eligible, row_iota, r_pad))
-        h = jnp.where(bland_flag & eligible.any(), h_bland, h_dantzig)
+        h = jnp.where(bland_flag & eligible.any(), h_bland, h_main)
         h = h.astype(jnp.int32)
         return h, masked[h]
+
+    def devex_update(w, do, colk, p, h, old_base_k):
+        """Forrest-Goldfarb reference-framework weight update: alpha is
+        the leaving row over all variables (colk/p); the leaving
+        variable gets max(w_h / p^2, 1); re-anchor to all-ones when the
+        framework drifts beyond 1e8."""
+        wh = w[h]
+        alpha = (colk / p).astype(w.dtype)
+        w2 = jnp.maximum(w, alpha * alpha * wh)
+        lv = jnp.minimum(old_base_k, r_pad - 1)
+        w2 = w2.at[lv].set(jnp.where(old_base_k < r_pad,
+                                     jnp.maximum(wh / (p * p).astype(
+                                         w.dtype), 1.0),
+                                     w2[lv]))
+        w2 = jnp.where(jnp.max(w2) > 1e8, jnp.ones_like(w2), w2)
+        return jnp.where(do, w2, w)
 
     def inner(t, carry):
         """One pivot against the virtual tableau; no-op once finished."""
         C, F, s = carry
         active = s.status == int(Status.RUNNING)
 
-        h, minc = entering(s.costs, s.bland)
+        h, minc = entering(s.costs, s.w, s.bland)
         optimal = minc > -eps
 
         a_h = s.Tt[:, h] - corr_vec(F, C[:, h])
@@ -522,6 +548,9 @@ def solve_loop_blocked(tab: Tableau, options: SolverOptions,
                        s.b)
         base2 = jnp.where(do, s.base.at[k].set(h.astype(s.base.dtype)),
                           s.base)
+        w2 = (devex_update(s.w, do, colk, p, h,
+                           s.base[k].astype(jnp.int32))
+              if devex else s.w)
 
         v = (a_h / p).at[k].set(1.0 - 1.0 / p)             # eta row
         C2 = C.at[t, :].set(jnp.where(do, colk, jnp.zeros_like(colk)))
@@ -540,7 +569,7 @@ def solve_loop_blocked(tab: Tableau, options: SolverOptions,
             bland_static=bland_static, threshold=threshold)
 
         return (C2, F2, BlockedLoopState(
-            s.Tt, b2, costs2, z2, base2, status,
+            s.Tt, b2, costs2, z2, base2, w2, status,
             s.iterations + do.astype(jnp.int32), stall, bland))
 
     def outer(s: BlockedLoopState):
@@ -575,6 +604,7 @@ def solve_loop_blocked(tab: Tableau, options: SolverOptions,
 
     init = BlockedLoopState(
         tab.T.T, tab.b, tab.costs, tab.z, tab.base,
+        jnp.ones((r_pad,), vdtype),
         jnp.asarray(int(Status.RUNNING), jnp.int32),
         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
         jnp.asarray(bland_static))
@@ -605,12 +635,14 @@ class BlockedKernelState(NamedTuple):
     iterations: jax.Array
     stall: jax.Array
     bland: jax.Array
-    h_d: jax.Array     # Dantzig candidate over current costs
+    h_d: jax.Array     # main candidate (Dantzig argmin / devex argmax)
     h_b: jax.Array     # Bland candidate (BIG_INDEX if none eligible)
     vd_hi: jax.Array   # reduced cost at h_d, double-f32 pair
     vd_lo: jax.Array
     vb_hi: jax.Array   # reduced cost at h_b (inf when none eligible)
     vb_lo: jax.Array
+    w: jax.Array       # devex weights ((R_pad,) f32; all-ones + untouched
+    #                    under dantzig/bland)
     windows: jax.Array  # outer-loop count (absolute device-time bound)
 
 
@@ -642,6 +674,7 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
 
     eps = float(options.eps_resolved)
     bland_static = options.pivot_rule == "bland"
+    devex = options.pivot_rule == "devex"
     threshold = options.bland_threshold
     L = int(options.block_pivots or 1)
     r_pad, m_pad = tab.T.shape
@@ -651,22 +684,35 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
     row_iota = jnp.arange(r_pad)
     row_mask = row_iota < tab.r
 
-    def xla_candidates(chi, clo):
+    def xla_candidates(chi, clo, w):
         """(h_d, vd pair, h_b, vb pair) over a (hi, lo) cost pair — used
         at init and after each window's exact re-pricing (same
         lowest-index tie rule as the kernel's folded reductions; the
         argmin compares the full round-tripped view, which for
-        normalized pairs orders identically to (hi, then lo))."""
+        normalized pairs orders identically to (hi, then lo)). Under
+        devex the main candidate maximizes cost^2 / w over eligible
+        columns instead; an all-ineligible vector yields an inf value
+        pair (the loop's optimality signal) either way."""
         view = ff32_to_f64(chi, clo, vdtype)
         masked = jnp.where(row_mask, view, jnp.inf)
-        h_d = jnp.argmin(masked).astype(jnp.int32)
         eligible = masked <= -eps
+        inf32 = jnp.float32(jnp.inf)
+        if devex:
+            score = jnp.where(eligible,
+                              masked * masked / w.astype(vdtype),
+                              -jnp.inf)
+            h_d = jnp.argmax(score).astype(jnp.int32)
+            none_d = ~eligible.any()
+            vd_hi = jnp.where(none_d, inf32, chi[h_d])
+            vd_lo = jnp.where(none_d, jnp.float32(0), clo[h_d])
+        else:
+            h_d = jnp.argmin(masked).astype(jnp.int32)
+            vd_hi, vd_lo = chi[h_d], clo[h_d]
         h_b = jnp.min(jnp.where(eligible, row_iota,
                                 BIG_INDEX)).astype(jnp.int32)
         hb_safe = jnp.minimum(h_b, r_pad - 1)
         none = h_b >= BIG_INDEX
-        inf32 = jnp.float32(jnp.inf)
-        return (h_d, chi[h_d], clo[h_d], h_b,
+        return (h_d, vd_hi, vd_lo, h_b,
                 jnp.where(none, inf32, chi[hb_safe]),
                 jnp.where(none, jnp.float32(0), clo[hb_safe]))
 
@@ -703,13 +749,18 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
         p32s = jnp.where(do, p32, jnp.float32(1))
         u = jnp.where(do, minc / p, jnp.zeros_like(minc))
         u_hi, u_lo = ff32_from_f64(u)
-        # R-side pass, with the b/base/eta-row glue folded in (bf).
-        (C2, chi2, clo2, h_d, vd_hi, vd_lo, h_b, vb_hi, vb_lo,
-         bhi2, blo2, base2, v) = colk_costs_pass(
+        # R-side pass, with the b/base/eta-row glue folded in (bf) and
+        # (under devex) the weight update + score-based candidate fold.
+        devex_args = ((s.w, s.w[h_safe], s.base[k].astype(jnp.int32))
+                      if devex else None)
+        outs = colk_costs_pass(
             s.Tt, C, F, s.chi, s.clo, k, t.astype(jnp.int32),
             u_hi, u_lo, r=tab.r, eps=eps, do=do,
             bf=(a_h32, s.bhi, s.blo, s.base, h, p32s, bk_hi, bk_lo),
-            interpret=interpret)
+            devex=devex_args, interpret=interpret)
+        (C2, chi2, clo2, h_d, vd_hi, vd_lo, h_b, vb_hi, vb_lo,
+         bhi2, blo2, base2, v) = outs[:13]
+        w2 = outs[13] if devex else s.w
 
         bk = ff32_to_f64(bk_hi, bk_lo, vdtype)
         z2 = jnp.where(do, s.z - u * bk, s.z)
@@ -730,7 +781,7 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
         return (C2, F2, BlockedKernelState(
             s.Tt, bhi2, blo2, chi2, clo2, z2, base2, status,
             s.iterations + do.astype(jnp.int32), stall, bland, h_d, h_b,
-            vd_hi, vd_lo, vb_hi, vb_lo, s.windows))
+            vd_hi, vd_lo, vb_hi, vb_lo, w2, s.windows))
 
     reprice_every = max(1, int(options.reprice_every))
 
@@ -738,6 +789,12 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
         C = jnp.zeros((L, r_pad), dtype)
         F = jnp.zeros((L, m_pad), dtype)
         C, F, s = lax.fori_loop(0, L, inner, (C, F, s))
+        if devex:
+            # Re-anchor the devex reference framework once per window
+            # when the weights drift too far (the oracle does this per
+            # pivot; a window's extra drift is bounded by L updates).
+            s = s._replace(w=jnp.where(jnp.max(s.w) > 1e8,
+                                       jnp.ones_like(s.w), s.w))
         if costs0 is None:
             Tt2 = apply_window_pass(s.Tt, C, F, interpret=interpret)
             s = s._replace(Tt=Tt2)
@@ -783,8 +840,8 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
             premature = (s.status == int(Status.OPTIMAL)) & (vmin <= -eps)
             status = jnp.where(do_r & premature, int(Status.RUNNING),
                                s.status).astype(jnp.int32)
-            h_d, vd_hi, vd_lo, h_b, vb_hi, vb_lo = xla_candidates(chi,
-                                                                  clo)
+            h_d, vd_hi, vd_lo, h_b, vb_hi, vb_lo = xla_candidates(
+                chi, clo, s.w)
             # On a skipped reprice the mv pair is zeros — keep the
             # in-window pair and candidates (still current).
             s = s._replace(
@@ -810,14 +867,15 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
 
     chi0, clo0 = ff32_from_f64(tab.costs)
     bhi0, blo0 = ff32_from_f64(tab.b)
-    h_d0, vd_hi0, vd_lo0, h_b0, vb_hi0, vb_lo0 = xla_candidates(chi0,
-                                                                clo0)
+    w0 = jnp.ones((r_pad,), jnp.float32)
+    h_d0, vd_hi0, vd_lo0, h_b0, vb_hi0, vb_lo0 = xla_candidates(
+        chi0, clo0, w0)
     init = BlockedKernelState(
         tab.T.T, bhi0, blo0, chi0, clo0, tab.z, tab.base,
         jnp.asarray(int(Status.RUNNING), jnp.int32),
         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
         jnp.asarray(bland_static), h_d0, h_b0, vd_hi0, vd_lo0, vb_hi0,
-        vb_lo0, jnp.zeros((), jnp.int32))
+        vb_lo0, w0, jnp.zeros((), jnp.int32))
     final = lax.while_loop(cond, outer, init)
     costs_out = ff32_to_f64(final.chi, final.clo, vdtype)
     b_out = ff32_to_f64(final.bhi, final.blo, vdtype)
@@ -870,6 +928,14 @@ def run_solve_loop(tab: Tableau, options: SolverOptions, max_iter: int,
     pricing/improvement discipline is affected."""
     from .config import (EPS_REL_F32, kernel_blocked_enabled,
                          normalize_enabled)
+
+    if (options.pivot_rule == "devex"
+            and not (options.block_pivots
+                     and int(options.block_pivots) > 1)):
+        raise ValueError(
+            "pivot_rule='devex' requires block_pivots > 1 (the deferred "
+            "block-pivot loops carry the devex weights); the sequential "
+            "reference loop prices with Dantzig/Bland only")
 
     scale = None
     if normalize_enabled(options):

@@ -148,6 +148,11 @@ def _run_solve(tab, options, max_iter, chrono, rows_csv, per_iteration,
         chrono.row(rows_csv, tab.m, "solveIterations", total / 1e6)
         return tab, status_i, total
 
+    if options.pivot_rule == "devex":
+        raise ValueError(
+            "per-iteration timing drives the single-pivot reference "
+            "loop, which prices with Dantzig/Bland only (devex lives in "
+            "the blocked loops)")
     if options.block_pivots and int(options.block_pivots) > 1:
         # The per-iteration driver steps the SINGLE-PIVOT reference loop
         # (one CSV row per pivot, reference solver.cu:84-123); deferred

@@ -509,3 +509,68 @@ class TestKernelLoopEndToEnd:
             colk_costs_pass(Tt, C, F, chi, clo, jnp.int32(0),
                             jnp.int32(0), jnp.float32(0), jnp.float32(0),
                             r=128, eps=1e-6, interpret=True)
+
+
+class TestDevex:
+    """Devex pricing (pivot_rule='devex', Forrest-Goldfarb reference
+    weights) through the XLA blocked loop and the fused kernel loop:
+    fewer pivots than Dantzig, same optimum as the oracle."""
+
+    def test_oracle_devex_fewer_pivots_same_optimum(self):
+        p = generate_random_problem(256, 96, 5, 1, 100)
+        a = solve_oracle(p)
+        d = solve_oracle(p, SolverOptions(pivot_rule="devex"))
+        assert a.status == d.status == Status.OPTIMAL
+        assert d.objective == pytest.approx(a.objective, rel=1e-9)
+        assert (d.iterations_phase1 + d.iterations_phase2
+                < a.iterations_phase1 + a.iterations_phase2)
+
+    def test_xla_blocked_devex_matches_oracle_walk(self):
+        """f64 XLA blocked loop with devex: same pivot counts as the
+        oracle's devex walk (both price on exact arithmetic with
+        lowest-index ties) and the oracle optimum."""
+        from simplex_tpu import solve
+
+        p = generate_random_problem(96, 40, 5, 1, 100)
+        want = solve_oracle(p, SolverOptions(pivot_rule="devex"))
+        got = solve(p, SolverOptions(pivot_rule="devex", block_pivots=8))
+        assert got.status == want.status == Status.OPTIMAL
+        assert got.iterations_phase1 == want.iterations_phase1
+        assert got.iterations_phase2 == want.iterations_phase2
+        assert got.objective == pytest.approx(want.objective, rel=1e-9)
+
+    def test_kernel_loop_devex_matches_oracle(self):
+        """Fused kernel loop (interpret) with devex: oracle optimum and
+        a pivot count in the devex regime (well under Dantzig's)."""
+        from simplex_tpu.tableau import phase1_objective
+
+        opt = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                            eps=1e-5, block_pivots=8,
+                            pivot_rule="devex")
+        n, m = 96, 24
+        p = generate_random_problem(n, m, 11, 1, 100)
+        dims = (round_up(n + 2 * m, 128), round_up(m, 128))
+        tab = build_phase1(jnp.asarray(p.A), jnp.asarray(p.b), n, m, opt,
+                           dims=dims)
+        costs0 = tab.costs
+        tab = gaussian_eliminate(tab)
+        got_tab, got_status, got_iters = solve_loop_blocked_kernel(
+            tab, opt, 2000, costs0, interpret=True)
+        want_tab, want_status, want_iters = solve_loop_blocked(
+            tab, opt, 2000, costs0)
+        dant_tab, dant_status, dant_iters = solve_loop_blocked(
+            tab, dataclasses.replace(opt, pivot_rule="dantzig"), 2000,
+            costs0)
+        assert int(got_status) == int(want_status) == int(Status.OPTIMAL)
+        assert float(phase1_objective(got_tab)) > -1e-4
+        # kernel and XLA devex agree closely; both beat Dantzig's count
+        assert abs(int(got_iters) - int(want_iters)) <= max(
+            3, int(want_iters) // 10)
+        assert int(got_iters) < int(dant_iters)
+
+    def test_devex_requires_blocked(self):
+        from simplex_tpu import solve
+
+        p = generate_random_problem(16, 8, 1, 1, 100)
+        with pytest.raises(ValueError, match="devex"):
+            solve(p, SolverOptions(pivot_rule="devex"))

@@ -238,3 +238,16 @@ def test_cli_sharded_checkpoint_survives_kill9(tmp_path):
             if l.startswith("Optimal value:")][0]
     got = float(line.split(":")[1])
     assert got == pytest.approx(want.objective, rel=1e-6)
+
+
+def test_cli_devex(tmp_path, capsys):
+    from simplex_tpu.problem import write_seed_file
+
+    seed_file = tmp_path / "seed.txt"
+    write_seed_file(seed_file, 40, 16, 3, 1.0, 100.0)
+    rc = main(["-rf", str(seed_file), "--block", "8",
+               "--pivot-rule", "devex", "--dtype", "float64",
+               "--data-dir", str(tmp_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Problem solved!" in out
