@@ -318,6 +318,14 @@ def _colk_kernel(idx_ref,                       # prefetch: [k,live,r,t,h]
             w2 = jnp.where(gi == lvar,
                            jnp.maximum(wh / (pp_w * pp_w),
                                        jnp.float32(1)), w2)
+            # Cap each update: within a 128-pivot window alpha^2 * w_h
+            # can overflow f32 to inf and then NaN (inf * 0), which
+            # poisons the score argmax into picking INELIGIBLE rows and
+            # spins the premature-reopen cycle for thousands of windows
+            # (observed at 2048x256 phase 2). The window-boundary 1e8
+            # reset cannot catch mid-window overflow; this can.
+            w2 = jnp.minimum(w2, jnp.float32(1e12))
+            w2 = jnp.where(w2 == w2, w2, jnp.float32(1))   # NaN -> 1
             w2 = jnp.where(do_w, w2, w_ref[:])
             w_out[:] = w2
             key = jnp.where(eligible, (nhi * nhi) / w2,

@@ -208,6 +208,8 @@ def _solve_loop(t: _Tableau, enter_mask, options: SolverOptions,
             np.maximum(weights, alpha * alpha * wh, out=weights)
             if l < weights.shape[0]:
                 weights[l] = max(wh / (p * p), 1.0)
+            np.minimum(weights, 1e12, out=weights)   # overflow cap
+            weights[np.isnan(weights)] = 1.0
             if weights.max() > 1e8:    # re-anchor the framework
                 weights[:] = 1.0
         _pivot(t, h, k, minc)

@@ -517,6 +517,11 @@ def solve_loop_blocked(tab: Tableau, options: SolverOptions,
                                      jnp.maximum(wh / (p * p).astype(
                                          w.dtype), 1.0),
                                      w2[lv]))
+        # Per-update cap + NaN guard (see kernels/blocked.py: overflow
+        # to inf then inf*0=NaN poisons the score argmax), then the
+        # framework re-anchor.
+        w2 = jnp.minimum(w2, 1e12)
+        w2 = jnp.where(jnp.isnan(w2), jnp.ones_like(w2), w2)
         w2 = jnp.where(jnp.max(w2) > 1e8, jnp.ones_like(w2), w2)
         return jnp.where(do, w2, w)
 
