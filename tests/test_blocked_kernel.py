@@ -574,3 +574,28 @@ class TestDevex:
         p = generate_random_problem(16, 8, 1, 1, 100)
         with pytest.raises(ValueError, match="devex"):
             solve(p, SolverOptions(pivot_rule="devex"))
+
+    def test_weight_update_overflow_capped(self):
+        """The in-kernel weight update must cap at 1e12 and never emit
+        NaN even when alpha^2 * w_h overflows f32 (the 2048x256 sweep
+        pathology: inf then inf*0=NaN poisoned the score argmax)."""
+        m_pad, r_pad, L = 16, 256, 8
+        Tt = _rand((m_pad, r_pad), 0) * 1e18   # huge colk values
+        C = jnp.zeros((L, r_pad), jnp.float32)
+        F = jnp.zeros((L, m_pad), jnp.float32)
+        chi, clo = ff32_from_f64(jnp.zeros(r_pad))
+        bf = (jnp.zeros((m_pad,), jnp.float32),          # ah
+              jnp.zeros((m_pad,), jnp.float32),          # b hi
+              jnp.zeros((m_pad,), jnp.float32),          # b lo
+              jnp.zeros((m_pad,), jnp.int32),            # base
+              jnp.int32(0), jnp.float32(1e-4),           # h, p (tiny)
+              jnp.float32(0), jnp.float32(0))            # bk pair
+        w = jnp.full((r_pad,), 1e8, jnp.float32)
+        outs = colk_costs_pass(
+            Tt, C, F, chi, clo, jnp.int32(3), jnp.int32(0),
+            jnp.float32(0), jnp.float32(0), r=r_pad, eps=1e-6,
+            do=jnp.asarray(True), bf=bf,
+            devex=(w, jnp.float32(1e8), jnp.int32(5)), interpret=True)
+        w2 = np.asarray(outs[13])
+        assert np.isfinite(w2).all(), "NaN/inf leaked into the weights"
+        assert w2.max() <= 1e12 + 1
