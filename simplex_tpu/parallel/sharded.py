@@ -431,6 +431,8 @@ class BlockedKernelShardedState(NamedTuple):
     vd_lo: jax.Array
     vb_hi: jax.Array    # reduced cost at h_b (inf when none eligible)
     vb_lo: jax.Array
+    w: jax.Array        # devex weights, LOCAL slice (R_loc,) f32
+    vw: jax.Array       # devex weight of the current h_d (replicated)
     windows: jax.Array
 
 
@@ -463,6 +465,7 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
 
     eps = float(options.eps_resolved)
     bland_static = options.pivot_rule == "bland"
+    devex = options.pivot_rule == "devex"
     threshold = options.bland_threshold
     L = int(options.block_pivots or 1)
     R_loc, m_pad = tab.T.shape
@@ -475,7 +478,7 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
         return (lax.axis_index(AXIS) * R_loc).astype(jnp.int32)
 
     def fold_candidates(vd_hi, vd_lo, vb_hi, vb_lo, lh_d, lh_b, offset,
-                        exact: bool):
+                        exact: bool, extra=None):
         """Global (h_d, vd pair, h_b, vb pair) from each shard's local
         candidates (ties -> lowest global index; contiguous shard blocks
         keep the order global). The candidate VALUES ride the same fold,
@@ -490,22 +493,38 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
         different pivot walks sharded vs unsharded."""
         gd = jnp.where(lh_d >= big, big, offset + lh_d).astype(jnp.int32)
         gb = jnp.where(lh_b >= big, big, offset + lh_b).astype(jnp.int32)
-        # All four f32 values ride ONE gather and both int32 candidates
+        # All the f32 values ride ONE gather and both int32 candidates
         # another — two all_gathers per fold, as in round 2 (and XLA's
-        # collective combiner may merge them further).
-        vals = lax.all_gather(jnp.stack([vd_hi, vd_lo, vb_hi, vb_lo]),
-                              AXIS)                        # (P, 4)
-        idxs = lax.all_gather(jnp.stack([gd, gb]), AXIS)   # (P, 2)
-        if exact:
-            key = ff32_to_f64(vals[:, 0], vals[:, 1], vdtype)
+        # collective combiner may merge them further). Under devex the
+        # shard's winning SCORE and its weight ride the same gather: the
+        # main candidate is then the score argmax (the devex rule)
+        # instead of the cost argmin.
+        if devex:
+            key_l, vw_l = extra
+            vals = lax.all_gather(
+                jnp.stack([vd_hi, vd_lo, vb_hi, vb_lo, key_l, vw_l]),
+                AXIS)                                      # (P, 6)
         else:
-            key = vals[:, 0]
-        gmin = jnp.min(key)
-        h_d = jnp.min(jnp.where(key == gmin, idxs[:, 0],
-                                big)).astype(jnp.int32)
+            vals = lax.all_gather(jnp.stack([vd_hi, vd_lo, vb_hi,
+                                             vb_lo]), AXIS)   # (P, 4)
+        idxs = lax.all_gather(jnp.stack([gd, gb]), AXIS)   # (P, 2)
+        if devex:
+            kmax = jnp.max(vals[:, 4])
+            h_d = jnp.min(jnp.where(vals[:, 4] == kmax, idxs[:, 0],
+                                    big)).astype(jnp.int32)
+        else:
+            if exact:
+                key = ff32_to_f64(vals[:, 0], vals[:, 1], vdtype)
+            else:
+                key = vals[:, 0]
+            gmin = jnp.min(key)
+            h_d = jnp.min(jnp.where(key == gmin, idxs[:, 0],
+                                    big)).astype(jnp.int32)
         at_d = idxs[:, 0] == h_d           # global indices are unique
         d_hi = jnp.sum(jnp.where(at_d, vals[:, 0], 0.0))
         d_lo = jnp.sum(jnp.where(at_d, vals[:, 1], 0.0))
+        vw_g = (jnp.sum(jnp.where(at_d, vals[:, 5], 0.0)) if devex
+                else jnp.float32(1))
         h_b = jnp.min(idxs[:, 1]).astype(jnp.int32)
         none_b = h_b >= big
         at_b = idxs[:, 1] == h_b
@@ -513,26 +532,35 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
                          jnp.sum(jnp.where(at_b, vals[:, 2], 0.0)))
         b_lo = jnp.where(none_b, jnp.float32(0),
                          jnp.sum(jnp.where(at_b, vals[:, 3], 0.0)))
-        return h_d, d_hi, d_lo, h_b, b_hi, b_lo
+        return h_d, d_hi, d_lo, h_b, b_hi, b_lo, vw_g
 
-    def local_candidates(chi, clo, gmask):
+    def local_candidates(chi, clo, gmask, w=None):
         """Post-repricing candidates from the exact local cost pair
         (the sharded mirror of the single-chip xla_candidates): masked
         rows carry (inf, 0) so a fully-padded shard can never win the
-        fold."""
+        fold. Under devex (w given) the main candidate is the local
+        score argmax and the shard's (key, weight) ride along for the
+        cross-shard fold."""
         mchi = jnp.where(gmask, chi, jnp.float32(jnp.inf))
         mclo = jnp.where(gmask, clo, jnp.float32(0))
         view = ff32_to_f64(mchi, mclo, vdtype)
-        lh_d = jnp.argmin(view).astype(jnp.int32)
         iota = jnp.arange(R_loc, dtype=jnp.int32)
         eligible = view <= -eps
+        extra = None
+        if devex:
+            score = jnp.where(eligible,
+                              (view * view) / w.astype(vdtype), -jnp.inf)
+            lh_d = jnp.argmax(score).astype(jnp.int32)
+            extra = (score[lh_d].astype(jnp.float32), w[lh_d])
+        else:
+            lh_d = jnp.argmin(view).astype(jnp.int32)
         lh_b = jnp.min(jnp.where(eligible, iota, big)).astype(jnp.int32)
         lb_safe = jnp.minimum(lh_b, R_loc - 1)
         none_b = lh_b >= big
         return (mchi[lh_d], mclo[lh_d],
                 jnp.where(none_b, jnp.float32(jnp.inf), mchi[lb_safe]),
                 jnp.where(none_b, jnp.float32(0), mclo[lb_safe]),
-                lh_d, lh_b)
+                lh_d, lh_b, extra)
 
     def inner(t, carry):
         C, F, s = carry
@@ -567,13 +595,46 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
         u = jnp.where(do, minc / p, jnp.zeros_like(minc))
         u_hi, u_lo = ff32_from_f64(u)
         r_lim = jnp.clip(jnp.int32(tab.r) - offset, 0, R_loc)
-        C2, chi2, clo2, lh_d, lvd_hi, lvd_lo, lh_b, lvb_hi, lvb_lo = \
-            colk_costs_pass(
-                s.Tt, C, F, s.chi, s.clo, k, t.astype(jnp.int32),
-                u_hi, u_lo, r=r_lim, eps=eps, do=do, interpret=interpret)
-        h_d, vd_hi, vd_lo, h_b, vb_hi, vb_lo = fold_candidates(
+        outs = colk_costs_pass(
+            s.Tt, C, F, s.chi, s.clo, k, t.astype(jnp.int32),
+            u_hi, u_lo, r=r_lim, eps=eps, do=do, interpret=interpret)
+        C2, chi2, clo2, lh_d, lvd_hi, lvd_lo, lh_b, lvb_hi, lvb_lo = outs
+        if devex:
+            # Devex on the sharded path (XLA stage — the sharded loop
+            # does not use the kernel's bf/devex stages, because b and
+            # base stay replicated here): update the LOCAL weight slice
+            # from the live leaving row (C2's row t, gated to zeros on a
+            # skipped pivot) and re-derive the local main candidate as
+            # the score argmax over the updated costs; the kernel's
+            # Dantzig candidate is ignored, its Bland fold reused.
+            p32s = jnp.where(do, p_raw.astype(jnp.float32),
+                             jnp.float32(1))
+            colk32 = C2[jnp.clip(t.astype(jnp.int32), 0, L - 1)]
+            l_loc = s.base[k].astype(jnp.int32) - offset
+            gi_loc = jnp.arange(R_loc, dtype=jnp.int32)
+            wh = s.vw
+            alpha = colk32 / p32s
+            w2 = jnp.maximum(s.w, alpha * alpha * wh)
+            w2 = jnp.where(gi_loc == l_loc,
+                           jnp.maximum(wh / (p32s * p32s),
+                                       jnp.float32(1)), w2)
+            w2 = jnp.minimum(w2, jnp.float32(1e12))   # overflow cap
+            w2 = jnp.where(w2 == w2, w2, jnp.float32(1))   # NaN -> 1
+            w2 = jnp.where(do, w2, s.w)
+            eps32 = jnp.float32(eps)
+            gmask_l = (offset + gi_loc) < jnp.int32(tab.r)
+            eligible_l = (chi2 <= -eps32) & gmask_l
+            score_l = jnp.where(eligible_l, (chi2 * chi2) / w2,
+                                -jnp.float32(jnp.inf))
+            lh_d = jnp.argmax(score_l).astype(jnp.int32)
+            lvd_hi = chi2[lh_d]
+            lvd_lo = clo2[lh_d]
+            extra = (score_l[lh_d], w2[lh_d])
+        else:
+            w2, extra = s.w, None
+        h_d, vd_hi, vd_lo, h_b, vb_hi, vb_lo, vw_g = fold_candidates(
             lvd_hi, lvd_lo, lvb_hi, lvb_lo, lh_d, lh_b, offset,
-            exact=False)
+            exact=False, extra=extra)
 
         bk = s.b[k]
         z2 = jnp.where(do, s.z - u * bk, s.z)
@@ -601,7 +662,7 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
         return (C2, F2, BlockedKernelShardedState(
             s.Tt, b2, chi2, clo2, z2, base2, status,
             s.iterations + do.astype(jnp.int32), stall, bland, h_d, h_b,
-            vd_hi, vd_lo, vb_hi, vb_lo, s.windows))
+            vd_hi, vd_lo, vb_hi, vb_lo, w2, vw_g, s.windows))
 
     reprice_every = max(1, int(options.reprice_every))
 
@@ -609,6 +670,13 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
         C = jnp.zeros((L, R_loc), dtype)
         F = jnp.zeros((L, m_pad), dtype)
         C, F, s = lax.fori_loop(0, L, inner, (C, F, s))
+        if devex:
+            # Window-boundary framework re-anchor, GLOBAL over the
+            # sharded weights (one scalar gather per window, devex only).
+            lwmax = jnp.max(s.w)
+            wmax = jnp.max(lax.all_gather(lwmax, AXIS))
+            s = s._replace(w=jnp.where(wmax > 1e8, jnp.ones_like(s.w),
+                                       s.w))
         if costs0 is None:
             Tt2 = apply_window_pass(s.Tt, C, F, interpret=interpret)
             s = s._replace(Tt=Tt2)
@@ -643,11 +711,11 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
             premature = (s.status == int(Status.OPTIMAL)) & (vmin <= -eps)
             status = jnp.where(do_r & premature, int(Status.RUNNING),
                                s.status).astype(jnp.int32)
-            lvd_hi, lvd_lo, lvb_hi, lvb_lo, lh_d, lh_b = local_candidates(
-                chi, clo, gmask)
-            h_d, vd_hi, vd_lo, h_b, vb_hi, vb_lo = fold_candidates(
+            (lvd_hi, lvd_lo, lvb_hi, lvb_lo, lh_d, lh_b,
+             extra) = local_candidates(chi, clo, gmask, s.w)
+            h_d, vd_hi, vd_lo, h_b, vb_hi, vb_lo, vw_g = fold_candidates(
                 lvd_hi, lvd_lo, lvb_hi, lvb_lo, lh_d, lh_b, offset,
-                exact=True)
+                exact=True, extra=extra)
             s = s._replace(
                 chi=jnp.where(do_r, chi, s.chi),
                 clo=jnp.where(do_r, clo, s.clo),
@@ -657,7 +725,8 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
                 vd_hi=jnp.where(do_r, vd_hi, s.vd_hi),
                 vd_lo=jnp.where(do_r, vd_lo, s.vd_lo),
                 vb_hi=jnp.where(do_r, vb_hi, s.vb_hi),
-                vb_lo=jnp.where(do_r, vb_lo, s.vb_lo))
+                vb_lo=jnp.where(do_r, vb_lo, s.vb_lo),
+                vw=jnp.where(do_r, vw_g, s.vw))
         return s._replace(windows=s.windows + 1)
 
     def cond(s: BlockedKernelShardedState):
@@ -666,17 +735,19 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
                 & (s.iterations < max_iter) & (s.windows < max_iter))
 
     chi0, clo0 = ff32_from_f64(tab.costs)
-    lvd_hi0, lvd_lo0, lvb_hi0, lvb_lo0, lh_d0, lh_b0 = local_candidates(
-        chi0, clo0, _local_row_mask(tab))
-    h_d0, vd_hi0, vd_lo0, h_b0, vb_hi0, vb_lo0 = fold_candidates(
+    w0 = jnp.ones((R_loc,), jnp.float32)
+    (lvd_hi0, lvd_lo0, lvb_hi0, lvb_lo0, lh_d0, lh_b0,
+     extra0) = local_candidates(chi0, clo0, _local_row_mask(tab), w0)
+    h_d0, vd_hi0, vd_lo0, h_b0, vb_hi0, vb_lo0, vw0 = fold_candidates(
         lvd_hi0, lvd_lo0, lvb_hi0, lvb_lo0, lh_d0, lh_b0,
-        _global_row_offset(tab).astype(jnp.int32), exact=True)
+        _global_row_offset(tab).astype(jnp.int32), exact=True,
+        extra=extra0)
     init = BlockedKernelShardedState(
         tab.T.T, tab.b, chi0, clo0, tab.z, tab.base,
         jnp.asarray(int(Status.RUNNING), jnp.int32),
         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
         jnp.asarray(bland_static), h_d0, h_b0, vd_hi0, vd_lo0, vb_hi0,
-        vb_lo0, jnp.zeros((), jnp.int32))
+        vb_lo0, w0, vw0, jnp.zeros((), jnp.int32))
     final = lax.while_loop(cond, outer, init)
     costs_out = ff32_to_f64(final.chi, final.clo, vdtype)
     out_tab = dataclasses.replace(
@@ -689,13 +760,6 @@ def run_solve_loop_sharded(tab: Tableau, options: SolverOptions,
                            max_iter: int, costs0=None,
                            interpret: bool = False):
     from ..config import EPS_REL_F32, normalize_enabled
-
-    if options.pivot_rule == "devex":
-        raise ValueError(
-            "pivot_rule='devex' is not yet wired through the sharded "
-            "loops (the weights would shard with the costs and the "
-            "candidate fold would carry scores) — use the single-chip "
-            "solver or pivot_rule='dantzig' sharded")
 
     # Scale-aware f32 pricing, as in solver.run_solve_loop (the eps
     # floor at EPS_REL_F32 * cost scale). The scale is a GLOBAL max
@@ -715,19 +779,25 @@ def run_solve_loop_sharded(tab: Tableau, options: SolverOptions,
         if costs0 is not None:
             costs0 = costs0 / scale
 
-    if options.block_pivots and int(options.block_pivots) > 1:
-        L = int(options.block_pivots)
-        if (kernel_blocked_sharded_enabled(options, interpret)
-                and tab.T.shape[0] % 128 == 0
-                and L % min(32, L) == 0
-                # the kernels' 8-row C-slab write needs an 8-aligned L
-                # (kernels/blocked.py colk_costs_pass); odd L falls back
-                and (L < 8 or L % 8 == 0)):
-            out = solve_loop_blocked_kernel_sharded(
-                tab, options, max_iter, costs0, interpret)
-        else:
-            out = solve_loop_blocked_sharded(tab, options, max_iter,
-                                             costs0)
+    L = int(options.block_pivots or 1)
+    kernel_path = (L > 1
+                   and kernel_blocked_sharded_enabled(options, interpret)
+                   and tab.T.shape[0] % 128 == 0
+                   and L % min(32, L) == 0
+                   # the kernels' 8-row C-slab write needs an 8-aligned
+                   # L (kernels/blocked.py colk_costs_pass)
+                   and (L < 8 or L % 8 == 0))
+    if options.pivot_rule == "devex" and not kernel_path:
+        raise ValueError(
+            "sharded pivot_rule='devex' runs on the fused-kernel "
+            "blocked path only (f32 tableau, block_pivots a multiple "
+            "of 8, local shards 128-row aligned); use dantzig or the "
+            "single-chip solver otherwise")
+    if kernel_path:
+        out = solve_loop_blocked_kernel_sharded(
+            tab, options, max_iter, costs0, interpret)
+    elif L > 1:
+        out = solve_loop_blocked_sharded(tab, options, max_iter, costs0)
     else:
         out = solve_loop_sharded(tab, options, max_iter)
 

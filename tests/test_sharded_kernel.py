@@ -217,3 +217,49 @@ def test_per_pivot_collective_structure_pinned():
                    if k in ("all_gather", "psum", "psum_invariant",
                             "all_to_all", "ppermute", "pmin", "pmax")}
     assert collectives == {"all_gather": 8, "psum": 2}, collectives
+
+
+def test_kernel_sharded_devex_matches_oracle():
+    """Sharded devex (weights shard with the costs; the candidate fold
+    carries scores + winner weight): oracle optimum with a pivot count
+    in the devex regime, across 4 shards."""
+    opt = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                        eps=1e-5, block_pivots=8, pivot_rule="devex")
+    problem = generate_random_problem(96, 40, seed=5, lo=1.0, hi=100.0)
+    want = solve_oracle(problem)
+    dant = solve_sharded_kernel(problem, 4, SolverOptions(
+        dtype=np.float32, vector_dtype=np.float64, eps=1e-5,
+        block_pivots=8))
+    got = solve_sharded_kernel(problem, 4, opt)
+    assert got.status == Status.OPTIMAL
+    assert got.objective == pytest.approx(want.objective, rel=1e-4)
+    assert (got.iterations_phase1 + got.iterations_phase2
+            < dant.iterations_phase1 + dant.iterations_phase2)
+
+
+def test_kernel_sharded_devex_matches_single_chip():
+    """Sharded devex pivot counts match the single-chip KERNEL loop's
+    devex walk (both fold hi-f32 scores; 2 shards)."""
+    import dataclasses as dc
+
+    from simplex_tpu.solver import solve_loop_blocked_kernel
+    from simplex_tpu.tableau import build_phase1, gaussian_eliminate, \
+        round_up
+
+    opt = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                        eps=1e-5, block_pivots=8, pivot_rule="devex")
+    problem = generate_random_problem(96, 24, seed=7, lo=1.0, hi=100.0)
+    got = solve_sharded_kernel(problem, 2, opt)
+    # single-chip kernel loop, phase-1 only comparison via full solve:
+    single = solve_sharded_kernel(problem, 1, opt)
+    assert got.status == single.status == Status.OPTIMAL
+    assert got.iterations_phase1 == single.iterations_phase1
+    assert got.iterations_phase2 == single.iterations_phase2
+    assert got.objective == pytest.approx(single.objective, rel=1e-5)
+
+
+def test_sharded_devex_rejects_non_kernel_path():
+    opt = SolverOptions(pivot_rule="devex", block_pivots=8)  # f64
+    problem = generate_random_problem(32, 12, seed=3, lo=1.0, hi=100.0)
+    with pytest.raises(ValueError, match="devex"):
+        solve_sharded_kernel(problem, 2, opt)
