@@ -2,12 +2,25 @@
 
 North-star extension (BASELINE.json config 3) with no reference
 counterpart — the reference solves one LP per process run (main.cu:82-111).
-The whole jitted two-phase core (two_phase.solve_device) is ``jax.vmap``-ed
-over a leading batch axis of (A, b, c); statuses are loop-carried data, so
-lanes that finish early simply stop changing state while the shared
-``lax.while_loop`` runs until every lane is done (the pivot body is
-idempotent on finished tableaus: an OPTIMAL/UNBOUNDED lane re-derives the
-same exit condition and skips its update).
+
+Two device paths:
+
+* **Batched fused kernel** (default on TPU for f32 blocked configs whose
+  per-lane tableau fits VMEM): the hot loops run as
+  ``kernels/batched.batch_window_pass`` — one Pallas grid step per lane
+  keeps the whole tableau VMEM-resident and performs a window of L direct
+  rank-1 pivots with pair-f32 vectors, plus a batched pair-accumulation
+  re-pricing kernel between windows. The two-phase orchestration around
+  the loops (`_solve_device_batched_kernel`) mirrors
+  ``two_phase.solve_device`` stage for stage with ``jax.vmap`` on the
+  non-loop pieces.
+* **Vmapped XLA fallback**: the whole jitted two-phase core
+  (two_phase.solve_device) ``jax.vmap``-ed over a leading batch axis;
+  statuses are loop-carried data, so lanes that finish early simply stop
+  changing state while the shared ``lax.while_loop`` runs until every
+  lane is done (the pivot body is idempotent on finished tableaus).
+  Used off-TPU, for f64 tableaus, devex pricing, non-blocked configs,
+  and lanes too large for VMEM residency.
 
 For multi-device scenario fleets, ``solve_batched`` accepts a mesh and
 shards the batch axis across it (one or more LPs per core, pure data
@@ -22,31 +35,320 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .config import DEFAULT_OPTIONS, SolverOptions, Status
+from .config import (DEFAULT_OPTIONS, EPS_REL_F32, SolverOptions, Status,
+                     kernel_blocked_eligible, normalize_enabled)
 from .result import SolveResult
-from .two_phase import DeviceSolveOutput, solve_device
+from .tableau import (Tableau, build_phase1, count_basic_artificials,
+                      extract_solution, gaussian_eliminate,
+                      phase1_objective, phase2_reset, round_up)
+from .two_phase import DeviceSolveOutput, pivot_out_artificials, solve_device
 
 
-@partial(jax.jit, static_argnames=("n", "m", "options"))
+def batch_kernel_dims(n: int, m: int,
+                      options: SolverOptions) -> tuple[int, int, int]:
+    """(R1_pad, R2_pad, M_pad) for the batched-kernel path: the variable
+    axis is the kernels' LANE axis and must be padded to 128 regardless
+    of backend (cf. tableau.padded_dims, which consults the backend)."""
+    return (round_up(n + 2 * m, 128), round_up(n + m, 128),
+            round_up(m, options.lane_pad))
+
+
+def batch_kernel_enabled(options: SolverOptions, n: int, m: int) -> bool:
+    """Whether ``solve_device_batched``'s 'auto' dispatch takes the
+    batched fused-kernel path: TPU backend, f32 blocked config (same
+    eligibility as the flagship fused kernels, minus their L-alignment
+    constraint — the batched kernel has none), Dantzig/Bland pricing,
+    and a per-lane tableau that fits the VMEM-resident design."""
+    from .kernels.batched import batch_kernel_fits
+
+    if not kernel_blocked_eligible(options):
+        return False
+    if options.pivot_rule == "devex":
+        return False   # batched devex stays on the vmapped XLA loop
+    if int(options.block_pivots) % 8 != 0:
+        return False   # the kernel's eta-slab writes need 8-aligned L
+    if jax.default_backend() != "tpu":
+        return False
+    R1, _, M = batch_kernel_dims(n, m, options)
+    return batch_kernel_fits(M, R1)
+
+
+def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
+                              max_iter: int,
+                              costs0: jax.Array | None = None,
+                              interpret: bool = False):
+    """Batched deferred-window solve loop on the in-VMEM pivot kernel.
+
+    ``tabs`` is a batched Tableau (leading batch axis on every data
+    field; shared static n/m/r). Each ``lax.while_loop`` step dispatches
+    one ``batch_window_pass`` (up to L pivots per lane, whole lane
+    tableau VMEM-resident) followed by the exact window-boundary
+    re-pricing (``batch_reprice_pass``) with the same cadence/premature-
+    optimal contract as solve_loop_blocked_kernel — except the premature
+    test reads the f32-rounded (hi + lo) view, the representation the
+    in-kernel optimality test uses.
+
+    Returns (tabs', status (B,), iterations (B,)); statuses stay RUNNING
+    for lanes that hit the per-lane iteration fuse (mapped to MAXITER by
+    the caller), and such lanes are frozen (never pivoted again) while
+    stragglers finish.
+    """
+    from .kernels.blocked import ff32_from_f64, ff32_to_f64
+    from .kernels.batched import batch_reprice_pass, batch_window_pass
+
+    eps = float(options.eps_resolved)
+    bland_static = options.pivot_rule == "bland"
+    assert options.pivot_rule in ("dantzig", "bland"), options.pivot_rule
+    threshold = options.bland_threshold
+    # The in-VMEM kernel picks its own window length, clamped to 32:
+    # the f32 eta-correction noise grows ~sqrt(L) (measured at config-3
+    # shapes: max oracle rel err 3.5e-5 at L=32 vs 1.4e-4 at L=128,
+    # reprice cadence irrelevant — the drift rides b and the eta factors,
+    # which re-pricing cannot correct), while the per-pivot cost grows
+    # only ~2x (the per-window fixed cost is the lane tableau's DMA,
+    # which L amortises but pipelining already overlaps).
+    L = min(int(options.block_pivots or 1), 32)
+    reprice_every = max(1, int(options.reprice_every))
+    B, R_pad, M_pad = tabs.T.shape
+    vdtype = tabs.costs.dtype
+    assert tabs.T.dtype == jnp.float32 and R_pad % 128 == 0, (
+        tabs.T.dtype, R_pad)
+    run_i = jnp.int32(int(Status.RUNNING))
+    row_mask = (jnp.arange(R_pad) < tabs.r)[None, :]
+
+    window = partial(batch_window_pass, L=L, r=tabs.r, eps=eps,
+                     bland_static=bland_static, threshold=threshold,
+                     interpret=interpret)
+
+    Tt0 = tabs.T.transpose(0, 2, 1).reshape(B * M_pad, R_pad)
+    chi0, clo0 = ff32_from_f64(tabs.costs)
+    bh0, bl0 = ff32_from_f64(tabs.b)
+    zh0, zl0 = ff32_from_f64(tabs.z)
+
+    def cond(s):
+        (Tt, chi, clo, bh, bl, base, zh, zl, status, iters, stall,
+         bland, windows) = s
+        return (jnp.any((status == run_i) & (iters < max_iter))
+                & (windows < max_iter))
+
+    def body(s):
+        (Tt, chi, clo, bh, bl, base, zh, zl, status, iters, stall,
+         bland, windows) = s
+        active = (status == run_i) & (iters < max_iter)
+        zeros_i = jnp.zeros((B,), jnp.int32)
+        sci = jnp.stack([status, iters, stall, bland,
+                         active.astype(jnp.int32), zeros_i, zeros_i,
+                         zeros_i], axis=1)
+        zeros_f = jnp.zeros((B,), jnp.float32)
+        scf = jnp.stack([zh, zl] + [zeros_f] * 6, axis=1)
+
+        (Tt2, chi2, clo2, bh2, bl2, base2, scf2, sci2) = window(
+            Tt, chi, clo, bh, bl, base, scf, sci)
+        zh2, zl2 = scf2[:, 0], scf2[:, 1]
+        status2 = sci2[:, 0]
+        iters2 = sci2[:, 1]
+        stall2 = sci2[:, 2]
+        bland2 = sci2[:, 3]
+
+        if costs0 is not None:
+            # Exact re-pricing with the blocked-kernel cadence contract:
+            # off-cadence RUNNING windows skip it; a window that ENDS
+            # non-RUNNING always re-prices so the premature-optimal check
+            # runs on exact costs; long-finished lanes (inactive at
+            # entry) never re-price again.
+            do_r = active & (
+                (status2 != run_i)
+                | (lax.rem(windows + 1, jnp.int32(reprice_every)) == 0))
+            valid = base2 < tabs.r
+            idx = jnp.minimum(base2, R_pad - 1)
+            coeffs = jnp.where(
+                valid, jnp.take_along_axis(costs0, idx, axis=1), 0.0)
+            c_hi, c_lo = ff32_from_f64(coeffs)
+            mv_hi, mv_lo = batch_reprice_pass(
+                Tt2, c_hi.reshape(B * M_pad, 1),
+                c_lo.reshape(B * M_pad, 1), do_r.astype(jnp.int32),
+                interpret=interpret)
+            costs_exact = costs0 - (mv_hi.astype(vdtype)
+                                    + mv_lo.astype(vdtype))
+            chi_e, clo_e = ff32_from_f64(costs_exact)
+            # Premature-optimal test on the round-tripped (hi + lo)
+            # view — the representation the kernel's pair-exact
+            # eligibility test resolves (a test on a DIFFERENT view at a
+            # knife-edge value re-opens a window whose first pivot
+            # immediately re-declares optimal: a zero-pivot cycle; cf.
+            # solve_loop_blocked_kernel's outer()).
+            view = ff32_to_f64(chi_e, clo_e, vdtype)
+            vmin = jnp.min(jnp.where(row_mask, view, jnp.inf), axis=1)
+            premature = (do_r & (status2 == jnp.int32(int(Status.OPTIMAL)))
+                         & (vmin <= -eps))
+            status2 = jnp.where(premature, run_i, status2)
+            take = do_r[:, None]
+            chi2 = jnp.where(take, chi_e, chi2)
+            clo2 = jnp.where(take, clo_e, clo2)
+
+        return (Tt2, chi2, clo2, bh2, bl2, base2, zh2, zl2, status2,
+                iters2, stall2, bland2, windows + 1)
+
+    init = (Tt0, chi0, clo0, bh0, bl0, tabs.base, zh0, zl0,
+            jnp.full((B,), run_i), jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+            jnp.full((B,), jnp.int32(1 if bland_static else 0)),
+            jnp.zeros((), jnp.int32))
+    (Tt, chi, clo, bh, bl, base, zh, zl, status, iters, _stall,
+     _bland, _w) = lax.while_loop(cond, body, init)
+
+    out = dataclasses.replace(
+        tabs,
+        T=Tt.reshape(B, M_pad, R_pad).transpose(0, 2, 1),
+        b=ff32_to_f64(bh, bl, vdtype),
+        costs=ff32_to_f64(chi, clo, vdtype),
+        z=ff32_to_f64(zh, zl, vdtype),
+        base=base)
+    return out, status, iters
+
+
+def run_solve_loop_batched(tabs: Tableau, options: SolverOptions,
+                           max_iter: int, costs0=None,
+                           interpret: bool = False):
+    """solve_loop_batched_kernel with the per-lane scale-aware pricing
+    of solver.run_solve_loop (normalize_costs: divide each lane's
+    working costs/z/costs0 by max(1, EPS_REL_F32/eps * (1 + max|costs|))
+    for the duration of the loop; positive scaling never changes an
+    argmin, so only the pricing/improvement discipline is affected)."""
+    scale = None
+    if normalize_enabled(options):
+        cmax = jnp.max(jnp.abs(tabs.costs), axis=1)
+        scale = jnp.maximum(
+            1.0, (EPS_REL_F32 / float(options.eps_resolved))
+            * (1.0 + cmax)).astype(tabs.costs.dtype)
+        tabs = dataclasses.replace(tabs, costs=tabs.costs / scale[:, None],
+                                   z=tabs.z / scale)
+        if costs0 is not None:
+            costs0 = costs0 / scale[:, None]
+
+    out, status, iters = solve_loop_batched_kernel(
+        tabs, options, max_iter, costs0, interpret=interpret)
+
+    if scale is not None:
+        out = dataclasses.replace(out, costs=out.costs * scale[:, None],
+                                  z=out.z * scale)
+    return out, status, iters
+
+
+def _solve_device_batched_kernel(A: jax.Array, b: jax.Array, c: jax.Array,
+                                 n: int, m: int, options: SolverOptions,
+                                 interpret: bool = False
+                                 ) -> DeviceSolveOutput:
+    """Two-phase orchestration for the batched fused-kernel path — a
+    batched mirror of two_phase.solve_device (same stages, statuses and
+    guards, reference twoPhaseMethod.cu:385-435), with the non-loop
+    stages vmapped and the hot loops on the in-VMEM batch kernels."""
+    eps = float(options.eps_resolved)
+    max_iter = options.resolved_max_iter(n + 2 * m, m)
+    R1, R2, M = batch_kernel_dims(n, m, options)
+
+    inputs_finite = (jnp.isfinite(A).all(axis=(1, 2))
+                     & jnp.isfinite(b).all(axis=1)
+                     & jnp.isfinite(c).all(axis=1))
+
+    # ---- Phase 1 ----
+    tabs = jax.vmap(lambda Ai, bi: build_phase1(Ai, bi, n, m, options,
+                                                dims=(R1, M)))(A, b)
+    costs0_1 = tabs.costs
+    tabs = jax.vmap(gaussian_eliminate)(tabs)
+    tabs, status1, iters1 = run_solve_loop_batched(
+        tabs, options, max_iter, costs0_1, interpret=interpret)
+
+    z_phase1 = jax.vmap(phase1_objective)(tabs)
+    b_scale = 1.0 + jnp.max(jnp.abs(b), axis=1)
+    infeasible = z_phase1 <= -eps * b_scale
+    n_art = jax.vmap(count_basic_artificials)(tabs)
+    degenerate = n_art > 0
+
+    if options.degeneracy == "continue":
+        tabs = jax.vmap(
+            lambda t, d: lax.cond(
+                d, lambda ti: pivot_out_artificials(ti, options),
+                lambda ti: ti, t))(tabs, degenerate & ~infeasible)
+
+    # ---- Phase 2 ----
+    tab2 = jax.vmap(lambda t, ci: phase2_reset(t, ci, options,
+                                               r2_pad=R2))(tabs, c)
+    costs0_2 = tab2.costs
+    tab2 = jax.vmap(gaussian_eliminate)(tab2)
+    tab2, status2, iters2 = run_solve_loop_batched(
+        tab2, options, max_iter, costs0_2, interpret=interpret)
+
+    x = jax.vmap(extract_solution)(tab2)
+
+    # Status resolution — identical to solve_device, per lane.
+    fuse1 = status1 == int(Status.RUNNING)
+    fuse2 = status2 == int(Status.RUNNING)
+    phase1_failed = infeasible | fuse1
+    if options.degeneracy == "reference":
+        phase1_failed = phase1_failed | degenerate
+
+    status = jnp.where(fuse2, int(Status.MAXITER), status2)
+    if options.degeneracy == "reference":
+        status = jnp.where(degenerate, int(Status.DEGENERATE), status)
+    status = jnp.where(infeasible, int(Status.INFEASIBLE), status)
+    status = jnp.where(fuse1, int(Status.MAXITER), status)
+    finite = jnp.isfinite(tab2.z) & jnp.isfinite(x).all(axis=1)
+    status = jnp.where(finite | phase1_failed, status,
+                       int(Status.NUMERIC))
+    status = jnp.where(jnp.isfinite(z_phase1), status,
+                       int(Status.NUMERIC))
+    status = jnp.where(inputs_finite, status, int(Status.NUMERIC))
+    status = status.astype(jnp.int32)
+
+    objective_opt = jnp.einsum("bn,bn->b", c.astype(x.dtype), x,
+                               precision=lax.Precision.HIGHEST)
+    objective = jnp.where(phase1_failed, z_phase1,
+                          jnp.where(status2 == int(Status.OPTIMAL),
+                                    objective_opt, tab2.z))
+    x = jnp.where((status == int(Status.OPTIMAL))[:, None], x,
+                  jnp.zeros_like(x))
+    iters2 = jnp.where(phase1_failed, 0, iters2)
+
+    return DeviceSolveOutput(status, x, objective,
+                             iters1.astype(jnp.int32),
+                             iters2.astype(jnp.int32), n_art)
+
+
+@partial(jax.jit, static_argnames=("n", "m", "options", "kernel"))
 def solve_device_batched(A: jax.Array, b: jax.Array, c: jax.Array,
                          n: int, m: int,
-                         options: SolverOptions = DEFAULT_OPTIONS
+                         options: SolverOptions = DEFAULT_OPTIONS,
+                         kernel: str | bool = "auto"
                          ) -> DeviceSolveOutput:
-    """vmapped two-phase solve: ``A (B, m, n)``, ``b (B, m)``, ``c (B, n)``
+    """Batched two-phase solve: ``A (B, m, n)``, ``b (B, m)``, ``c (B, n)``
     -> DeviceSolveOutput with a leading batch axis on every field.
 
-    The Pallas fused-pivot path is disabled under vmap (batched lanes
-    would need a batched kernel); batched instances are small, and the
-    pure-XLA loop vmaps cleanly."""
+    ``kernel``: 'auto' takes the batched in-VMEM Pallas path when
+    eligible (see batch_kernel_enabled); True forces it; 'interpret'
+    forces it with interpret-mode kernels (CPU tests); False forces the
+    vmapped-XLA fallback — where the flagship fused-pivot passes are
+    disabled (batched lanes would need a batched kernel; the pure-XLA
+    loop vmaps cleanly)."""
+    if kernel == "auto":
+        use_kernel = batch_kernel_enabled(options, n, m)
+    else:
+        use_kernel = bool(kernel)
+    if use_kernel:
+        return _solve_device_batched_kernel(
+            A, b, c, n, m, options, interpret=(kernel == "interpret"))
+
     options = dataclasses.replace(options, use_pallas=False)
     fn = partial(solve_device, n=n, m=m, options=options)
     return jax.vmap(fn)(A, b, c)
 
 
 def solve_batched(problems, options: SolverOptions | None = None,
-                  mesh: Mesh | None = None, **replacements) -> list[SolveResult]:
+                  mesh: Mesh | None = None, kernel: str | bool = "auto",
+                  **replacements) -> list[SolveResult]:
     """Solve a homogeneous batch of Problems in one device call.
 
     All problems must share (vars, constraints). With ``mesh`` (first axis
@@ -68,7 +370,12 @@ def solve_batched(problems, options: SolverOptions | None = None,
                 f"batch must be homogeneous: got {(p.vars, p.constraints)} "
                 f"vs {(n, m)}")
 
-    A = jnp.asarray(np.stack([p.A for p in problems]))
+    # Cast A to the tableau dtype ON HOST: build_phase1 converts anyway,
+    # and the host->device link may be a tunnel (axon) where shipping
+    # f64 for an f32 solve doubles a transfer that can dominate the
+    # whole batch solve (measured ~20 s for 256 MB).
+    A = jnp.asarray(np.stack([p.A for p in problems]).astype(
+        options.dtype, copy=False))
     b = jnp.asarray(np.stack([p.b for p in problems]))
     c = jnp.asarray(np.stack([p.c for p in problems]))
 
@@ -80,8 +387,14 @@ def solve_batched(problems, options: SolverOptions | None = None,
                 f"{mesh.shape[axis]} devices")
         sharding = NamedSharding(mesh, P(axis))
         A, b, c = (jax.device_put(x, sharding) for x in (A, b, c))
+        if kernel == "auto":
+            # The in-VMEM kernel path is a single-device Pallas grid; the
+            # sharded-batch fleet stays on the vmapped XLA core (pure
+            # data parallelism — XLA partitions the vmapped program).
+            kernel = False
 
-    out = jax.device_get(solve_device_batched(A, b, c, n, m, options))
+    out = jax.device_get(solve_device_batched(A, b, c, n, m, options,
+                                              kernel=kernel))
 
     results = []
     for i in range(len(problems)):

@@ -302,6 +302,79 @@ def broadcast_live_row(tab: Tableau, C: jax.Array, F: jax.Array,
     return lax.psum(contrib, AXIS)
 
 
+def entering_sharded_devex(tab: Tableau, w, bland, eps: float):
+    """Distributed Devex entering selection (the sharded mirror of
+    solver.solve_loop_blocked's devex branch): local score argmax
+    (cost^2 / weight over eligible rows) per shard, one all-gather of
+    each shard's (score, cost, weight) triple — plus the Bland
+    candidate's pair on the same gather — then the global score argmax
+    with ties to the lowest global index.
+
+    Returns (h_global, cost at h, weight at h), all replicated."""
+    R_loc = _local_rows(tab)
+    offset = _global_row_offset(tab)
+    masked = jnp.where(_local_row_mask(tab), tab.costs, jnp.inf)
+    eligible = masked <= -eps
+    big = jnp.iinfo(jnp.int32).max
+
+    score = jnp.where(eligible, masked * masked / w, -jnp.inf)
+    lh_d = jnp.argmax(score).astype(jnp.int32)
+
+    iota = jnp.arange(R_loc)
+    lh_b = jnp.argmin(jnp.where(eligible, iota, R_loc)).astype(jnp.int32)
+    has_el = eligible.any()
+    cand_b = jnp.where(has_el, (offset + lh_b).astype(jnp.int32), big)
+    lb = jnp.minimum(lh_b, R_loc - 1)
+
+    vals = lax.all_gather(jnp.stack([
+        score[lh_d], masked[lh_d], w[lh_d],
+        jnp.where(has_el, masked[lb], jnp.inf),
+        jnp.where(has_el, w[lb], jnp.ones((), w.dtype))]), AXIS)  # (P, 5)
+    idxs = lax.all_gather(jnp.stack([(offset + lh_d).astype(jnp.int32),
+                                     cand_b]), AXIS)              # (P, 2)
+    kmax = jnp.max(vals[:, 0])
+    h_d = jnp.min(jnp.where(vals[:, 0] == kmax, idxs[:, 0], big))
+    at_d = idxs[:, 0] == h_d                 # global indices are unique
+    v_d = jnp.sum(jnp.where(at_d, vals[:, 1], 0.0))
+    w_d = jnp.sum(jnp.where(at_d, vals[:, 2], 0.0))
+
+    h_b = jnp.min(idxs[:, 1])
+    any_el = h_b < big
+    at_b = idxs[:, 1] == h_b
+    v_b = jnp.where(any_el, jnp.sum(jnp.where(at_b, vals[:, 3], 0.0)),
+                    jnp.inf)
+    w_b = jnp.where(any_el, jnp.sum(jnp.where(at_b, vals[:, 4], 0.0)),
+                    jnp.ones((), w.dtype))
+
+    use_b = bland & any_el
+    h = jnp.where(use_b, h_b, h_d).astype(jnp.int32)
+    return (h, jnp.where(use_b, v_b, v_d), jnp.where(use_b, w_b, w_d))
+
+
+def devex_update_sharded(w, do, colk_local, p, wh, old_base_k, tab):
+    """Forrest-Goldfarb weight update on the LOCAL weight slice (the
+    sharded mirror of solver.solve_loop_blocked's devex_update): alpha is
+    the shard's slice of the live leaving row over p; the leaving
+    variable's row (owned by exactly one shard) gets max(w_h / p^2, 1);
+    same per-update overflow cap + NaN guard, and the same per-pivot
+    framework re-anchor — made GLOBAL with one scalar all-gather so every
+    shard re-anchors on the same pivot (the single-chip walk's 1e8 test
+    sees the global max by construction)."""
+    R_loc = _local_rows(tab)
+    offset = _global_row_offset(tab)
+    alpha = (colk_local / p).astype(w.dtype)
+    w2 = jnp.maximum(w, alpha * alpha * wh)
+    lv_loc = old_base_k - offset
+    hit = (jnp.arange(R_loc) == lv_loc) & (old_base_k < tab.r)
+    w2 = jnp.where(hit, jnp.maximum(wh / (p * p).astype(w.dtype), 1.0),
+                   w2)
+    w2 = jnp.minimum(w2, 1e12)
+    w2 = jnp.where(jnp.isnan(w2), jnp.ones_like(w2), w2)
+    wmax = jnp.max(lax.all_gather(jnp.max(w2), AXIS))
+    w2 = jnp.where(wmax > 1e8, jnp.ones_like(w2), w2)
+    return jnp.where(do, w2, w)
+
+
 def solve_loop_blocked_sharded(tab: Tableau, options: SolverOptions,
                                max_iter: int, costs0=None):
     """Sharded deferred block pivoting (see solver.solve_loop_blocked):
@@ -310,22 +383,33 @@ def solve_loop_blocked_sharded(tab: Tableau, options: SolverOptions,
     from the broadcast live row). Per-pivot communication is unchanged —
     the candidate all-gather plus one (M_pad,) psum — and the per-window
     ``T -= C @ F`` apply is a local MXU matmul per shard, so the ~L x
-    traffic reduction carries over to the distributed solver."""
+    traffic reduction carries over to the distributed solver.
+
+    Devex pricing is supported (the XLA-fallback mirror of the
+    fused-kernel path's sharded devex): the weights shard with the costs,
+    the entering fold gathers (score, cost, weight), and the per-pivot
+    framework re-anchor adds one scalar all-gather."""
     eps = float(options.eps_resolved)
     bland_static = options.pivot_rule == "bland"
+    devex = options.pivot_rule == "devex"
     threshold = options.bland_threshold
     L = int(options.block_pivots or 1)
     R_loc, m_pad = tab.T.shape
     dtype = tab.T.dtype
+    vdtype = tab.costs.dtype
     if jnp.dtype(dtype).itemsize >= 8:
         costs0 = None        # see solver.solve_loop_blocked
 
     def inner(t, carry):
-        C, F, s = carry
+        C, F, w, s = carry
         tab = s.tab
         active = s.status == int(Status.RUNNING)
 
-        h, minc = entering_sharded(tab, s.bland, eps)
+        if devex:
+            h, minc, w_h = entering_sharded_devex(tab, w, s.bland, eps)
+        else:
+            h, minc = entering_sharded(tab, s.bland, eps)
+            w_h = None
         optimal = minc > -eps
 
         a_h = broadcast_live_row(tab, C, F, h)
@@ -346,6 +430,9 @@ def solve_loop_blocked_sharded(tab: Tableau, options: SolverOptions,
                        tab.b)
         base2 = jnp.where(do, tab.base.at[k].set(h.astype(tab.base.dtype)),
                           tab.base)
+        w2 = (devex_update_sharded(w, do, colk, p, w_h,
+                                   tab.base[k].astype(jnp.int32), tab)
+              if devex else w)
 
         v = (a_h / p).at[k].set(1.0 - 1.0 / p)
         C2 = C.at[:, t].set(jnp.where(do, colk, jnp.zeros_like(colk)))
@@ -365,14 +452,15 @@ def solve_loop_blocked_sharded(tab: Tableau, options: SolverOptions,
 
         tab2 = dataclasses.replace(tab, costs=costs2, b=b2, z=z2,
                                    base=base2)
-        return (C2, F2, LoopState(
+        return (C2, F2, w2, LoopState(
             tab2, status, s.iterations + do.astype(jnp.int32), stall,
             bland))
 
-    def outer(s: LoopState):
+    def outer(carry):
+        s, w = carry
         C = jnp.zeros((R_loc, L), dtype)
         F = jnp.zeros((L, m_pad), dtype)
-        C, F, s = lax.fori_loop(0, L, inner, (C, F, s))
+        C, F, w, s = lax.fori_loop(0, L, inner, (C, F, w, s))
         T2 = apply_window(s.tab.T, C, F)
         tab2 = dataclasses.replace(s.tab, T=T2)
         status = s.status
@@ -396,15 +484,18 @@ def solve_loop_blocked_sharded(tab: Tableau, options: SolverOptions,
             status = jnp.where(premature, int(Status.RUNNING),
                                status).astype(jnp.int32)
             tab2 = dataclasses.replace(tab2, costs=costs_exact)
-        return LoopState(tab2, status, s.iterations, s.stall, s.bland)
+        return (LoopState(tab2, status, s.iterations, s.stall, s.bland),
+                w)
 
-    def cond(s: LoopState):
+    def cond(carry):
+        s, _w = carry
         return (s.status == int(Status.RUNNING)) & (s.iterations < max_iter)
 
-    init = LoopState(tab, jnp.asarray(int(Status.RUNNING), jnp.int32),
-                     jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-                     jnp.asarray(bland_static))
-    final = lax.while_loop(cond, outer, init)
+    init = (LoopState(tab, jnp.asarray(int(Status.RUNNING), jnp.int32),
+                      jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                      jnp.asarray(bland_static)),
+            jnp.ones((R_loc,), vdtype))
+    final, _w = lax.while_loop(cond, outer, init)
     return final.tab, final.status, final.iterations
 
 
@@ -787,12 +878,12 @@ def run_solve_loop_sharded(tab: Tableau, options: SolverOptions,
                    # the kernels' 8-row C-slab write needs an 8-aligned
                    # L (kernels/blocked.py colk_costs_pass)
                    and (L < 8 or L % 8 == 0))
-    if options.pivot_rule == "devex" and not kernel_path:
+    if options.pivot_rule == "devex" and L <= 1:
         raise ValueError(
-            "sharded pivot_rule='devex' runs on the fused-kernel "
-            "blocked path only (f32 tableau, block_pivots a multiple "
-            "of 8, local shards 128-row aligned); use dantzig or the "
-            "single-chip solver otherwise")
+            "sharded pivot_rule='devex' requires block_pivots > 1 (the "
+            "deferred block-pivot loops — fused-kernel or XLA fallback — "
+            "carry the devex weights; the sequential sharded loop prices "
+            "with Dantzig/Bland only, like solver.run_solve_loop)")
     if kernel_path:
         out = solve_loop_blocked_kernel_sharded(
             tab, options, max_iter, costs0, interpret)

@@ -220,14 +220,22 @@ def gaussian_eliminate(tab: Tableau) -> Tableau:
 
 
 def phase2_reset(tab: Tableau, c: jax.Array,
-                 options: SolverOptions) -> Tableau:
+                 options: SolverOptions,
+                 r2_pad: int | None = None) -> Tableau:
     """Truncate the artificial block and install the Phase-2 objective
     (reference phase2 steps 1-2, twoPhaseMethod.cu:288-325): active rows
     shrink to n+m (a static slice here — the reference just decrements
     ``rows``), costs become [-c | 0], and the objective cell z carries over
-    from phase 1 verbatim (the reference never resets costs[0])."""
+    from phase 1 verbatim (the reference never resets costs[0]).
+
+    ``r2_pad`` overrides the phase-2 row padding (callers with
+    backend-independent padding needs — the batched kernel driver — pass
+    it explicitly, like build_phase1's ``dims``)."""
     n, m = tab.n, tab.m
-    _, R2_pad, _ = padded_dims(n, m, options)
+    if r2_pad is None:
+        _, R2_pad, _ = padded_dims(n, m, options)
+    else:
+        R2_pad = r2_pad
     r2 = n + m
     vdtype = tab.costs.dtype
     costs = jnp.zeros((R2_pad,), dtype=vdtype).at[:n].set(-c.astype(vdtype))

@@ -1,0 +1,202 @@
+"""Batched fused-kernel path (kernels/batched.py + the batch.py kernel
+driver) on the CPU via interpret mode.
+
+The production target is TPU (batch.batch_kernel_enabled requires the
+tpu backend); these tests force the path with kernel='interpret' and
+check it against the NumPy oracle, the vmapped-XLA fallback, and the
+status contract across the full case spread (optimal / unbounded /
+infeasible / degenerate / NUMERIC / MAXITER).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from simplex_tpu.batch import (batch_kernel_dims, solve_batched,
+                               solve_device_batched)
+from simplex_tpu.config import SolverOptions, Status
+from simplex_tpu.generator import generate_random_problem
+from simplex_tpu.oracle import solve_oracle
+from simplex_tpu.problem import Problem
+
+#: Production-shaped options (mixed precision, blocked) at a toy window.
+OPT = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                    block_pivots=8, eps=1e-5)
+
+
+def _random_batch(n, m, seeds):
+    return [generate_random_problem(n, m, s, 1, 100) for s in seeds]
+
+
+def _stack(problems):
+    A = jnp.asarray(np.stack([p.A for p in problems]))
+    b = jnp.asarray(np.stack([p.b for p in problems]))
+    c = jnp.asarray(np.stack([p.c for p in problems]))
+    return A, b, c
+
+
+class TestAgainstOracle:
+    def test_random_lanes_match_oracle(self):
+        problems = _random_batch(24, 10, seeds=(1, 2, 3, 4))
+        results = solve_batched(problems, OPT, kernel="interpret")
+        for p, r in zip(problems, results):
+            want = solve_oracle(p)
+            assert r.status == want.status, (r.status, want.status)
+            rel = abs(r.objective - want.objective) / (
+                1 + abs(want.objective))
+            assert rel < 5e-4, (r.objective, want.objective)
+
+    def test_wide_lanes_match_oracle(self):
+        # More variables than constraints (the reference's benchmark
+        # regime) and enough pivots for several L=8 windows + re-prices.
+        problems = _random_batch(60, 12, seeds=(7, 8))
+        results = solve_batched(problems, OPT, kernel="interpret")
+        for p, r in zip(problems, results):
+            want = solve_oracle(p)
+            assert r.status == want.status
+            rel = abs(r.objective - want.objective) / (
+                1 + abs(want.objective))
+            assert rel < 5e-4
+
+    def test_matches_vmap_fallback(self):
+        problems = _random_batch(24, 10, seeds=(11, 12, 13))
+        kern = solve_batched(problems, OPT, kernel="interpret")
+        xla = solve_batched(problems, OPT, kernel=False)
+        for a, b in zip(kern, xla):
+            assert a.status == b.status
+            rel = abs(a.objective - b.objective) / (1 + abs(b.objective))
+            assert rel < 5e-4
+
+
+class TestCaseSpread:
+    def _spread(self):
+        # Homogeneous (n=2, m=2) batch covering the status spread.
+        feasible = Problem(
+            A=np.array([[1.0, 0.0], [0.0, 1.0]]),
+            b=np.array([1.0, 2.0]), c=np.array([3.0, 5.0]))
+        unbounded = Problem(
+            A=np.array([[1.0, 0.0], [1.0, 0.0]]),
+            b=np.array([1.0, 2.0]), c=np.array([1.0, 1.0]))
+        infeasible = Problem(
+            A=np.array([[-1.0, 0.0], [1.0, 0.0]]),
+            b=np.array([-1.0, 0.5]), c=np.array([1.0, 0.0]))
+        return [feasible, unbounded, infeasible]
+
+    def test_statuses(self):
+        results = solve_batched(self._spread(), OPT, kernel="interpret")
+        assert results[0].status == Status.OPTIMAL
+        assert abs(results[0].objective - 13.0) < 1e-3
+        assert results[1].status == Status.UNBOUNDED
+        assert results[2].status == Status.INFEASIBLE
+
+    def test_degenerate_lanes_match_single_chip(self):
+        # The canonical degenerate fixtures (redundant duplicate row +
+        # zero-RHS row; an equality via a <=/>= pair): the batched kernel
+        # must reproduce the single-chip solve's full contract — status,
+        # objective AND the degenerate flag (whether phase 1 left an
+        # artificial basic is tie-order dependent, so the single-chip
+        # path under the same options is the truth, not a constant).
+        from simplex_tpu.two_phase import solve
+
+        lanes = [
+            Problem(A=np.array([[1.0, 1.0, 1.0], [1.0, 1.0, 1.0],
+                                [1.0, -1.0, 0.0]]),
+                    b=np.array([4.0, 4.0, 0.0]),
+                    c=np.array([2.0, 3.0, 1.0])),
+            Problem(A=np.array([[1.0, 1.0, 0.0], [-1.0, -1.0, 0.0],
+                                [1.0, 0.0, 0.0]]),
+                    b=np.array([3.0, -3.0, 2.0]),
+                    c=np.array([1.0, 2.0, 0.0])),
+        ]
+        results = solve_batched(lanes, OPT, kernel="interpret")
+        for p, r in zip(lanes, results):
+            want = solve(p, OPT)
+            assert r.status == want.status
+            assert r.degenerate == want.degenerate
+            rel = abs(r.objective - want.objective) / (
+                1 + abs(want.objective))
+            assert rel < 5e-4
+
+    def test_numeric_lane_is_isolated(self):
+        problems = _random_batch(24, 10, seeds=(21, 22))
+        A, b, c = _stack(problems)
+        A = A.at[1, 0, 0].set(jnp.nan)
+        out = solve_device_batched(A, b, c, 24, 10, OPT,
+                                   kernel="interpret")
+        assert int(out.status[0]) == int(Status.OPTIMAL)
+        assert int(out.status[1]) == int(Status.NUMERIC)
+
+    def test_maxiter_freezes_lane(self):
+        problems = _random_batch(24, 10, seeds=(31, 32))
+        opts = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                             block_pivots=8, eps=1e-5, max_iter=1)
+        results = solve_batched(problems, opts, kernel="interpret")
+        assert all(r.status == Status.MAXITER for r in results)
+
+    def test_heterogeneous_finish_times(self):
+        # A lane that is optimal with zero phase-2 pivots (c <= 0) rides
+        # idle while a busy lane keeps pivoting; both must come out right.
+        trivial = Problem(
+            A=np.array([[1.0] * 24] * 10),
+            b=np.full(10, 5.0), c=np.full(24, -1.0))
+        busy = _random_batch(24, 10, seeds=(41,))[0]
+        results = solve_batched([trivial, busy], OPT, kernel="interpret")
+        assert results[0].status == Status.OPTIMAL
+        assert abs(results[0].objective) < 1e-6
+        want = solve_oracle(busy)
+        assert results[1].status == want.status
+        rel = abs(results[1].objective - want.objective) / (
+            1 + abs(want.objective))
+        assert rel < 5e-4
+
+
+class TestRepriceKernel:
+    def test_pair_matvec_matches_f64(self):
+        from simplex_tpu.kernels.batched import batch_reprice_pass
+        from simplex_tpu.kernels.blocked import ff32_from_f64
+
+        rng = np.random.default_rng(0)
+        B, m_pad, r_pad = 3, 16, 256
+        Tt = rng.uniform(-50, 50, (B, m_pad, r_pad)).astype(np.float32)
+        coeffs = rng.uniform(-3, 3, (B, m_pad))
+        c_hi, c_lo = ff32_from_f64(jnp.asarray(coeffs))
+        flags = jnp.asarray([1, 0, 1], jnp.int32)
+        hi, lo = batch_reprice_pass(
+            jnp.asarray(Tt.reshape(B * m_pad, r_pad)),
+            jnp.asarray(c_hi).reshape(B * m_pad, 1),
+            jnp.asarray(c_lo).reshape(B * m_pad, 1),
+            flags, interpret=True)
+        got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        want = np.einsum("bm,bmr->br", coeffs, Tt.astype(np.float64))
+        # Interpret mode (XLA:CPU) contracts the Dekker product into an
+        # FMA, degrading the pair bound to ~2^-25 relative — same
+        # documented level as test_blocked_kernel's reprice tests; the
+        # tight pair bound holds on real silicon (Mosaic does not
+        # contract).
+        scale = np.max(np.abs(want)) + 1.0
+        np.testing.assert_allclose(got[0], want[0], atol=1e-7 * scale)
+        np.testing.assert_allclose(got[2], want[2], atol=1e-7 * scale)
+        assert (got[1] == 0).all()   # skipped lane emits zeros
+
+
+class TestDispatch:
+    def test_auto_is_off_on_cpu(self):
+        from simplex_tpu.batch import batch_kernel_enabled
+
+        assert not batch_kernel_enabled(OPT, 24, 10)
+
+    def test_devex_rejected_from_kernel_path(self):
+        from simplex_tpu.batch import batch_kernel_enabled
+
+        devex = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                              block_pivots=8, eps=1e-5,
+                              pivot_rule="devex")
+        assert not batch_kernel_enabled(devex, 24, 10)
+
+    def test_vmem_gate(self):
+        from simplex_tpu.kernels.batched import batch_kernel_fits
+
+        R1, _, M = batch_kernel_dims(2000, 500, OPT)
+        assert batch_kernel_fits(M, R1)          # config-3 shape fits
+        assert not batch_kernel_fits(10112, 100096)   # flagship does not

@@ -258,8 +258,42 @@ def test_kernel_sharded_devex_matches_single_chip():
     assert got.objective == pytest.approx(single.objective, rel=1e-5)
 
 
-def test_sharded_devex_rejects_non_kernel_path():
-    opt = SolverOptions(pivot_rule="devex", block_pivots=8)  # f64
+def test_sharded_devex_rejects_sequential_path():
+    # Devex needs the deferred block-pivot loops (which carry the
+    # weights); the sequential sharded loop rejects it, mirroring
+    # solver.run_solve_loop's gate.
+    opt = SolverOptions(pivot_rule="devex")   # block_pivots=None
     problem = generate_random_problem(32, 12, seed=3, lo=1.0, hi=100.0)
     with pytest.raises(ValueError, match="devex"):
         solve_sharded_kernel(problem, 2, opt)
+
+
+def test_xla_fallback_sharded_devex_matches_single_chip():
+    """Devex on the sharded XLA-fallback blocked loop (f64 tableau, so
+    the fused-kernel path is ineligible): identical status, pivot counts
+    and objective to the single-chip blocked XLA devex walk, plus the
+    oracle optimum."""
+    from simplex_tpu.two_phase import solve
+
+    opt = SolverOptions(block_pivots=8, pivot_rule="devex")   # f64
+    problem = generate_random_problem(48, 16, seed=9, lo=1.0, hi=100.0)
+    want = solve_oracle(problem)
+    single = solve(problem, opt)
+    got = solve_sharded_kernel(problem, 4, opt)
+    assert got.status == single.status == Status.OPTIMAL
+    assert got.objective == pytest.approx(want.objective, rel=1e-9)
+    assert got.iterations_phase1 == single.iterations_phase1
+    assert got.iterations_phase2 == single.iterations_phase2
+
+
+def test_xla_fallback_sharded_devex_mixed_precision():
+    """Mixed-precision devex through the XLA fallback (kernels forced
+    off): window re-pricing + devex weights together across 2 shards."""
+    opt = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                        eps=1e-5, block_pivots=8, pivot_rule="devex",
+                        use_pallas=False)
+    problem = generate_random_problem(64, 20, seed=13, lo=1.0, hi=100.0)
+    want = solve_oracle(problem)
+    got = solve_sharded_kernel(problem, 2, opt)
+    assert got.status == Status.OPTIMAL
+    assert got.objective == pytest.approx(want.objective, rel=1e-4)

@@ -51,40 +51,77 @@ def main():
 
     configs = [
         ("f32 L=32 (r1 configuration)",
-         SolverOptions(dtype=np.float32, block_pivots=32, eps=1e-4)),
+         SolverOptions(dtype=np.float32, block_pivots=32, eps=1e-4),
+         False),
         ("mixed L=32",
          SolverOptions(dtype=np.float32, vector_dtype=np.float64,
-                       block_pivots=32, eps=1e-5)),
-        ("mixed L=128 (production defaults)",
+                       block_pivots=32, eps=1e-5), False),
+        ("mixed L=128 (vmapped XLA fallback)",
          SolverOptions(dtype=np.float32, vector_dtype=np.float64,
-                       block_pivots=128, eps=1e-5)),
+                       block_pivots=128, eps=1e-5), False),
+        ("mixed L=32 in-VMEM kernel",
+         SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                       block_pivots=32, eps=1e-5), "auto"),
+        ("mixed L=128 in-VMEM kernel (production)",
+         SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                       block_pivots=128, eps=1e-5), "auto"),
     ]
     # (The vmapped SEQUENTIAL loop is deliberately absent: each pivot
     # streams the whole 1.6 GB batch tableau, ~600x per phase — tens of
     # minutes for a number r1 already established is ~2.5x slower than
     # blocked. Blocked configs are the decision that needs refreshing.)
     if args.config:
-        configs = [(n_, o) for n_, o in configs if args.config in n_]
+        configs = [(n_, o, k) for n_, o, k in configs if args.config in n_]
         assert configs, f"no config matches {args.config!r}"
 
-    for name, opt in configs:
+    import jax
+    import jax.numpy as jnp
+
+    from simplex_tpu.batch import solve_device_batched
+
+    # Host->device transfer is timed SEPARATELY: over the axon tunnel,
+    # shipping the batch (1 GB f32 at B=256) takes tens of seconds and
+    # would otherwise swamp the device-solve comparison. A production
+    # fleet ships instances once (or generates on device); the per-call
+    # metric that matters is the device solve.
+    t0 = time.perf_counter()
+    A_host = np.stack([p.A for p in problems]).astype(np.float32)
+    b_host = np.stack([p.b for p in problems])
+    c_host = np.stack([p.c for p in problems])
+    A = jax.device_put(jnp.asarray(A_host))
+    bb = jax.device_put(jnp.asarray(b_host))
+    cc = jax.device_put(jnp.asarray(c_host))
+    jax.block_until_ready((bb, cc))
+    float(A[0, 0, 0])
+    log(f"[batch] host stack + device transfer "
+        f"({A_host.nbytes / 1e6:.0f} MB f32): "
+        f"{time.perf_counter() - t0:.1f} s (once per fleet)")
+
+    def run(opt, kern):
+        out = solve_device_batched(A, bb, cc, n, m, opt, kernel=kern)
+        jax.device_get(out.status)
+        return out
+
+    for name, opt, kern in configs:
         t0 = time.perf_counter()
-        results = solve_batched(problems, opt)
+        out = run(opt, kern)
         warm = time.perf_counter() - t0
         times = []
         for _ in range(args.repeats - 1):
             t0 = time.perf_counter()
-            results = solve_batched(problems, opt)
+            out = run(opt, kern)
             times.append(time.perf_counter() - t0)
         best = min(times) if times else warm
-        n_opt = sum(r.status == Status.OPTIMAL for r in results)
-        log(f"[batch] {name:36s} {best:8.1f} s "
+        status = np.asarray(out.status)
+        n_opt = int((status == int(Status.OPTIMAL)).sum())
+        log(f"[batch] {name:40s} {best:8.1f} s "
             f"({best / B * 1e3:6.1f} ms/instance), "
             f"{n_opt}/{B} OPTIMAL (cold {warm:.1f} s)")
         assert n_opt == B, f"{name}: {B - n_opt} lanes not OPTIMAL"
 
     # Spot-check a few lanes against the oracle (last config run).
-    results = solve_batched(problems, configs[-1][1])
+    results = solve_batched(problems, configs[-1][1],
+                            kernel=configs[-1][2])
     for i in (0, B // 2, B - 1):
         want = solve_oracle(problems[i])
         rel = abs(results[i].objective - want.objective) / (
