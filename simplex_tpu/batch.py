@@ -88,8 +88,10 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
     tableau VMEM-resident) followed by the exact window-boundary
     re-pricing (``batch_reprice_pass``) with the same cadence/premature-
     optimal contract as solve_loop_blocked_kernel — except the premature
-    test reads the f32-rounded (hi + lo) view, the representation the
-    in-kernel optimality test uses.
+    test evaluates the kernel's own pair-exact eligibility arithmetic
+    (``kernels.batched.pair_eligible``) on the repriced pair, the ONLY
+    representation guaranteed to agree with the in-kernel optimality
+    decision for every eps.
 
     Returns (tabs', status (B,), iterations (B,)); statuses stay RUNNING
     for lanes that hit the per-lane iteration fuse (mapped to MAXITER by
@@ -97,7 +99,8 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
     stragglers finish.
     """
     from .kernels.blocked import ff32_from_f64, ff32_to_f64
-    from .kernels.batched import batch_reprice_pass, batch_window_pass
+    from .kernels.batched import (batch_reprice_pass, batch_window_pass,
+                                  pair_eligible)
 
     eps = float(options.eps_resolved)
     bland_static = options.pivot_rule == "bland"
@@ -139,8 +142,9 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
          bland, windows) = s
         active = (status == run_i) & (iters < max_iter)
         zeros_i = jnp.zeros((B,), jnp.int32)
+        mi = jnp.full((B,), jnp.int32(max_iter))
         sci = jnp.stack([status, iters, stall, bland,
-                         active.astype(jnp.int32), zeros_i, zeros_i,
+                         active.astype(jnp.int32), mi, zeros_i,
                          zeros_i], axis=1)
         zeros_f = jnp.zeros((B,), jnp.float32)
         scf = jnp.stack([zh, zl] + [zeros_f] * 6, axis=1)
@@ -174,16 +178,19 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
             costs_exact = costs0 - (mv_hi.astype(vdtype)
                                     + mv_lo.astype(vdtype))
             chi_e, clo_e = ff32_from_f64(costs_exact)
-            # Premature-optimal test on the round-tripped (hi + lo)
-            # view — the representation the kernel's pair-exact
-            # eligibility test resolves (a test on a DIFFERENT view at a
-            # knife-edge value re-opens a window whose first pivot
-            # immediately re-declares optimal: a zero-pivot cycle; cf.
-            # solve_loop_blocked_kernel's outer()).
-            view = ff32_to_f64(chi_e, clo_e, vdtype)
-            vmin = jnp.min(jnp.where(row_mask, view, jnp.inf), axis=1)
+            # Premature-optimal test via the KERNEL's own pair-exact
+            # eligibility arithmetic (``pair_eligible`` — the same f32
+            # two_sum the in-kernel candidates resolve), NOT a
+            # round-tripped f64 view against the f64 eps: whenever
+            # f32(eps) != eps a reduced cost can land between the two
+            # thresholds, reopening a lane in which the kernel finds no
+            # eligible column — a zero-pivot window cycle spinning to a
+            # false MAXITER (ADVICE r3). premature=True now guarantees
+            # the reopened window's first candidate scan succeeds.
+            eligible = (pair_eligible(chi_e, clo_e, jnp.float32(eps))
+                        & row_mask)
             premature = (do_r & (status2 == jnp.int32(int(Status.OPTIMAL)))
-                         & (vmin <= -eps))
+                         & jnp.any(eligible, axis=1))
             status2 = jnp.where(premature, run_i, status2)
             take = do_r[:, None]
             chi2 = jnp.where(take, chi_e, chi2)

@@ -63,6 +63,24 @@ def batch_kernel_fits(m_pad: int, r_pad: int) -> bool:
     return m_pad * r_pad * 4 <= VMEM_TILE_BUDGET
 
 
+def pair_eligible(chi, clo, eps32):
+    """The in-kernel PAIR-EXACT entering-eligibility test: whether the
+    double-f32 reduced cost (chi, clo) satisfies cost + eps32 <= 0,
+    resolved through an error-free two_sum (~2^-48 of the cost scale).
+
+    This is the single source of truth for the kernel's optimality
+    decision ("no eligible column"): the window glue's premature-optimal
+    reopen test (batch.py) MUST evaluate this same f32 arithmetic on the
+    repriced pair — a reopen threshold on any other representation
+    (e.g. ``f64(hi)+f64(lo) <= -eps`` with the f64 eps) disagrees with
+    the kernel whenever f32(eps) != eps, and a reduced cost landing
+    between the two thresholds reopens a lane in which the kernel finds
+    no eligible column: a zero-pivot window cycle that spins to a false
+    MAXITER (ADVICE r3)."""
+    s1, e1 = _two_sum(chi, eps32)
+    return (s1 + (e1 + clo)) <= 0
+
+
 def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
                          scf_in, sci_in,
                          Tt_out, chi_out, clo_out, bh_out, bl_out,
@@ -76,8 +94,10 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
     (sublane=constraint, lane=variable); cost pair (1, 1, r_pad); b pair
     (m_pad, 1); base (1, 1, m_pad) i32; scf SMEM (1, 1, 8) f32
     [z_hi, z_lo]; sci SMEM (1, 1, 8) i32 [status, iters, stall, bland,
-    active]. ``active`` is precomputed by the glue (status RUNNING and
-    under the iteration fuse) so a fuse-frozen lane is never pivoted.
+    active, max_iter]. ``active`` is precomputed by the glue (status
+    RUNNING and under the iteration fuse) so a fuse-frozen lane is never
+    pivoted; ``max_iter`` re-gates every in-window pivot so the fuse is
+    exact (a lane stops at max_iter, mid-window).
     C_ref (L, r_pad) / Ft_ref (m_pad, L) are the eta-factor scratch
     (Ft TRANSPOSED — eta rows as columns — so the per-pivot v write, the
     a_h correction and the window apply all avoid vector transposes),
@@ -104,6 +124,7 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
     stall0 = sci_in[0, 0, 2]
     bland0 = sci_in[0, 0, 3]
     active0 = sci_in[0, 0, 4] != 0
+    max_iter0 = sci_in[0, 0, 5]
     zh0 = scf_in[0, 0, 0]
     zl0 = scf_in[0, 0, 1]
 
@@ -129,15 +150,16 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
         the f32 eps discipline — so a view-based ``<= -eps`` test stops
         lanes ~1e-4-relative short of the optimum (measured). Here
         eligibility tests chi + clo + eps <= 0 through an error-free
-        two_sum (resolution ~2^-48 of the cost, the same class as the
-        single-chip kernel loop's f64 round-trip view), the Dantzig
-        argmin then picks the most negative VIEW among eligible columns
-        (ties -> lowest index; selection among eligibles is an eps-class
-        choice, so view resolution suffices), and optimality is "no
-        eligible column" exactly. Returns (h, cost pair at h, optimal).
+        two_sum (``pair_eligible`` — shared with the glue's premature-
+        optimal reopen test, which must agree exactly; resolution ~2^-48
+        of the cost, the same class as the single-chip kernel loop's f64
+        round-trip view), the Dantzig argmin then picks the most
+        negative VIEW among eligible columns (ties -> lowest index;
+        selection among eligibles is an eps-class choice, so view
+        resolution suffices), and optimality is "no eligible column"
+        exactly. Returns (h, cost pair at h, optimal).
         """
-        s1, e1 = _two_sum(chi, eps32)
-        eligible = ((s1 + (e1 + clo)) <= 0) & (riota < i32(r))
+        eligible = pair_eligible(chi, clo, eps32) & (riota < i32(r))
         h_b = jnp.min(jnp.where(eligible, riota, big))
         none = h_b == big
         key = jnp.where(eligible, chi + clo, inf)
@@ -160,7 +182,12 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
     def body(t, carry):
         (chi, clo, bh, bl, base, zh, zl,
          status, iters, stall, bland) = carry
-        active = active0 & (status == run_i)
+        # Per-PIVOT iteration fuse (not just per-window): without the
+        # iters < max_iter term a lane entering its last window can
+        # apply up to L-1 pivots past the fuse and report iterations up
+        # to max_iter + L - 1, where the vmapped-XLA fallback stops at
+        # exactly max_iter (ADVICE r3).
+        active = active0 & (status == run_i) & (iters < max_iter0)
 
         h, mh, ml, optimal = candidates(chi, clo, bland)
 
@@ -357,8 +384,8 @@ def batch_window_pass(Tt: jax.Array, chi: jax.Array, clo: jax.Array,
     chi/clo (B, r_pad) f32; b pair bh/bl (B, m_pad) f32 (reshaped to
     (B*m_pad, 1) columns internally); base (B, m_pad) i32; scf (B, 8)
     f32 [z_hi, z_lo]; sci (B, 8) i32 [status, iters, stall, bland,
-    active]. Static: L window length (multiple of 8 — the eta-slab
-    stores), r valid-row limit, eps, the Bland policy.
+    active, max_iter]. Static: L window length (multiple of 8 — the
+    eta-slab stores), r valid-row limit, eps, the Bland policy.
 
     Returns the same eight arrays updated (Tt, chi, clo, bh, bl, base
     aliased in place; scf/sci fresh).

@@ -365,7 +365,15 @@ def devex_update_sharded(w, do, colk_local, p, wh, old_base_k, tab):
     alpha = (colk_local / p).astype(w.dtype)
     w2 = jnp.maximum(w, alpha * alpha * wh)
     lv_loc = old_base_k - offset
-    hit = (jnp.arange(R_loc) == lv_loc) & (old_base_k < tab.r)
+    # Guard matches the single-chip update's (solver.devex_update:
+    # old_base_k < r_pad, i.e. ANY in-range row — including a basic
+    # artificial in [r, r_pad) leaving in phase 2 under
+    # degeneracy='continue'); the row-index equality already bounds
+    # old_base_k to this shard's slice, so no extra range test. A
+    # stricter `< tab.r` guard here skipped those artificial-row weight
+    # writes, letting the weight state (and the 1e8 re-anchor trigger)
+    # drift off the single-chip walk on degenerate instances (ADVICE r3).
+    hit = jnp.arange(R_loc) == lv_loc
     w2 = jnp.where(hit, jnp.maximum(wh / (p * p).astype(w.dtype), 1.0),
                    w2)
     w2 = jnp.minimum(w2, 1e12)
@@ -403,7 +411,9 @@ def solve_loop_blocked_sharded(tab: Tableau, options: SolverOptions,
     def inner(t, carry):
         C, F, w, s = carry
         tab = s.tab
-        active = s.status == int(Status.RUNNING)
+        # Per-pivot iteration fuse — see solver.solve_loop_blocked.inner.
+        active = ((s.status == int(Status.RUNNING))
+                  & (s.iterations < max_iter))
 
         if devex:
             h, minc, w_h = entering_sharded_devex(tab, w, s.bland, eps)
@@ -655,7 +665,9 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
 
     def inner(t, carry):
         C, F, s = carry
-        active = s.status == int(Status.RUNNING)
+        # Per-pivot iteration fuse — see solver.solve_loop_blocked.inner.
+        active = ((s.status == int(Status.RUNNING))
+                  & (s.iterations < max_iter))
         offset = offset32()
 
         use_bland = s.bland & (s.h_b < big)

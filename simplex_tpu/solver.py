@@ -526,9 +526,13 @@ def solve_loop_blocked(tab: Tableau, options: SolverOptions,
         return jnp.where(do, w2, w)
 
     def inner(t, carry):
-        """One pivot against the virtual tableau; no-op once finished."""
+        """One pivot against the virtual tableau; no-op once finished.
+        Gated on the iteration fuse PER PIVOT (not just per window) so a
+        MAXITER exit reports exactly max_iter pivots on every loop
+        variant instead of overrunning up to L-1 into the last window."""
         C, F, s = carry
-        active = s.status == int(Status.RUNNING)
+        active = ((s.status == int(Status.RUNNING))
+                  & (s.iterations < max_iter))
 
         h, minc = entering(s.costs, s.w, s.bland)
         optimal = minc > -eps
@@ -723,7 +727,9 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
 
     def inner(t, carry):
         C, F, s = carry
-        active = s.status == int(Status.RUNNING)
+        # Per-pivot iteration fuse — see solve_loop_blocked.inner.
+        active = ((s.status == int(Status.RUNNING))
+                  & (s.iterations < max_iter))
 
         use_bland = s.bland & (s.h_b < BIG_INDEX)
         h = jnp.where(use_bland, s.h_b, s.h_d).astype(jnp.int32)

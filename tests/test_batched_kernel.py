@@ -151,6 +151,75 @@ class TestCaseSpread:
         assert rel < 5e-4
 
 
+class TestEpsRepresentation:
+    """ADVICE r3 (medium): the premature-optimal reopen test must use
+    the kernel's pair-exact eligibility arithmetic, not an f64-view
+    threshold — for ~half of user-settable eps values f32(eps) > eps
+    makes the kernel strictly stricter, and a reduced cost between the
+    two thresholds spins a zero-pivot reopen cycle into a false
+    MAXITER."""
+
+    def test_pair_eligible_knife_edge(self):
+        from simplex_tpu.kernels.batched import pair_eligible
+        from simplex_tpu.kernels.blocked import ff32_from_f64
+
+        # eps values in BOTH rounding halves: f32(eps) > eps (kernel
+        # stricter under the old view test) and f32(eps) < eps.
+        eps_up = float(np.nextafter(float(np.float32(1.1e-5)), 0.0))
+        eps_dn = 1e-5
+        for eps in (eps_up, eps_dn):
+            eps32 = np.float32(eps)
+            # Costs straddling BOTH thresholds, incl. exact knife edges.
+            xs = np.array([-2 * eps, -float(eps32) * (1 + 1e-7),
+                           -float(eps32), -float(eps32) * (1 - 1e-7),
+                           -eps, -eps * (1 - 1e-7), -eps / 2, 0.0, eps])
+            chi, clo = ff32_from_f64(jnp.asarray(xs))
+            got = np.asarray(pair_eligible(chi, clo, jnp.float32(eps)))
+            # The kernel's contract: eligible iff the PAIR satisfies
+            # x + f32(eps) <= 0 exactly (pair-exact two_sum; the pair
+            # here is an exact f64 round-trip, so the reference is f64
+            # arithmetic against the f32-rounded eps).
+            want = xs + float(eps32) <= 0
+            np.testing.assert_array_equal(got, want, err_msg=str(eps))
+
+    def test_stricter_kernel_eps_terminates(self):
+        # eps chosen so f32(eps) > eps — under the old f64-view reopen
+        # threshold this is the half where a knife-edge cost spins the
+        # zero-pivot reopen cycle; with the shared pair_eligible test
+        # the batch must terminate cleanly whatever the costs.
+        eps = float(np.nextafter(float(np.float32(1.1e-5)), 0.0))
+        assert float(np.float32(eps)) > eps
+        opts = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                             block_pivots=8, eps=eps)
+        problems = _random_batch(24, 10, seeds=(51, 52, 53))
+        results = solve_batched(problems, opts, kernel="interpret")
+        for p, r in zip(problems, results):
+            want = solve_oracle(p)
+            assert r.status == want.status == Status.OPTIMAL
+            rel = abs(r.objective - want.objective) / (
+                1 + abs(want.objective))
+            assert rel < 5e-4
+
+
+class TestIterationFuse:
+    def test_fuse_is_pivot_exact(self):
+        """ADVICE r3 (low): the per-lane iteration fuse gates every
+        in-window pivot, so a lane stops at EXACTLY max_iter pivots —
+        matching the vmapped-XLA fallback — instead of overrunning up
+        to L-1 pivots inside its final window."""
+        problems = _random_batch(24, 10, seeds=(61, 62))
+        for cap in (1, 3, 11):
+            opts = SolverOptions(dtype=np.float32,
+                                 vector_dtype=np.float64,
+                                 block_pivots=8, eps=1e-5, max_iter=cap)
+            kern = solve_batched(problems, opts, kernel="interpret")
+            xla = solve_batched(problems, opts, kernel=False)
+            for a, b in zip(kern, xla):
+                assert a.status == b.status == Status.MAXITER
+                assert a.iterations_phase1 == b.iterations_phase1 == cap
+                assert a.iterations_phase2 == b.iterations_phase2
+
+
 class TestRepriceKernel:
     def test_pair_matvec_matches_f64(self):
         from simplex_tpu.kernels.batched import batch_reprice_pass

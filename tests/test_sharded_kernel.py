@@ -286,6 +286,36 @@ def test_xla_fallback_sharded_devex_matches_single_chip():
     assert got.iterations_phase2 == single.iterations_phase2
 
 
+def test_xla_fallback_sharded_devex_degenerate_guard():
+    """ADVICE r3 (low): devex_update_sharded's leaving-weight guard must
+    match the single-chip update's (any in-range row, including a basic
+    ARTIFICIAL leaving in phase 2 under degeneracy='continue') so the
+    weight state and 1e8 re-anchor trigger stay identical across the two
+    paths on degenerate instances — pinned by exact pivot-count parity
+    on the canonical degenerate fixtures."""
+    from simplex_tpu.problem import Problem
+    from simplex_tpu.two_phase import solve
+
+    opt = SolverOptions(block_pivots=8, pivot_rule="devex")   # f64 XLA
+    fixtures = [
+        Problem(A=np.array([[1.0, 1.0, 1.0], [1.0, 1.0, 1.0],
+                            [1.0, -1.0, 0.0]]),
+                b=np.array([4.0, 4.0, 0.0]),
+                c=np.array([2.0, 3.0, 1.0])),
+        Problem(A=np.array([[1.0, 1.0, 0.0], [-1.0, -1.0, 0.0],
+                            [1.0, 0.0, 0.0]]),
+                b=np.array([3.0, -3.0, 2.0]),
+                c=np.array([1.0, 2.0, 0.0])),
+    ]
+    for problem in fixtures:
+        single = solve(problem, opt)
+        got = solve_sharded_kernel(problem, 2, opt)
+        assert got.status == single.status
+        assert got.iterations_phase1 == single.iterations_phase1
+        assert got.iterations_phase2 == single.iterations_phase2
+        assert got.objective == pytest.approx(single.objective, rel=1e-9)
+
+
 def test_xla_fallback_sharded_devex_mixed_precision():
     """Mixed-precision devex through the XLA fallback (kernels forced
     off): window re-pricing + devex weights together across 2 shards."""
