@@ -154,17 +154,25 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
         optimal reopen test, which must agree exactly; resolution ~2^-48
         of the cost, the same class as the single-chip kernel loop's f64
         round-trip view), the Dantzig argmin then picks the most
-        negative VIEW among eligible columns (ties -> lowest index;
-        selection among eligibles is an eps-class choice, so view
-        resolution suffices), and optimality is "no eligible column"
-        exactly. Returns (h, cost pair at h, optimal).
+        negative PAIR among eligible columns, ordered (hi, then lo,
+        then lowest index) — the f64 ordering for normalized pairs —
+        and optimality is "no eligible column" exactly. Returns
+        (h, cost pair at h, optimal).
         """
         eligible = pair_eligible(chi, clo, eps32) & (riota < i32(r))
         h_b = jnp.min(jnp.where(eligible, riota, big))
         none = h_b == big
-        key = jnp.where(eligible, chi + clo, inf)
-        vmin = jnp.min(key)
-        h_d = jnp.min(jnp.where(key == vmin, riota, big))
+        # Dantzig argmin ordered PAIR-LEXICOGRAPHICALLY (hi, then lo,
+        # then lowest index): for normalized pairs this is the f64
+        # ordering to ~2^-48 — an f32 (hi + lo) view key measured
+        # enough 2^-24-class near-ties at phase-2 tails to walk the
+        # pivot path off the single-chip loops' by a few pivots.
+        kh = jnp.where(eligible, chi, inf)
+        vh = jnp.min(kh)
+        ath = kh == vh
+        kl = jnp.where(ath, clo, inf)
+        vl = jnp.min(kl)
+        h_d = jnp.min(jnp.where(ath & (kl == vl), riota, big))
         use_b = (bland != 0) & ~none
         h = jnp.where(use_b, h_b, h_d)
         h = jnp.where(none, i32(0), h)     # safe index when optimal
@@ -206,16 +214,29 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
         ah = ah_stale - matvec(Ft_ref[:], c_h, 1, 0)      # (m_pad, 1)
 
         # Min-ratio leaving test (reference createIndicatorsVector +
-        # minElement, reduction.cu:106-140; f32 view of the b pair).
+        # minElement, reduction.cu:106-140) in double-f32 PAIR
+        # arithmetic — q = b / a_h with an exact-division residual,
+        # compared (q1, then q2, then lowest index), the same ordering
+        # contract as the flagship ah_ratio_pass (kernels/blocked.py):
+        # for normalized pairs this orders like the f64 quotients to
+        # ~2^-48, where an f32-view quotient's 2^-24 near-ties measured
+        # enough leaving-row flips to desynchronise the walk from the
+        # single-chip loops at phase-2 tails.
         mask = ah >= eps32
         # (jnp.any's bool-reduce squeezes through a f64 scalar under x64,
         # which Mosaic cannot lower — reduce in f32 instead.)
         unbounded = jnp.max(jnp.where(mask, jnp.float32(1),
                                       jnp.float32(0))) == 0
-        bview = bh + bl
-        ratios = jnp.where(mask, bview / jnp.where(mask, ah, 1.0), inf)
-        rmin = jnp.min(ratios)
-        k = jnp.min(jnp.where(ratios == rmin, miota_s, big))
+        ahs = jnp.where(mask, ah, jnp.float32(1))
+        q1r = bh / ahs
+        rq1, rq1e = _two_prod(q1r, ahs)
+        q2r = (((bh - rq1) - rq1e) + bl) / ahs
+        q1 = jnp.where(mask, q1r, inf)
+        rmin1 = jnp.min(q1)
+        at1 = mask & (q1 == rmin1)
+        q2m = jnp.where(at1, q2r, inf)
+        rmin2 = jnp.min(q2m)
+        k = jnp.min(jnp.where(at1 & (q2m == rmin2), miota_s, big))
         do = active & ~(optimal | unbounded)
         k = jnp.minimum(k, i32(m_pad - 1))
 

