@@ -19,8 +19,8 @@ Two device paths:
   statuses are loop-carried data, so lanes that finish early simply stop
   changing state while the shared ``lax.while_loop`` runs until every
   lane is done (the pivot body is idempotent on finished tableaus).
-  Used off-TPU, for f64 tableaus, devex pricing, non-blocked configs,
-  and lanes too large for VMEM residency.
+  Used off-TPU, for f64 tableaus, non-blocked configs, and lanes too
+  large for VMEM residency.
 
 For multi-device scenario fleets, ``solve_batched`` accepts a mesh and
 shards the batch axis across it (one or more LPs per core, pure data
@@ -60,14 +60,13 @@ def batch_kernel_enabled(options: SolverOptions, n: int, m: int) -> bool:
     """Whether ``solve_device_batched``'s 'auto' dispatch takes the
     batched fused-kernel path: TPU backend, f32 blocked config (same
     eligibility as the flagship fused kernels, minus their L-alignment
-    constraint — the batched kernel has none), Dantzig/Bland pricing,
-    and a per-lane tableau that fits the VMEM-resident design."""
+    constraint — the batched kernel has none; all three pricing rules
+    run in-kernel, incl. per-lane devex weights), and a per-lane tableau
+    that fits the VMEM-resident design."""
     from .kernels.batched import batch_kernel_fits
 
     if not kernel_blocked_eligible(options):
         return False
-    if options.pivot_rule == "devex":
-        return False   # batched devex stays on the vmapped XLA loop
     if int(options.block_pivots) % 8 != 0:
         return False   # the kernel's eta-slab writes need 8-aligned L
     if jax.default_backend() != "tpu":
@@ -104,7 +103,9 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
 
     eps = float(options.eps_resolved)
     bland_static = options.pivot_rule == "bland"
-    assert options.pivot_rule in ("dantzig", "bland"), options.pivot_rule
+    devex = options.pivot_rule == "devex"
+    assert options.pivot_rule in ("dantzig", "bland", "devex"), (
+        options.pivot_rule)
     threshold = options.bland_threshold
     # The in-VMEM kernel picks its own window length, clamped to 32:
     # the f32 eta-correction noise grows ~sqrt(L) (measured at config-3
@@ -124,7 +125,7 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
 
     window = partial(batch_window_pass, L=L, r=tabs.r, eps=eps,
                      bland_static=bland_static, threshold=threshold,
-                     interpret=interpret)
+                     devex=devex, interpret=interpret)
 
     Tt0 = tabs.T.transpose(0, 2, 1).reshape(B * M_pad, R_pad)
     chi0, clo0 = ff32_from_f64(tabs.costs)
@@ -132,13 +133,13 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
     zh0, zl0 = ff32_from_f64(tabs.z)
 
     def cond(s):
-        (Tt, chi, clo, bh, bl, base, zh, zl, status, iters, stall,
+        (Tt, chi, clo, bh, bl, base, w, zh, zl, status, iters, stall,
          bland, windows) = s
         return (jnp.any((status == run_i) & (iters < max_iter))
                 & (windows < max_iter))
 
     def body(s):
-        (Tt, chi, clo, bh, bl, base, zh, zl, status, iters, stall,
+        (Tt, chi, clo, bh, bl, base, w, zh, zl, status, iters, stall,
          bland, windows) = s
         active = (status == run_i) & (iters < max_iter)
         zeros_i = jnp.zeros((B,), jnp.int32)
@@ -149,8 +150,16 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
         zeros_f = jnp.zeros((B,), jnp.float32)
         scf = jnp.stack([zh, zl] + [zeros_f] * 6, axis=1)
 
-        (Tt2, chi2, clo2, bh2, bl2, base2, scf2, sci2) = window(
-            Tt, chi, clo, bh, bl, base, scf, sci)
+        (Tt2, chi2, clo2, bh2, bl2, base2, w2, scf2, sci2) = window(
+            Tt, chi, clo, bh, bl, base, w, scf, sci)
+        if devex:
+            # Re-anchor the devex reference framework once per window
+            # per lane when the weights drift too far — the single-chip
+            # fused-kernel loop's cadence (solver.py solve_loop_blocked_
+            # kernel.outer; the per-update 1e12 cap inside the kernel
+            # bounds mid-window overflow).
+            w2 = jnp.where(jnp.max(w2, axis=1, keepdims=True) > 1e8,
+                           jnp.ones_like(w2), w2)
         zh2, zl2 = scf2[:, 0], scf2[:, 1]
         status2 = sci2[:, 0]
         iters2 = sci2[:, 1]
@@ -196,16 +205,17 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
             chi2 = jnp.where(take, chi_e, chi2)
             clo2 = jnp.where(take, clo_e, clo2)
 
-        return (Tt2, chi2, clo2, bh2, bl2, base2, zh2, zl2, status2,
+        return (Tt2, chi2, clo2, bh2, bl2, base2, w2, zh2, zl2, status2,
                 iters2, stall2, bland2, windows + 1)
 
-    init = (Tt0, chi0, clo0, bh0, bl0, tabs.base, zh0, zl0,
+    init = (Tt0, chi0, clo0, bh0, bl0, tabs.base,
+            jnp.ones((B, R_pad), jnp.float32), zh0, zl0,
             jnp.full((B,), run_i), jnp.zeros((B,), jnp.int32),
             jnp.zeros((B,), jnp.int32),
             jnp.full((B,), jnp.int32(1 if bland_static else 0)),
             jnp.zeros((), jnp.int32))
-    (Tt, chi, clo, bh, bl, base, zh, zl, status, iters, _stall,
-     _bland, _w) = lax.while_loop(cond, body, init)
+    (Tt, chi, clo, bh, bl, base, _w, zh, zl, status, iters, _stall,
+     _bland, _windows) = lax.while_loop(cond, body, init)
 
     out = dataclasses.replace(
         tabs,

@@ -82,17 +82,18 @@ def pair_eligible(chi, clo, eps32):
 
 
 def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
-                         scf_in, sci_in,
+                         w_in, scf_in, sci_in,
                          Tt_out, chi_out, clo_out, bh_out, bl_out,
-                         base_out, scf_out, sci_out,
+                         base_out, w_out, scf_out, sci_out,
                          C_ref, Ft_ref,
                          *, L, r, m_pad, r_pad, eps, bland_static,
-                         threshold):
+                         threshold, devex):
     """One lane's window: up to L deferred eta pivots, tableau in VMEM.
 
     Refs (one lane's blocks): Tt (m_pad, r_pad) f32 transposed tableau
     (sublane=constraint, lane=variable); cost pair (1, 1, r_pad); b pair
-    (m_pad, 1); base (1, 1, m_pad) i32; scf SMEM (1, 1, 8) f32
+    (m_pad, 1); base (1, 1, m_pad) i32; devex weights w (1, 1, r_pad)
+    f32 (carried untouched unless ``devex``); scf SMEM (1, 1, 8) f32
     [z_hi, z_lo]; sci SMEM (1, 1, 8) i32 [status, iters, stall, bland,
     active, max_iter]. ``active`` is precomputed by the glue (status
     RUNNING and under the iteration fuse) so a fuse-frozen lane is never
@@ -144,7 +145,7 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
     eye_l = (lax.broadcasted_iota(i32, (L, L), 0)
              == lax.broadcasted_iota(i32, (L, L), 1)).astype(jnp.float32)
 
-    def candidates(chi, clo, bland):
+    def candidates(chi, clo, w, bland):
         """Entering candidate with PAIR-EXACT eligibility: the f32
         (hi + lo) view's ulp at cost scale ~100 is 6e-6 — bigger than
         the f32 eps discipline — so a view-based ``<= -eps`` test stops
@@ -162,17 +163,26 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
         eligible = pair_eligible(chi, clo, eps32) & (riota < i32(r))
         h_b = jnp.min(jnp.where(eligible, riota, big))
         none = h_b == big
-        # Dantzig argmin ordered PAIR-LEXICOGRAPHICALLY (hi, then lo,
-        # then lowest index): for normalized pairs this is the f64
-        # ordering to ~2^-48 — an f32 (hi + lo) view key measured
-        # enough 2^-24-class near-ties at phase-2 tails to walk the
-        # pivot path off the single-chip loops' by a few pivots.
-        kh = jnp.where(eligible, chi, inf)
-        vh = jnp.min(kh)
-        ath = kh == vh
-        kl = jnp.where(ath, clo, inf)
-        vl = jnp.min(kl)
-        h_d = jnp.min(jnp.where(ath & (kl == vl), riota, big))
+        if devex:
+            # Devex: maximize cost^2 / weight over eligible columns
+            # (ties -> lowest index) — the same f32 hi-part score as the
+            # single-chip fused kernel's candidate fold
+            # (kernels/blocked.py colk_costs_pass devex stage).
+            key = jnp.where(eligible, (chi * chi) / w, -inf)
+            vmax = jnp.max(key)
+            h_d = jnp.min(jnp.where(eligible & (key == vmax), riota, big))
+        else:
+            # Dantzig argmin ordered PAIR-LEXICOGRAPHICALLY (hi, then lo,
+            # then lowest index): for normalized pairs this is the f64
+            # ordering to ~2^-48 — an f32 (hi + lo) view key measured
+            # enough 2^-24-class near-ties at phase-2 tails to walk the
+            # pivot path off the single-chip loops' by a few pivots.
+            kh = jnp.where(eligible, chi, inf)
+            vh = jnp.min(kh)
+            ath = kh == vh
+            kl = jnp.where(ath, clo, inf)
+            vl = jnp.min(kl)
+            h_d = jnp.min(jnp.where(ath & (kl == vl), riota, big))
         use_b = (bland != 0) & ~none
         h = jnp.where(use_b, h_b, h_d)
         h = jnp.where(none, i32(0), h)     # safe index when optimal
@@ -188,7 +198,7 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
             precision=lax.Precision.HIGHEST)
 
     def body(t, carry):
-        (chi, clo, bh, bl, base, zh, zl,
+        (chi, clo, bh, bl, base, w, zh, zl,
          status, iters, stall, bland) = carry
         # Per-PIVOT iteration fuse (not just per-window): without the
         # iters < max_iter term a lane entering its last window can
@@ -197,7 +207,7 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
         # exactly max_iter (ADVICE r3).
         active = active0 & (status == run_i) & (iters < max_iter0)
 
-        h, mh, ml, optimal = candidates(chi, clo, bland)
+        h, mh, ml, optimal = candidates(chi, clo, w, bland)
 
         # Live entering column a_h = Tt_stale[:, h] - Ft @ C[:, h] as an
         # (m_pad, 1) column: both lane extractions read only the 128-lane
@@ -261,9 +271,31 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
         sub8l = k8 + lax.broadcasted_iota(i32, (8, L), 0)
         w_row = jnp.sum(jnp.where(sub8l == k, fslab, 0.0), axis=0,
                         keepdims=True)                    # (1, L)
-        w = matvec(eye_l, w_row, 1, 1)                    # (L, 1)
-        colk = trow - jnp.sum(C_ref[:] * w, axis=0,
+        wcol = matvec(eye_l, w_row, 1, 1)                 # (L, 1)
+        colk = trow - jnp.sum(C_ref[:] * wcol, axis=0,
                               keepdims=True)              # (1, r_pad)
+
+        if devex:
+            # Devex weight update (Forrest-Goldfarb, riding the colk this
+            # pivot already computed) — the single-chip fused kernel's
+            # exact arithmetic (kernels/blocked.py colk_costs_pass):
+            # w' = max(w, (colk/p)^2 * w_h); the leaving variable
+            # re-anchors to max(w_h / p^2, 1), unguarded on the row index
+            # (any in-range leaving variable incl. basic artificials —
+            # the guard parity ADVICE r3 pinned across paths); per-update
+            # 1e12 cap + NaN -> 1 (mid-window f32 overflow otherwise
+            # poisons the score argmax into picking ineligible rows).
+            wh = jnp.sum(jnp.where(riota == h, w, 0.0))
+            lvar = jnp.sum(jnp.where(miota_l == k, base, 0))
+            alpha = colk / p
+            w2 = jnp.maximum(w, alpha * alpha * wh)
+            w2 = jnp.where(riota == lvar,
+                           jnp.maximum(wh / (p * p), jnp.float32(1)), w2)
+            w2 = jnp.minimum(w2, jnp.float32(1e12))
+            w2 = jnp.where(w2 == w2, w2, jnp.float32(1))   # NaN -> 1
+            w2 = jnp.where(do, w2, w)
+        else:
+            w2 = w
 
         # u = minc / p as an exact-residual pair division.
         u1 = mh / p
@@ -349,14 +381,14 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
             Ft_ref[:] = jnp.where(liota_l == t_, v, Ft_ref[:])
 
         iters2 = iters + do.astype(i32)
-        return (chi2, clo2, bh2, bl2, base2, zh2, zl2,
+        return (chi2, clo2, bh2, bl2, base2, w2, zh2, zl2,
                 status2, iters2, stall2, bland2)
 
     init = (chi_in[0], clo_in[0], bh_in[:], bl_in[:], base_in[0],
-            zh0, zl0, status0, iters0, stall0, bland0)
+            w_in[0], zh0, zl0, status0, iters0, stall0, bland0)
     # int32 loop bounds: Python ints promote to i64 under x64, which the
     # Mosaic lowering cannot convert (infinite _convert_helper recursion).
-    (chi, clo, bh, bl, base, zh, zl,
+    (chi, clo, bh, bl, base, w, zh, zl,
      status, iters, stall, bland) = lax.fori_loop(
         jnp.int32(0), jnp.int32(L), body, init)
 
@@ -374,6 +406,7 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
     bh_out[:] = bh
     bl_out[:] = bl
     base_out[0] = base
+    w_out[0] = w
     scf_out[0, 0, 0] = zh
     scf_out[0, 0, 1] = zl
     for j in range(2, 8):
@@ -389,13 +422,13 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
 
 @functools.partial(
     jax.jit, static_argnames=("L", "r", "eps", "bland_static",
-                              "threshold", "interpret"))
+                              "threshold", "devex", "interpret"))
 def batch_window_pass(Tt: jax.Array, chi: jax.Array, clo: jax.Array,
                       bh: jax.Array, bl: jax.Array, base: jax.Array,
-                      scf: jax.Array, sci: jax.Array,
+                      w: jax.Array, scf: jax.Array, sci: jax.Array,
                       *, L: int, r: int, eps: float,
                       bland_static: bool, threshold: int | None,
-                      interpret: bool = False):
+                      devex: bool = False, interpret: bool = False):
     """Run one window (up to L pivots per lane) of the batched in-VMEM
     solve. Grid = (B,): one grid step per lane, whole tableau resident.
 
@@ -403,12 +436,14 @@ def batch_window_pass(Tt: jax.Array, chi: jax.Array, clo: jax.Array,
     and the column vectors, and rides a size-1 middle dim on the lane
     vectors): Tt (B*m_pad, r_pad) f32 transposed tableaus; cost pair
     chi/clo (B, r_pad) f32; b pair bh/bl (B, m_pad) f32 (reshaped to
-    (B*m_pad, 1) columns internally); base (B, m_pad) i32; scf (B, 8)
-    f32 [z_hi, z_lo]; sci (B, 8) i32 [status, iters, stall, bland,
+    (B*m_pad, 1) columns internally); base (B, m_pad) i32; devex
+    weights w (B, r_pad) f32 (pass ones and devex=False under
+    Dantzig/Bland — carried through untouched); scf (B, 8) f32
+    [z_hi, z_lo]; sci (B, 8) i32 [status, iters, stall, bland,
     active, max_iter]. Static: L window length (multiple of 8 — the
-    eta-slab stores), r valid-row limit, eps, the Bland policy.
+    eta-slab stores), r valid-row limit, eps, the pricing policy.
 
-    Returns the same eight arrays updated (Tt, chi, clo, bh, bl, base
+    Returns the same nine arrays updated (Tt, chi, clo, bh, bl, base, w
     aliased in place; scf/sci fresh).
     """
     bm, r_pad = Tt.shape
@@ -423,7 +458,8 @@ def batch_window_pass(Tt: jax.Array, chi: jax.Array, clo: jax.Array,
     kernel = functools.partial(
         _batch_window_kernel, L=int(L), r=int(r), m_pad=m_pad,
         r_pad=r_pad, eps=float(eps), bland_static=bool(bland_static),
-        threshold=None if threshold is None else int(threshold))
+        threshold=None if threshold is None else int(threshold),
+        devex=bool(devex))
 
     # Mosaic requires the last two block dims divisible by (8, 128) or
     # equal to the array's — per-lane row vectors therefore ride as 3D
@@ -442,8 +478,10 @@ def batch_window_pass(Tt: jax.Array, chi: jax.Array, clo: jax.Array,
     out = pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[tile, rowv, rowv, colv, colv, lanev, smem8, smem8],
-        out_specs=[tile, rowv, rowv, colv, colv, lanev, smem8, smem8],
+        in_specs=[tile, rowv, rowv, colv, colv, lanev, rowv, smem8,
+                  smem8],
+        out_specs=[tile, rowv, rowv, colv, colv, lanev, rowv, smem8,
+                   smem8],
         out_shape=[
             jax.ShapeDtypeStruct((bm, r_pad), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, r_pad), jnp.float32),
@@ -451,10 +489,11 @@ def batch_window_pass(Tt: jax.Array, chi: jax.Array, clo: jax.Array,
             jax.ShapeDtypeStruct((bm, 1), jnp.float32),
             jax.ShapeDtypeStruct((bm, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, m_pad), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, r_pad), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, 8), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, 8), jnp.int32),
         ],
-        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5},
+        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 6},
         scratch_shapes=[pltpu.VMEM((L, r_pad), jnp.float32),
                         pltpu.VMEM((m_pad, L), jnp.float32)],
         cost_estimate=pl.CostEstimate(
@@ -468,13 +507,13 @@ def batch_window_pass(Tt: jax.Array, chi: jax.Array, clo: jax.Array,
         interpret=interpret,
     )(Tt, chi.reshape(B, 1, r_pad), clo.reshape(B, 1, r_pad),
       bh.reshape(bm, 1), bl.reshape(bm, 1),
-      base.reshape(B, 1, m_pad), scf.reshape(B, 1, 8),
-      sci.reshape(B, 1, 8))
-    (Tt2, chi2, clo2, bh2, bl2, base2, scf2, sci2) = out
+      base.reshape(B, 1, m_pad), w.reshape(B, 1, r_pad),
+      scf.reshape(B, 1, 8), sci.reshape(B, 1, 8))
+    (Tt2, chi2, clo2, bh2, bl2, base2, w2, scf2, sci2) = out
     return (Tt2, chi2.reshape(B, r_pad), clo2.reshape(B, r_pad),
             bh2.reshape(B, m_pad), bl2.reshape(B, m_pad),
-            base2.reshape(B, m_pad), scf2.reshape(B, 8),
-            sci2.reshape(B, 8))
+            base2.reshape(B, m_pad), w2.reshape(B, r_pad),
+            scf2.reshape(B, 8), sci2.reshape(B, 8))
 
 
 def _batch_reprice_kernel(Tt_ref, chi_ref, clo_ref, flag_ref,

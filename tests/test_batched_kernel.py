@@ -328,6 +328,74 @@ class TestMultiTileWalk:
             assert rel < 1e-5
 
 
+class TestDevexKernel:
+    """VERDICT r3 #5: devex pricing IN the batched kernel — per-lane
+    Forrest-Goldfarb weights updated from the colk row each pivot
+    already computes, score-based candidate selection, window-boundary
+    re-anchor in the glue (the single-chip fused-kernel loop's exact
+    scheme, kernels/blocked.py colk_costs_pass devex stage)."""
+
+    DEVEX = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                          block_pivots=16, eps=1e-5, pivot_rule="devex")
+
+    def test_multitile_devex_matches_oracle_and_single_chip(self):
+        from simplex_tpu.two_phase import solve
+
+        problems = _random_batch(300, 140, seeds=(1, 2, 3, 4))
+        results = solve_batched(problems, self.DEVEX, kernel="interpret")
+        for p, r in zip(problems, results):
+            want = solve_oracle(p, self.DEVEX)
+            single = solve(p, self.DEVEX)
+            assert r.status == want.status == single.status \
+                == Status.OPTIMAL
+            # Phase-1 pivot walks match the single-chip devex loop
+            # EXACTLY (measured 4/4 seeds; the devex score is the same
+            # f32 hi-part cost^2/w arithmetic as the single-chip fused
+            # kernel); phase-2 tails carry the same few-knife-edge-pivot
+            # envelope as Dantzig (see TestMultiTileWalk).
+            assert r.iterations_phase1 == single.iterations_phase1
+            assert abs(r.iterations_phase2 - single.iterations_phase2) \
+                <= 5
+            rel = abs(r.objective - want.objective) / (
+                1 + abs(want.objective))
+            assert rel < 1e-4
+
+    def test_devex_reduces_pivots(self):
+        # The point of devex: materially fewer pivots than Dantzig on
+        # the same instances (35-45% at scale; ~30% at this size).
+        dantzig = SolverOptions(dtype=np.float32,
+                                vector_dtype=np.float64,
+                                block_pivots=16, eps=1e-5)
+        problems = _random_batch(300, 140, seeds=(1, 2))
+        dev = solve_batched(problems, self.DEVEX, kernel="interpret")
+        dan = solve_batched(problems, dantzig, kernel="interpret")
+        for a, b in zip(dev, dan):
+            assert a.status == b.status == Status.OPTIMAL
+            tot_dev = a.iterations_phase1 + a.iterations_phase2
+            tot_dan = b.iterations_phase1 + b.iterations_phase2
+            assert tot_dev < 0.85 * tot_dan, (tot_dev, tot_dan)
+
+    def test_devex_degenerate_and_spread_lanes(self):
+        # The status spread must hold under devex too (weights never
+        # touch the optimality/unboundedness decisions).
+        lanes = [
+            Problem(A=np.array([[1.0, 0.0], [0.0, 1.0]]),
+                    b=np.array([1.0, 2.0]), c=np.array([3.0, 5.0])),
+            Problem(A=np.array([[1.0, 0.0], [1.0, 0.0]]),
+                    b=np.array([1.0, 2.0]), c=np.array([1.0, 1.0])),
+            Problem(A=np.array([[-1.0, 0.0], [1.0, 0.0]]),
+                    b=np.array([-1.0, 0.5]), c=np.array([1.0, 0.0])),
+        ]
+        opts = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                             block_pivots=8, eps=1e-5,
+                             pivot_rule="devex")
+        results = solve_batched(lanes, opts, kernel="interpret")
+        assert results[0].status == Status.OPTIMAL
+        assert abs(results[0].objective - 13.0) < 1e-3
+        assert results[1].status == Status.UNBOUNDED
+        assert results[2].status == Status.INFEASIBLE
+
+
 class TestRepriceKernel:
     def test_pair_matvec_matches_f64(self):
         from simplex_tpu.kernels.batched import batch_reprice_pass
@@ -363,13 +431,17 @@ class TestDispatch:
 
         assert not batch_kernel_enabled(OPT, 24, 10)
 
-    def test_devex_rejected_from_kernel_path(self):
-        from simplex_tpu.batch import batch_kernel_enabled
+    def test_devex_runs_on_kernel_path(self, monkeypatch):
+        # r4: devex moved IN-KERNEL (per-lane weights); the kernel path
+        # accepts all three pricing rules. Check the auto gate passes
+        # devex when the backend reports tpu.
+        import simplex_tpu.batch as batch_mod
 
+        monkeypatch.setattr("jax.default_backend", lambda: "tpu")
         devex = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
                               block_pivots=8, eps=1e-5,
                               pivot_rule="devex")
-        assert not batch_kernel_enabled(devex, 24, 10)
+        assert batch_mod.batch_kernel_enabled(devex, 24, 10)
 
     def test_vmem_gate(self):
         from simplex_tpu.kernels.batched import batch_kernel_fits
