@@ -57,6 +57,42 @@ def build_bench_state(n: int, m: int, dtype, options):
     return tab, costs0
 
 
+def measure_rmw_ceiling(x, iters: int = 8, repeats: int = 3) -> float:
+    """Session HBM read+modify+write ceiling, measured IN-RUN (VERDICT
+    r3 #3): a bare elementwise pass over the same tableau-sized array
+    inside one ``lax.while_loop`` (the BENCHMARKS.md "Key facts" method
+    — 15.3-16 ms over 4.85 GB on a healthy v5e session, ~630 GB/s; the
+    shared chip's sustained RMW bandwidth varies 480-630 GB/s across
+    tenant/thermal sessions, so without this number BENCH_r*.json files
+    from different sessions are not comparable). Returns GB/s."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    nbytes = x.size * x.dtype.itemsize
+
+    @jax.jit
+    def rmw(x):
+        def body(s):
+            i, x = s
+            # += ulp-sized constant: numerically inert, but a real
+            # full-array read + write per trip (the carry dependency
+            # keeps XLA from collapsing the loop).
+            return i + 1, x + jnp.asarray(1e-9, x.dtype)
+
+        i, x = lax.while_loop(lambda s: s[0] < iters, body,
+                              (jnp.int32(0), x))
+        return x.ravel()[0] + i.astype(x.dtype)   # scalar readback sync
+
+    float(rmw(x))                                  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(rmw(x))
+        best = min(best, time.perf_counter() - t0)
+    return iters * 2 * nbytes / best / 1e9
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--vars", type=int, default=100_000)
@@ -108,6 +144,10 @@ def main() -> int:
     tableau_gb = R_pad * M_pad * dtype.itemsize / 1e9
     log(f"tableau {R_pad} x {M_pad} = {tableau_gb:.2f} GB "
         f"(built in {time.perf_counter() - t0:.1f}s)")
+
+    log("measuring session RMW ceiling (bare read+write pass) ...")
+    ceiling_gbs = measure_rmw_ceiling(tab0.T)
+    log(f"ceiling: {ceiling_gbs:.0f} GB/s sustained RMW")
 
     def make_run(cap):
         @jax.jit
@@ -172,8 +212,27 @@ def main() -> int:
     gbps = bytes_per_iter / per_iter_s / 1e9
     iters_per_s = 1.0 / per_iter_s
 
+    # Physical traffic floor per pivot against the MEASURED session
+    # ceiling (the BENCHMARKS.md "r3 per-pivot budget" accounting):
+    # blocked loop = the 1/L-amortised window sweep + the R-side pass
+    # (live C rows avg L/2, 8-row Tt slab, cost pair RW, C slab write)
+    # + the M-side pass (128-lane Tt column slab, live F rows avg L/2,
+    # b pair). Sequential (L<2) = one full tableau read+write per pivot.
+    L_eff = int(options.block_pivots or 1)
+    if L_eff >= 2:
+        phys_bytes = dtype.itemsize * (
+            2 * R_pad * M_pad / L_eff
+            + (L_eff / 2 + 20) * R_pad
+            + (128 + L_eff / 2 + 4) * M_pad)
+    else:
+        phys_bytes = 2 * R_pad * M_pad * dtype.itemsize
+    floor_ms = phys_bytes / (ceiling_gbs * 1e9) * 1e3
+    efficiency = floor_ms / (per_iter_s * 1e3)
+
     log(f"marginal: {per_iter_s * 1e3:.2f} ms/pivot, "
-        f"{iters_per_s:.1f} pivots/s, {gbps:.0f} GB/s sustained")
+        f"{iters_per_s:.1f} pivots/s, {gbps:.0f} GB/s sustained; "
+        f"traffic floor {floor_ms:.2f} ms at the {ceiling_gbs:.0f} GB/s "
+        f"ceiling -> {efficiency * 100:.0f}% of floor")
 
     print(json.dumps({
         "metric": (f"effective pivot-update throughput, dense LP m={m} "
@@ -183,6 +242,14 @@ def main() -> int:
         "value": round(gbps, 1),
         "unit": "GB/s/chip",
         "vs_baseline": round(gbps / REFERENCE_GBPS, 2),
+        # Self-normalization (VERDICT r3 #3): the session's measured
+        # bare-RMW ceiling, the physical-traffic floor per pivot at that
+        # ceiling, and how close the marginal pivot runs to it. Sessions
+        # on the shared v5e sustain 480-630 GB/s; divide ms/pivot by
+        # (ceiling/630) to compare rounds on a common footing.
+        "ceiling_gbs": round(ceiling_gbs, 1),
+        "floor_ms_per_pivot": round(floor_ms, 3),
+        "efficiency_pct": round(efficiency * 100, 1),
     }))
     return 0
 

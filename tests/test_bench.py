@@ -38,9 +38,16 @@ def test_one_json_line_contract(extra):
     lines = [l for l in out.splitlines() if l.strip()]
     assert len(lines) == 1, lines
     rec = json.loads(lines[0])
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline",
+                        "ceiling_gbs", "floor_ms_per_pivot",
+                        "efficiency_pct"}
     assert rec["unit"] == "GB/s/chip"
     assert rec["value"] > 0
+    # Self-normalization keys (VERDICT r3 #3): a positive in-run RMW
+    # ceiling and a physical floor consistent with it.
+    assert rec["ceiling_gbs"] > 0
+    assert rec["floor_ms_per_pivot"] > 0
+    assert rec["efficiency_pct"] > 0
     # value and vs_baseline are rounded independently (1 and 2 decimals).
     assert rec["vs_baseline"] == pytest.approx(
         rec["value"] / bench.REFERENCE_GBPS, abs=0.011)
