@@ -44,10 +44,12 @@ try:
     # In-place BLAS rank-1 update: ~250x faster than `T -= np.outer(...)`
     # at reference-sweep sizes (no 100 MB temporary per pivot), which is
     # what makes the 2048-class pivot-count parity replay a ~1 min test
-    # instead of ~50. dger accumulates with the same multiply-then-add
-    # rounding discipline; the replayed reference counts are insensitive
-    # to the last-ulp differences (the reference itself uses fma here,
-    # solver.cu:43) — asserted end-to-end by tests/test_parity.py.
+    # instead of ~50. dger rounds the product and the subtraction
+    # separately, where the reference GPU rounds once (fma,
+    # solver.cu:43); the replayed counts are insensitive to that last
+    # ulp through the 2048 class, and update_rule='fma' (see _pivot)
+    # removes the difference entirely for larger fingerprints —
+    # asserted end-to-end by tests/test_parity.py.
     from scipy.linalg.blas import dger as _dger
 except ImportError:                                 # pragma: no cover
     _dger = None
@@ -141,15 +143,35 @@ def _entering(costs, mask, eps, bland: bool, tie_rule: str = "lowest",
     return h, minc
 
 
-def _pivot(t: _Tableau, h: int, k: int, minc: float) -> None:
+def _pivot(t: _Tableau, h: int, k: int, minc: float,
+           fma: bool = False) -> None:
     """Rank-1 pivot update (reference updateTableau + updateCostsVector,
     solver.cu:34-75): divide pivot column k by p, subtract
-    ``outer(T[:, k], a_h / p)`` elsewhere; same for b and the cost row."""
+    ``outer(T[:, k], a_h / p)`` elsewhere; same for b and the cost row.
+
+    ``fma=True`` replays the GPU's per-element rounding EXACTLY
+    (native/fma_update.cpp): the device rounds each updated element once
+    — ``fma(-a_h[j]/p, colk[i], T[i][j])``, solver.cu:43,55 — where the
+    NumPy/BLAS path rounds the product and the subtraction separately. A
+    rank-1 update has no accumulation order, so that single rounding is
+    the only arithmetic difference; with it closed, pivot-count parity
+    extends beyond the 2048-class boundary (tests/test_parity.py)."""
     a_h = t.T[h, :].copy()
     p = a_h[k]
     colk = t.T[:, k].copy()
     bk = t.b[k]
     factor = a_h / p
+    if fma:
+        from .utils import fma_native
+
+        u = minc / p
+        fma_native.pivot_update_fma(t.T, colk, factor, k, p)
+        fma_native.axpy_fma(t.b, factor, -bk)
+        t.b[k] = bk / p
+        fma_native.axpy_fma(t.costs, colk, -u)
+        t.z = fma_native.fma_scalar(-u, bk, t.z)
+        t.base[k] = h
+        return
     if _dger is not None and t.T.flags.c_contiguous:
         # T -= outer(colk, factor), in place: T.T is an F-order view, so
         # dger(-1, factor, colk, a=T.T) updates T without a temporary.
@@ -165,7 +187,8 @@ def _pivot(t: _Tableau, h: int, k: int, minc: float) -> None:
 
 
 def _solve_loop(t: _Tableau, enter_mask, options: SolverOptions,
-                max_iter: int, tie_rule: str = "lowest") -> tuple[Status, int]:
+                max_iter: int, tie_rule: str = "lowest",
+                fma: bool = False) -> tuple[Status, int]:
     """The hot loop (reference solve, solver.cu:78-149): entering argmin ->
     unboundedness test -> min-ratio leaving test -> rank-1 update. Adds the
     Bland fallback after ``bland_threshold`` consecutive non-improving
@@ -212,7 +235,7 @@ def _solve_loop(t: _Tableau, enter_mask, options: SolverOptions,
             weights[np.isnan(weights)] = 1.0
             if weights.max() > 1e8:    # re-anchor the framework
                 weights[:] = 1.0
-        _pivot(t, h, k, minc)
+        _pivot(t, h, k, minc, fma=fma)
         if options.pivot_rule != "bland" and options.bland_threshold:
             if abs(t.z - z_before) < eps:
                 stall += 1
@@ -248,10 +271,21 @@ def _pivot_out_artificials(t: _Tableau, n: int, m: int, eps: float) -> None:
 
 def solve_oracle(problem: Problem,
                  options: SolverOptions = DEFAULT_OPTIONS,
-                 tie_rule: str = "lowest") -> SolveResult:
+                 tie_rule: str = "lowest",
+                 update_rule: str = "blas") -> SolveResult:
     """Two-phase simplex, host NumPy (reference twoPhaseMethod,
     twoPhaseMethod.cu:385-435). ``tie_rule='cuda'`` replays the reference
-    GPU's eps-tie reduction order for pivot-count parity."""
+    GPU's eps-tie reduction order for pivot-count parity;
+    ``update_rule='fma'`` additionally replays the GPU's per-element fma
+    rounding in the rank-1 update (native/fma_update.cpp — needed for
+    exact pivot counts past the 2048-class boundary, where the eps-tie
+    pattern becomes last-ulp sensitive; ~3x slower than BLAS dger)."""
+    assert update_rule in ("blas", "fma"), update_rule
+    fma = update_rule == "fma"
+    if fma:
+        from .utils import fma_native
+
+        assert fma_native.available(), "native fma build unavailable"
     m, n = problem.constraints, problem.vars
     eps = float(options.eps_resolved)
     R = n + 2 * m
@@ -261,7 +295,8 @@ def solve_oracle(problem: Problem,
     t = _build_phase1(problem, eps)
     _gaussian_eliminate(t)
     mask1 = np.ones(R, dtype=bool)
-    status1, iters1 = _solve_loop(t, mask1, options, max_iter, tie_rule)
+    status1, iters1 = _solve_loop(t, mask1, options, max_iter, tie_rule,
+                                  fma=fma)
     if status1 == Status.MAXITER:
         return SolveResult(Status.MAXITER, None, float(t.z), iters1, 0)
     # Infeasibility test: SAME semantics as the device core
@@ -295,7 +330,8 @@ def solve_oracle(problem: Problem,
         [-problem.c.astype(np.float64), np.zeros(m)]), t.z, t.base)
     _gaussian_eliminate(t2)
     mask2 = np.ones(R2, dtype=bool)
-    status2, iters2 = _solve_loop(t2, mask2, options, max_iter, tie_rule)
+    status2, iters2 = _solve_loop(t2, mask2, options, max_iter, tie_rule,
+                                  fma=fma)
     if status2 != Status.OPTIMAL:
         return SolveResult(status2, None, float(t2.z), iters1, iters2,
                            degenerate=degenerate)
