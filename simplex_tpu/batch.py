@@ -24,7 +24,11 @@ Two device paths:
 
 For multi-device scenario fleets, ``solve_batched`` accepts a mesh and
 shards the batch axis across it (one or more LPs per core, pure data
-parallelism — no cross-LP communication exists).
+parallelism — no cross-LP communication exists). Eligible configs run
+the fused-kernel core per shard under ``shard_map``
+(``solve_device_batched_sharded``: each device drives its own in-VMEM
+Pallas grid over its local lanes, zero collectives); others fall back
+to the vmapped-XLA core, which XLA partitions from the input shardings.
 """
 
 from __future__ import annotations
@@ -335,6 +339,34 @@ def _solve_device_batched_kernel(A: jax.Array, b: jax.Array, c: jax.Array,
                              iters2.astype(jnp.int32), n_art)
 
 
+def solve_device_batched_sharded(A: jax.Array, b: jax.Array, c: jax.Array,
+                                 n: int, m: int, mesh: Mesh,
+                                 options: SolverOptions = DEFAULT_OPTIONS,
+                                 interpret: bool = False
+                                 ) -> DeviceSolveOutput:
+    """Multi-device batched fleet AT KERNEL SPEED: shard the batch axis
+    across ``mesh`` (first axis) and run the in-VMEM fused-kernel
+    two-phase core per shard under ``jax.shard_map``.
+
+    A scenario fleet is pure data parallelism — no cross-LP value
+    exists, so the shard_map body contains ZERO collectives: each device
+    runs ``_solve_device_batched_kernel`` on its local lanes (its own
+    Pallas grid over its own while_loop; devices simply finish at
+    different times). This replaces the previous mesh behavior of
+    forcing the vmapped-XLA fallback (the single-device Pallas grid
+    could not be auto-partitioned by XLA — shard_map sidesteps that by
+    construction)."""
+    axis = mesh.axis_names[0]
+    spec = P(axis)
+    out_specs = DeviceSolveOutput(*([spec] * len(DeviceSolveOutput._fields)))
+    fn = jax.shard_map(
+        partial(_solve_device_batched_kernel, n=n, m=m, options=options,
+                interpret=interpret),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=out_specs,
+        check_vma=False)
+    return jax.jit(fn)(A, b, c)
+
+
 @partial(jax.jit, static_argnames=("n", "m", "options", "kernel"))
 def solve_device_batched(A: jax.Array, b: jax.Array, c: jax.Array,
                          n: int, m: int,
@@ -369,8 +401,11 @@ def solve_batched(problems, options: SolverOptions | None = None,
     """Solve a homogeneous batch of Problems in one device call.
 
     All problems must share (vars, constraints). With ``mesh`` (first axis
-    used), the batch axis is sharded across its devices; the batch size
-    must then divide evenly.
+    used), the batch axis is sharded across its devices (the batch size
+    must then divide evenly) and eligible configs run the in-VMEM
+    fused-kernel core per shard under ``shard_map``
+    (solve_device_batched_sharded) — a multi-chip scenario fleet at
+    kernel speed, zero collectives.
     """
     options = options or DEFAULT_OPTIONS
     if replacements:
@@ -405,13 +440,22 @@ def solve_batched(problems, options: SolverOptions | None = None,
         sharding = NamedSharding(mesh, P(axis))
         A, b, c = (jax.device_put(x, sharding) for x in (A, b, c))
         if kernel == "auto":
-            # The in-VMEM kernel path is a single-device Pallas grid; the
-            # sharded-batch fleet stays on the vmapped XLA core (pure
-            # data parallelism — XLA partitions the vmapped program).
-            kernel = False
-
-    out = jax.device_get(solve_device_batched(A, b, c, n, m, options,
-                                              kernel=kernel))
+            kernel = batch_kernel_enabled(options, n, m)
+        if kernel:
+            # Fleet at kernel speed: shard_map the in-VMEM fused-kernel
+            # core over the batch axis (each device runs its own Pallas
+            # grid on its local lanes; zero collectives).
+            out = jax.device_get(solve_device_batched_sharded(
+                A, b, c, n, m, mesh, options,
+                interpret=(kernel == "interpret")))
+        else:
+            # Vmapped-XLA fallback: XLA partitions the vmapped program
+            # from the input shardings alone.
+            out = jax.device_get(solve_device_batched(
+                A, b, c, n, m, options, kernel=False))
+    else:
+        out = jax.device_get(solve_device_batched(A, b, c, n, m, options,
+                                                  kernel=kernel))
 
     results = []
     for i in range(len(problems)):

@@ -425,6 +425,64 @@ class TestRepriceKernel:
         assert (got[1] == 0).all()   # skipped lane emits zeros
 
 
+class TestShardedFleet:
+    """solve_batched(mesh=...) with the kernel path: the in-VMEM
+    fused-kernel core runs PER SHARD under shard_map (r4 — previously a
+    mesh forced the vmapped-XLA fallback). Pure data parallelism: the
+    per-lane arithmetic is identical to the unsharded kernel path, so
+    results must match it exactly, not just the oracle."""
+
+    def test_fleet_matches_unsharded_kernel_exactly(self):
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[:4]), ("batch",))
+        problems = _random_batch(60, 12, seeds=(1, 2, 3, 4, 5, 6, 7, 8))
+        fleet = solve_batched(problems, OPT, mesh=mesh,
+                              kernel="interpret")
+        solo = solve_batched(problems, OPT, kernel="interpret")
+        for a, b in zip(fleet, solo):
+            assert a.status == b.status
+            assert a.iterations_phase1 == b.iterations_phase1
+            assert a.iterations_phase2 == b.iterations_phase2
+            assert a.objective == b.objective   # identical arithmetic
+        for p, a in zip(problems, fleet):
+            want = solve_oracle(p)
+            assert a.status == want.status
+            rel = abs(a.objective - want.objective) / (
+                1 + abs(want.objective))
+            assert rel < 5e-4
+
+    def test_fleet_devex_and_status_spread(self):
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[:2]), ("batch",))
+        opts = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                             block_pivots=8, eps=1e-5,
+                             pivot_rule="devex")
+        lanes = [
+            Problem(A=np.array([[1.0, 0.0], [0.0, 1.0]]),
+                    b=np.array([1.0, 2.0]), c=np.array([3.0, 5.0])),
+            Problem(A=np.array([[1.0, 0.0], [1.0, 0.0]]),
+                    b=np.array([1.0, 2.0]), c=np.array([1.0, 1.0])),
+        ]
+        results = solve_batched(lanes, opts, mesh=mesh,
+                                kernel="interpret")
+        assert results[0].status == Status.OPTIMAL
+        assert abs(results[0].objective - 13.0) < 1e-3
+        assert results[1].status == Status.UNBOUNDED
+
+    def test_fleet_indivisible_batch_raises(self):
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[:4]), ("batch",))
+        problems = _random_batch(24, 10, seeds=(1, 2, 3))
+        with pytest.raises(ValueError, match="divide"):
+            solve_batched(problems, OPT, mesh=mesh, kernel="interpret")
+
+
 class TestDispatch:
     def test_auto_is_off_on_cpu(self):
         from simplex_tpu.batch import batch_kernel_enabled
