@@ -111,6 +111,10 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch", type=int, default=1, metavar="B",
                    help="with -r/-rs/-rf: solve B instances (seeds "
                         "seed..seed+B-1) in one vmapped device call")
+    p.add_argument("--fleet", type=int, default=None, metavar="NDEV",
+                   help="with --batch: shard the B instances across an "
+                        "NDEV-device mesh (in-VMEM kernel per shard "
+                        "where eligible; B must divide by NDEV)")
     p.add_argument("--checkpoint", metavar="PATH", default=None,
                    help="solve resumably, persisting the tableau to PATH "
                         "every --checkpoint-every pivots; rerun the same "
@@ -314,10 +318,22 @@ def main(argv: list[str] | None = None) -> int:
             lo, hi = MIN, MAX
         problems = [generate_random_problem(n, m, seed + i, lo, hi)
                     for i in range(args.batch)]
+        mesh = None
+        if args.fleet:
+            import jax
+            from jax.sharding import Mesh
+
+            devices = jax.devices()
+            if args.fleet > len(devices):
+                raise SystemExit(f"--fleet {args.fleet}: only "
+                                 f"{len(devices)} devices available")
+            mesh = Mesh(np.array(devices[:args.fleet]), ("batch",))
+        where = (f"across a {args.fleet}-device fleet" if mesh is not None
+                 else "vmapped")
         print(f"Solving {args.batch} instances "
-              f"(seeds {seed}..{seed + args.batch - 1}) vmapped...")
+              f"(seeds {seed}..{seed + args.batch - 1}) {where}...")
         t0 = time.time()
-        results = solve_batched(problems, options)
+        results = solve_batched(problems, options, mesh=mesh)
         dt = time.time() - t0
         for i, r in enumerate(results):
             obj = f"{r.objective:f}" if r.status == Status.OPTIMAL else "-"

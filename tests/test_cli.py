@@ -175,6 +175,35 @@ def test_sharded_flag(tmp_path, capsys):
         assert (tmp_path / "solution.txt").exists()
 
 
+def test_fleet_flag(tmp_path, capsys):
+    """--batch B --fleet NDEV shards the B instances across an
+    NDEV-device 'batch' mesh (r4: multi-device scenario fleets)."""
+    rc = run_cli(["-r", "24", "10", "5", "--batch", "8", "--fleet", "4"],
+                 tmp_path)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "across a 4-device fleet" in out
+    # Bare -r draws from the reference's [-100, 100] range, so lanes may
+    # legitimately be UNBOUNDED — the contract is one report per lane,
+    # identical to the unsharded --batch run.
+    lines = [l for l in out.splitlines() if l.startswith("seed ")]
+    assert len(lines) == 8
+    rc2 = run_cli(["-r", "24", "10", "5", "--batch", "8"], tmp_path)
+    assert rc2 == 0
+    solo = [l for l in capsys.readouterr().out.splitlines()
+            if l.startswith("seed ")]
+    assert lines == solo
+
+
+def test_fleet_flag_rejections(tmp_path):
+    with pytest.raises(SystemExit, match="devices available"):
+        run_cli(["-r", "10", "5", "1", "--batch", "4", "--fleet", "999"],
+                tmp_path)
+    with pytest.raises(ValueError, match="divide"):
+        run_cli(["-r", "10", "5", "1", "--batch", "3", "--fleet", "2"],
+                tmp_path)
+
+
 def test_sharded_flag_rejections(tmp_path):
     with pytest.raises(SystemExit, match="incompatible"):
         run_cli(["-r", "10", "5", "1", "--sharded", "2", "--timer"],
