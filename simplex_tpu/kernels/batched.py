@@ -286,7 +286,11 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
             # 1e12 cap + NaN -> 1 (mid-window f32 overflow otherwise
             # poisons the score argmax into picking ineligible rows).
             wh = jnp.sum(jnp.where(riota == h, w, 0.0))
-            lvar = jnp.sum(jnp.where(miota_l == k, base, 0))
+            # min-fold extraction, NOT jnp.sum: under x64 an integer sum
+            # accumulates in i64 (even with dtype=int32, which only sets
+            # the OUTPUT type), and Mosaic cannot lower 64-bit converts.
+            # k matches exactly one lane, whose base is < big.
+            lvar = jnp.min(jnp.where(miota_l == k, base, big))
             alpha = colk / p
             w2 = jnp.maximum(w, alpha * alpha * wh)
             w2 = jnp.where(riota == lvar,
