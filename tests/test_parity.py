@@ -182,9 +182,21 @@ class TestFmaOracle:
 def test_pivot_count_parity_4096_4096_fma():
     """Exact pivot-count parity at 4096x4096 (8,874 + 460 pivots over a
     12,289x4,096 tableau, ~9k eps-tie decisions) via the fma-faithful
-    update — the size where the dger replay diverges ~1% (8,975+517).
-    Closes the last parity item: the full recorded-fingerprint ladder
-    256..4096 now reproduces exactly; 8192-class remains covered at
-    objective-level parity by the device sweep (a ~25 min host replay,
-    same arithmetic — nothing new to learn)."""
+    update — the size where the dger replay diverges ~1% (8,975+517)."""
     _assert_parity("random_4096_4096", update_rule="fma")
+
+
+@pytest.mark.skipif(
+    not os.environ.get("PARITY_8192"),
+    reason="~57 min replay; run with PARITY_8192=1. Verified 2026-08-20: "
+           "exact (20639, 1160) == the reference's recorded counts")
+def test_pivot_count_parity_8192_8192_fma():
+    """The reference's FLAGSHIP fingerprint: 20,639 + 1,160 pivots over
+    a 24,577x8,192 tableau (~22k consecutive bit-sensitive eps-tie
+    decisions), reproduced exactly by the fma replay. With this the
+    ENTIRE recorded ladder (every size the reference archived counts
+    for, 256 through 8192) replays bit-exactly: bit-exact instances
+    (native XORWOW) + bit-exact tie order (utils/cuda_order) +
+    bit-exact update arithmetic (native fma) = full pivot-walk
+    equivalence with the reference GPU."""
+    _assert_parity("random_8192_8192", update_rule="fma")
