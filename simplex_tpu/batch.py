@@ -34,6 +34,7 @@ to the vmapped-XLA core, which XLA partitions from the input shardings.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 
 import jax
@@ -339,6 +340,23 @@ def _solve_device_batched_kernel(A: jax.Array, b: jax.Array, c: jax.Array,
                              iters2.astype(jnp.int32), n_art)
 
 
+@functools.lru_cache(maxsize=32)
+def _fleet_solver(n: int, m: int, mesh: Mesh, options: SolverOptions,
+                  interpret: bool):
+    """Cached jitted shard_map wrapper — jax.jit caches on function
+    identity, so building a fresh wrapper per call would retrace and
+    recompile the full two-phase program every invocation (Mesh and
+    SolverOptions are both hashable)."""
+    axis = mesh.axis_names[0]
+    spec = P(axis)
+    out_specs = DeviceSolveOutput(*([spec] * len(DeviceSolveOutput._fields)))
+    return jax.jit(jax.shard_map(
+        partial(_solve_device_batched_kernel, n=n, m=m, options=options,
+                interpret=interpret),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=out_specs,
+        check_vma=False))
+
+
 def solve_device_batched_sharded(A: jax.Array, b: jax.Array, c: jax.Array,
                                  n: int, m: int, mesh: Mesh,
                                  options: SolverOptions = DEFAULT_OPTIONS,
@@ -356,15 +374,7 @@ def solve_device_batched_sharded(A: jax.Array, b: jax.Array, c: jax.Array,
     forcing the vmapped-XLA fallback (the single-device Pallas grid
     could not be auto-partitioned by XLA — shard_map sidesteps that by
     construction)."""
-    axis = mesh.axis_names[0]
-    spec = P(axis)
-    out_specs = DeviceSolveOutput(*([spec] * len(DeviceSolveOutput._fields)))
-    fn = jax.shard_map(
-        partial(_solve_device_batched_kernel, n=n, m=m, options=options,
-                interpret=interpret),
-        mesh=mesh, in_specs=(spec, spec, spec), out_specs=out_specs,
-        check_vma=False)
-    return jax.jit(fn)(A, b, c)
+    return _fleet_solver(n, m, mesh, options, interpret)(A, b, c)
 
 
 @partial(jax.jit, static_argnames=("n", "m", "options", "kernel"))

@@ -306,6 +306,9 @@ def main(argv: list[str] | None = None) -> int:
         _report(result, problem, args.data_dir)
         return 0
 
+    if args.fleet and args.batch <= 1:
+        raise SystemExit("--fleet requires --batch B > 1 (it shards the "
+                         "batch axis across devices)")
     if args.batch > 1:
         if args.f:
             raise SystemExit("--batch requires a seeded mode (-r/-rs/-rf)")

@@ -247,7 +247,8 @@ def _solve_loop(t: _Tableau, enter_mask, options: SolverOptions,
     return Status.MAXITER, max_iter
 
 
-def _pivot_out_artificials(t: _Tableau, n: int, m: int, eps: float) -> None:
+def _pivot_out_artificials(t: _Tableau, n: int, m: int, eps: float,
+                           fma: bool = False) -> None:
     """Drive zero-valued artificial variables out of the Phase-1 basis so
     Phase 2 can proceed (north-star extension; the reference instead returns
     DEGENERATE and aborts, twoPhaseMethod.cu:270-282). For each basic
@@ -263,7 +264,7 @@ def _pivot_out_artificials(t: _Tableau, n: int, m: int, eps: float) -> None:
             h = int(candidates[0])
             # Degenerate pivot: b[k] ~ 0, so feasibility is preserved even
             # for a negative pivot element.
-            _pivot(t, h, k, float(t.costs[h]))
+            _pivot(t, h, k, float(t.costs[h]), fma=fma)
         else:
             t.T[:, k] = 0.0
             t.b[k] = 0.0
@@ -285,7 +286,12 @@ def solve_oracle(problem: Problem,
     if fma:
         from .utils import fma_native
 
-        assert fma_native.available(), "native fma build unavailable"
+        if not fma_native.available():
+            raise RuntimeError(
+                "update_rule='fma' needs the native helper "
+                "(simplex_tpu/native/fma_update.cpp) and no C++ compiler "
+                "is available to build it; use update_rule='blas' or "
+                "install g++")
     m, n = problem.constraints, problem.vars
     eps = float(options.eps_resolved)
     R = n + 2 * m
@@ -319,7 +325,7 @@ def solve_oracle(problem: Problem,
         return SolveResult(Status.DEGENERATE, None, float(t.z), iters1, 0,
                            degenerate=True)
     if degenerate:
-        _pivot_out_artificials(t, n, m, eps)
+        _pivot_out_artificials(t, n, m, eps, fma=fma)
 
     # ---- Phase 2 (twoPhaseMethod.cu:285-356) ----
     # Truncate the artificial block (rows -= cols, twoPhaseMethod.cu:288),

@@ -473,6 +473,18 @@ class TestShardedFleet:
         assert abs(results[0].objective - 13.0) < 1e-3
         assert results[1].status == Status.UNBOUNDED
 
+    def test_fleet_solver_is_cached(self):
+        # jax.jit caches on function identity: a fresh shard_map wrapper
+        # per call would recompile the full two-phase program every
+        # invocation (minutes at production shapes).
+        import jax
+        from jax.sharding import Mesh
+        from simplex_tpu.batch import _fleet_solver
+
+        mesh = Mesh(np.array(jax.devices()[:2]), ("batch",))
+        assert (_fleet_solver(24, 10, mesh, OPT, True)
+                is _fleet_solver(24, 10, mesh, OPT, True))
+
     def test_fleet_indivisible_batch_raises(self):
         import jax
         from jax.sharding import Mesh

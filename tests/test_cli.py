@@ -202,6 +202,10 @@ def test_fleet_flag_rejections(tmp_path):
     with pytest.raises(ValueError, match="divide"):
         run_cli(["-r", "10", "5", "1", "--batch", "3", "--fleet", "2"],
                 tmp_path)
+    # --fleet without --batch must fail loudly, not silently solve one
+    # instance with no mesh.
+    with pytest.raises(SystemExit, match="requires --batch"):
+        run_cli(["-r", "10", "5", "1", "--fleet", "2"], tmp_path)
 
 
 def test_sharded_flag_rejections(tmp_path):

@@ -126,6 +126,15 @@ def test_pivot_count_parity_2048_2048():
     _assert_parity("random_2048_2048")
 
 
+def _fma_available():
+    from simplex_tpu.utils import fma_native
+
+    return fma_native.available()
+
+
+@pytest.mark.skipif(not _fma_available(),
+                    reason="no C++ compiler to build the native fma "
+                           "helper (graceful-skip contract)")
 class TestFmaOracle:
     """The fma-faithful oracle update (VERDICT r3 #8 / missing #2): the
     GPU rounds each rank-1-updated element ONCE (hardware fma,
@@ -176,9 +185,10 @@ class TestFmaOracle:
 
 
 @pytest.mark.skipif(
-    not os.environ.get("PARITY_4096"),
-    reason="~6 min replay; run with PARITY_4096=1. Verified 2026-08-20: "
-           "exact (8874, 460) == the reference's recorded counts")
+    not os.environ.get("PARITY_4096") or not _fma_available(),
+    reason="~6 min replay; run with PARITY_4096=1 (+ needs g++). "
+           "Verified 2026-08-20: exact (8874, 460) == the reference's "
+           "recorded counts")
 def test_pivot_count_parity_4096_4096_fma():
     """Exact pivot-count parity at 4096x4096 (8,874 + 460 pivots over a
     12,289x4,096 tableau, ~9k eps-tie decisions) via the fma-faithful
@@ -187,9 +197,10 @@ def test_pivot_count_parity_4096_4096_fma():
 
 
 @pytest.mark.skipif(
-    not os.environ.get("PARITY_8192"),
-    reason="~57 min replay; run with PARITY_8192=1. Verified 2026-08-20: "
-           "exact (20639, 1160) == the reference's recorded counts")
+    not os.environ.get("PARITY_8192") or not _fma_available(),
+    reason="~57 min replay; run with PARITY_8192=1 (+ needs g++). "
+           "Verified 2026-08-20: exact (20639, 1160) == the reference's "
+           "recorded counts")
 def test_pivot_count_parity_8192_8192_fma():
     """The reference's FLAGSHIP fingerprint: 20,639 + 1,160 pivots over
     a 24,577x8,192 tableau (~22k consecutive bit-sensitive eps-tie

@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--hi", type=int, default=768)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--devices", type=int, default=1)
+    ap.add_argument("--pivot-rule", default="dantzig",
+                    choices=["dantzig", "bland", "devex"],
+                    help="pricing rule (VERDICT r3 #4: the sharded "
+                         "devex rate was tested but never measured)")
     args = ap.parse_args()
 
     import jax
@@ -54,7 +58,8 @@ def main():
     log(f"devices: {jax.devices()}")
     n, m = args.vars, args.constraints
     opt = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
-                        block_pivots=args.block or None)
+                        block_pivots=args.block or None,
+                        pivot_rule=args.pivot_rule)
 
     mesh = Mesh(np.array(jax.devices()[:args.devices]), (sh.AXIS,))
     n_shards = mesh.shape[sh.AXIS]

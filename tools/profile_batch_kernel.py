@@ -71,15 +71,19 @@ def main():
         log(f"{name:40s} {dt * 1e3:9.2f} ms")
         return dt
 
+    w = jnp.ones((B, R1), jnp.float32)
     for L in (8, 32, 128):
-        dt = timeit(
-            f"window pass L={L} (B={B})",
-            lambda L=L: batch_window_pass(
-                Tt, chi, clo, bh, bl, base, scf, sci,
-                L=L, r=r, eps=1e-5, bland_static=False, threshold=50),
-            sync=lambda out: jax.device_get(out[7]))
-        log(f"    -> {dt / (B * L) * 1e6:8.2f} us per lane-pivot, "
-            f"{dt / B * 1e3:8.3f} ms per lane-window")
+        for devex in (False, True):
+            tag = "devex" if devex else "dantzig"
+            dt = timeit(
+                f"window pass L={L} {tag} (B={B})",
+                lambda L=L, devex=devex: batch_window_pass(
+                    Tt, chi, clo, bh, bl, base, w, scf, sci,
+                    L=L, r=r, eps=1e-5, bland_static=False, threshold=50,
+                    devex=devex),
+                sync=lambda out: jax.device_get(out[8]))
+            log(f"    -> {dt / (B * L) * 1e6:8.2f} us per lane-pivot, "
+                f"{dt / B * 1e3:8.3f} ms per lane-window")
 
     flags = jnp.ones((B,), jnp.int32)
     timeit("reprice pass", lambda: batch_reprice_pass(
