@@ -102,7 +102,8 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
     the caller), and such lanes are frozen (never pivoted again) while
     stragglers finish.
     """
-    from .kernels.blocked import ff32_from_f64, ff32_to_f64
+    from .kernels.blocked import (_fast_two_sum, _two_sum, ff32_from_f64,
+                                  ff32_to_f64)
     from .kernels.batched import (batch_reprice_pass, batch_window_pass,
                                   pair_eligible)
 
@@ -112,14 +113,20 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
     assert options.pivot_rule in ("dantzig", "bland", "devex"), (
         options.pivot_rule)
     threshold = options.bland_threshold
-    # The in-VMEM kernel picks its own window length, clamped to 32:
-    # the f32 eta-correction noise grows ~sqrt(L) (measured at config-3
-    # shapes: max oracle rel err 3.5e-5 at L=32 vs 1.4e-4 at L=128,
-    # reprice cadence irrelevant — the drift rides b and the eta factors,
-    # which re-pricing cannot correct), while the per-pivot cost grows
-    # only ~2x (the per-window fixed cost is the lane tableau's DMA,
-    # which L amortises but pipelining already overlaps).
-    L = min(int(options.block_pivots or 1), 32)
+    # The in-VMEM kernel picks its own window length, default-clamped to
+    # 32: the f32 eta-correction noise grows ~sqrt(L) (measured at
+    # config-3 shapes: max oracle rel err 3.5e-5 at L=32 vs 1.4e-4 at
+    # L=128, reprice cadence irrelevant — the drift rides b and the eta
+    # factors, which re-pricing cannot correct). options.batch_block_
+    # pivots overrides the clamp: the fixed per-grid-step cost (~0.1-0.2
+    # ms of dispatch/DMA-pipeline overhead measured on silicon,
+    # tools/profile_batch_alias.py) amortizes over L, so larger windows
+    # trade ~sqrt(L) accuracy inside the 5e-4 mixed envelope for
+    # wall-clock.
+    if options.batch_block_pivots is not None:
+        L = int(options.batch_block_pivots)
+    else:
+        L = min(int(options.block_pivots or 1), 32)
     reprice_every = max(1, int(options.reprice_every))
     B, R_pad, M_pad = tabs.T.shape
     vdtype = tabs.costs.dtype
@@ -136,6 +143,10 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
     chi0, clo0 = ff32_from_f64(tabs.costs)
     bh0, bl0 = ff32_from_f64(tabs.b)
     zh0, zl0 = ff32_from_f64(tabs.z)
+    if costs0 is not None:
+        # Pre-split once; the loop body's re-pricing glue is then pure
+        # f32 pair arithmetic (no emulated-f64 ops per window).
+        c0h, c0l = ff32_from_f64(costs0)
 
     def cond(s):
         (Tt, chi, clo, bh, bl, base, w, zh, zl, status, iters, stall,
@@ -182,16 +193,24 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
                 | (lax.rem(windows + 1, jnp.int32(reprice_every)) == 0))
             valid = base2 < tabs.r
             idx = jnp.minimum(base2, R_pad - 1)
-            coeffs = jnp.where(
-                valid, jnp.take_along_axis(costs0, idx, axis=1), 0.0)
-            c_hi, c_lo = ff32_from_f64(coeffs)
+            # ALL-f32 glue: costs0 rides as a pre-split double-f32 pair
+            # (c0h, c0l), gathered and subtracted in pair arithmetic.
+            # The coeff gather commutes with the split exactly; the
+            # subtraction differs from the old f64 path by <= 2^-48 —
+            # the same class as the pair rounding itself. The old f64
+            # expressions ran through the TPU's EMULATED f64 on
+            # (B, R_pad) arrays every window: measured 2.5 ms/instance
+            # of the 13.1 ms config-3 wall time (19%).
+            c_hi = jnp.where(valid, jnp.take_along_axis(c0h, idx, axis=1),
+                             jnp.float32(0))
+            c_lo = jnp.where(valid, jnp.take_along_axis(c0l, idx, axis=1),
+                             jnp.float32(0))
             mv_hi, mv_lo = batch_reprice_pass(
                 Tt2, c_hi.reshape(B * M_pad, 1),
                 c_lo.reshape(B * M_pad, 1), do_r.astype(jnp.int32),
                 interpret=interpret)
-            costs_exact = costs0 - (mv_hi.astype(vdtype)
-                                    + mv_lo.astype(vdtype))
-            chi_e, clo_e = ff32_from_f64(costs_exact)
+            s_e, e_e = _two_sum(c0h, -mv_hi)
+            chi_e, clo_e = _fast_two_sum(s_e, e_e + (c0l - mv_lo))
             # Premature-optimal test via the KERNEL's own pair-exact
             # eligibility arithmetic (``pair_eligible`` — the same f32
             # two_sum the in-kernel candidates resolve), NOT a

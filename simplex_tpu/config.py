@@ -199,6 +199,15 @@ class SolverOptions:
     #: re-price every window (their reprice is one fused matvec).
     reprice_every: int = 2
 
+    #: In-kernel window length for the BATCHED in-VMEM kernel (pivots
+    #: per grid step per lane). None = min(block_pivots, 32), the
+    #: accuracy-conservative default (f32 eta-correction noise grows
+    #: ~sqrt(L): max oracle rel err ~3.5e-5 at L=32, ~1.4e-4 at L=128 at
+    #: config-3 shapes). Raising it amortizes the measured ~0.1-0.2 ms
+    #: fixed cost per grid step over more pivots; must be a multiple
+    #: of 8 (the eta-slab stores).
+    batch_block_pivots: Optional[int] = None
+
     #: Pad the constraint axis to a multiple of this (TPU lane width).
     lane_pad: int = 128
     #: Pad the variable axis to a multiple of this (TPU sublane tile).
@@ -217,6 +226,12 @@ class SolverOptions:
         if int(self.reprice_every) < 1:
             raise ValueError(
                 f"reprice_every must be >= 1, got {self.reprice_every}")
+        if self.batch_block_pivots is not None and (
+                int(self.batch_block_pivots) < 8
+                or int(self.batch_block_pivots) % 8):
+            raise ValueError(
+                "batch_block_pivots must be a multiple of 8 >= 8, got "
+                f"{self.batch_block_pivots}")
         object.__setattr__(self, "dtype", np.dtype(self.dtype))
         object.__setattr__(
             self, "vector_dtype",

@@ -513,6 +513,23 @@ class TestDispatch:
                               pivot_rule="devex")
         assert batch_mod.batch_kernel_enabled(devex, 24, 10)
 
+    def test_batch_block_pivots_override(self):
+        # The tuning knob overrides the L=32 clamp; results must stay
+        # correct (same walk economy, different window partitioning).
+        opts = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                             block_pivots=128, eps=1e-5,
+                             batch_block_pivots=16)
+        problems = _random_batch(24, 10, seeds=(1, 2))
+        results = solve_batched(problems, opts, kernel="interpret")
+        for p, r in zip(problems, results):
+            want = solve_oracle(p)
+            assert r.status == want.status == Status.OPTIMAL
+            rel = abs(r.objective - want.objective) / (
+                1 + abs(want.objective))
+            assert rel < 5e-4
+        with pytest.raises(ValueError, match="multiple of 8"):
+            SolverOptions(batch_block_pivots=12)
+
     def test_vmem_gate(self):
         from simplex_tpu.kernels.batched import batch_kernel_fits
 
