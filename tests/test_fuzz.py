@@ -162,3 +162,32 @@ def test_kernel_loop_agrees_with_oracle(n, m, seed, lo, hi):
         bscale = 1 + np.abs(problem.b).max()
         assert (problem.A @ x - problem.b).max() < 1e-4 * bscale
         assert (x >= -1e-4 * bscale).all()
+
+
+@pytest.mark.parametrize("n,m,seed,lo,hi", CASES)
+def test_batched_kernel_agrees_with_oracle(n, m, seed, lo, hi):
+    """The batched in-VMEM kernel (interpret mode) across the same case
+    spread, three lanes per case, under BOTH in-kernel pricing rules —
+    the wide-net complement to test_batched_kernel's targeted cases.
+    Padding-boundary shapes exercise the single-tile r_pad=128 layouts
+    the multi-tile walk tests deliberately avoid."""
+    from simplex_tpu.batch import solve_batched
+
+    problems = [generate_random_problem(n, m, s, lo, hi)
+                for s in (seed, seed + 10, seed + 20)]
+    wants = [solve_oracle(p) for p in problems]
+    for rule in ("dantzig", "devex"):
+        opt = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                            block_pivots=8, eps=1e-5, pivot_rule=rule)
+        results = solve_batched(problems, opt, kernel="interpret")
+        for p, got, want in zip(problems, results, wants):
+            assert got.status == want.status, (rule, got.status,
+                                               want.status)
+            if want.status == Status.OPTIMAL:
+                scale = 1 + abs(want.objective)
+                assert abs(got.objective - want.objective) \
+                    < 1e-4 * scale, (rule, got.objective, want.objective)
+                x = np.asarray(got.x)
+                bscale = 1 + np.abs(p.b).max()
+                assert (p.A @ x - p.b).max() < 1e-4 * bscale, rule
+                assert (x >= -1e-4 * bscale).all(), rule
