@@ -310,10 +310,19 @@ def _solve_device_batched_kernel(A: jax.Array, b: jax.Array, c: jax.Array,
     degenerate = n_art > 0
 
     if options.degeneracy == "continue":
+        # Fuse-hit lanes excluded (see two_phase.solve_device): their
+        # phase-2 result is discarded, and a capped phase 1 leaves up to
+        # m basic artificials whose vmapped repair would run hundreds of
+        # full-batch-tableau sweeps of discarded work.
+        repair = (degenerate & ~infeasible
+                  & (status1 == int(Status.OPTIMAL)))
+        # The gate must ride INSIDE the repair while-loop's condition:
+        # under vmap the lax.cond lowers to select and EXECUTES both
+        # branches, so only the in-cond gate actually skips the sweeps.
         tabs = jax.vmap(
             lambda t, d: lax.cond(
-                d, lambda ti: pivot_out_artificials(ti, options),
-                lambda ti: ti, t))(tabs, degenerate & ~infeasible)
+                d, lambda ti: pivot_out_artificials(ti, options, gate=d),
+                lambda ti: ti, t))(tabs, repair)
 
     # ---- Phase 2 ----
     tab2 = jax.vmap(lambda t, ci: phase2_reset(t, ci, options,

@@ -1043,9 +1043,14 @@ def _two_phase_core(tab: Tableau, c: jax.Array, b_scale, inputs_finite,
     degenerate = n_art > 0
 
     if options.degeneracy == "continue":
-        tab = lax.cond(degenerate & ~infeasible,
-                       lambda t: pivot_out_artificials_sharded(t, options),
-                       lambda t: t, tab)
+        # Fuse-hit tableaus excluded (see two_phase.solve_device): the
+        # phase-2 result is discarded for them and a capped phase 1 can
+        # leave up to m basic artificials' worth of repair sweeps.
+        tab = lax.cond(
+            degenerate & ~infeasible
+            & (status1 == int(Status.OPTIMAL)),
+            lambda t: pivot_out_artificials_sharded(t, options),
+            lambda t: t, tab)
 
     # Phase 2: keep the row allocation, mask artificials via r = n + m.
     tab2 = dataclasses.replace(

@@ -49,7 +49,8 @@ class DeviceSolveOutput(NamedTuple):
     n_artificial_in_base: jax.Array
 
 
-def pivot_out_artificials(tab: Tableau, options: SolverOptions) -> Tableau:
+def pivot_out_artificials(tab: Tableau, options: SolverOptions,
+                          gate: jax.Array | None = None) -> Tableau:
     """Drive zero-valued artificials out of the Phase-1 basis (north-star
     extension; the reference aborts with DEGENERATE instead,
     twoPhaseMethod.cu:270-282). For each constraint whose basic variable
@@ -63,6 +64,14 @@ def pivot_out_artificials(tab: Tableau, options: SolverOptions) -> Tableau:
     *actual* basic artificial (typically a handful), not per constraint —
     an m-iteration loop of conditional rank-1 updates lowers to m full
     passes on TPU and dominated the whole solve at large sizes.
+
+    ``gate``: optional bool scalar ANDed into the loop condition. Under
+    ``jax.vmap`` a ``lax.cond`` wrapper lowers to select and EXECUTES
+    both branches (the CLAUDE.md cond gotcha), so gating must live in
+    the while condition itself: a fuse-hit (MAXITER) phase-1 tableau can
+    carry hundreds of basic artificials, and without the in-cond gate a
+    vmapped batch ran ~466 full-tableau repair sweeps of discarded work
+    (measured 2.25 s of a 2.25 s capped 64-lane solve).
     """
     eps = float(options.eps_resolved)
     n, m = tab.n, tab.m
@@ -77,7 +86,8 @@ def pivot_out_artificials(tab: Tableau, options: SolverOptions) -> Tableau:
 
     def cond(carry):
         t, fixes = carry
-        return (first_artificial(t) < none) & (fixes < m)
+        go = (first_artificial(t) < none) & (fixes < m)
+        return go if gate is None else go & gate
 
     def body(carry):
         t, fixes = carry
@@ -140,10 +150,19 @@ def solve_device(A: jax.Array, b: jax.Array, c: jax.Array, n: int, m: int,
     if options.degeneracy == "continue":
         # Only meaningful for feasible-but-degenerate bases (artificials at
         # value ~0); infeasible tableaus keep their phase-1 state for the
-        # reported objective.
-        tab = lax.cond(degenerate & ~infeasible,
-                       lambda t: pivot_out_artificials(t, options),
-                       lambda t: t, tab)
+        # reported objective. Fuse-hit (MAXITER) tableaus are excluded
+        # too: their phase-2 result is discarded by the status
+        # resolution, and a capped phase 1 can leave HUNDREDS of basic
+        # artificials — each costing a full-tableau repair sweep. The
+        # gate rides INSIDE the repair loop's condition (not only this
+        # lax.cond) because solve_device is vmapped by the batch
+        # fallback, where cond lowers to select and runs both branches.
+        repair = (degenerate & ~infeasible
+                  & (status1 == int(Status.OPTIMAL)))
+        tab = lax.cond(
+            repair,
+            lambda t: pivot_out_artificials(t, options, gate=repair),
+            lambda t: t, tab)
 
     # ---- Phase 2 (twoPhaseMethod.cu:285-356) ----
     tab2 = phase2_reset(tab, c, options)
