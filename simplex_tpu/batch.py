@@ -72,8 +72,12 @@ def batch_kernel_enabled(options: SolverOptions, n: int, m: int) -> bool:
 
     if not kernel_blocked_eligible(options):
         return False
-    if int(options.block_pivots) % 8 != 0:
+    if (options.batch_block_pivots is None
+            and int(options.block_pivots) % 8 != 0):
         return False   # the kernel's eta-slab writes need 8-aligned L
+        # (an explicit batch_block_pivots override IS the in-kernel L and
+        # is already validated to a multiple of 8, so block_pivots'
+        # alignment is then irrelevant)
     if jax.default_backend() != "tpu":
         return False
     R1, _, M = batch_kernel_dims(n, m, options)
@@ -314,8 +318,10 @@ def _solve_device_batched_kernel(A: jax.Array, b: jax.Array, c: jax.Array,
         # phase-2 result is discarded, and a capped phase 1 leaves up to
         # m basic artificials whose vmapped repair would run hundreds of
         # full-batch-tableau sweeps of discarded work.
+        # != RUNNING (see two_phase.solve_device): phase-1 UNBOUNDED
+        # lanes' phase-2 results are not discarded.
         repair = (degenerate & ~infeasible
-                  & (status1 == int(Status.OPTIMAL)))
+                  & (status1 != int(Status.RUNNING)))
         # The gate must ride INSIDE the repair while-loop's condition:
         # under vmap the lax.cond lowers to select and EXECUTES both
         # branches, so only the in-cond gate actually skips the sweeps.

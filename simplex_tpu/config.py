@@ -228,10 +228,14 @@ class SolverOptions:
                 f"reprice_every must be >= 1, got {self.reprice_every}")
         if self.batch_block_pivots is not None and (
                 int(self.batch_block_pivots) < 8
+                or int(self.batch_block_pivots) > 128
                 or int(self.batch_block_pivots) % 8):
             raise ValueError(
-                "batch_block_pivots must be a multiple of 8 >= 8, got "
-                f"{self.batch_block_pivots}")
+                "batch_block_pivots must be a multiple of 8 in [8, 128], "
+                f"got {self.batch_block_pivots} (128 is the largest "
+                "window with a measured accuracy envelope — ~sqrt(L) f32 "
+                "eta drift — and bounds the kernel's L-scaled VMEM "
+                "scratch)")
         object.__setattr__(self, "dtype", np.dtype(self.dtype))
         object.__setattr__(
             self, "vector_dtype",

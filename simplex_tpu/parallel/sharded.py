@@ -1048,7 +1048,7 @@ def _two_phase_core(tab: Tableau, c: jax.Array, b_scale, inputs_finite,
         # leave up to m basic artificials' worth of repair sweeps.
         tab = lax.cond(
             degenerate & ~infeasible
-            & (status1 == int(Status.OPTIMAL)),
+            & (status1 != int(Status.RUNNING)),
             lambda t: pivot_out_artificials_sharded(t, options),
             lambda t: t, tab)
 

@@ -157,8 +157,11 @@ def solve_device(A: jax.Array, b: jax.Array, c: jax.Array, n: int, m: int,
         # gate rides INSIDE the repair loop's condition (not only this
         # lax.cond) because solve_device is vmapped by the batch
         # fallback, where cond lowers to select and runs both branches.
+        # != RUNNING, not == OPTIMAL: a (noise-driven) phase-1
+        # UNBOUNDED lane's phase-2 result is NOT discarded by the
+        # status resolution, so its basis must still be repaired.
         repair = (degenerate & ~infeasible
-                  & (status1 == int(Status.OPTIMAL)))
+                  & (status1 != int(Status.RUNNING)))
         tab = lax.cond(
             repair,
             lambda t: pivot_out_artificials(t, options, gate=repair),

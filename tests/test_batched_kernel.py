@@ -529,6 +529,19 @@ class TestDispatch:
             assert rel < 5e-4
         with pytest.raises(ValueError, match="multiple of 8"):
             SolverOptions(batch_block_pivots=12)
+        with pytest.raises(ValueError, match="multiple of 8"):
+            SolverOptions(batch_block_pivots=256)   # VMEM/accuracy cap
+
+    def test_batch_block_pivots_satisfies_auto_gate(self, monkeypatch):
+        # An explicit override IS the in-kernel L; the auto gate must not
+        # reject it because block_pivots itself is unaligned (review r4).
+        import simplex_tpu.batch as batch_mod
+
+        monkeypatch.setattr("jax.default_backend", lambda: "tpu")
+        opts = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                             block_pivots=20, eps=1e-5,
+                             batch_block_pivots=32)
+        assert batch_mod.batch_kernel_enabled(opts, 24, 10)
 
     def test_vmem_gate(self):
         from simplex_tpu.kernels.batched import batch_kernel_fits
