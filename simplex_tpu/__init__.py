@@ -17,10 +17,35 @@ import jax as _jax
 # minutes to compile on TPU (emulated-f64 expansion); caching makes every
 # later process's cold solve warm. Users override via the standard
 # JAX_COMPILATION_CACHE_DIR env var.
+#
+# The directory is keyed by the host CPU's feature flags: XLA:CPU cache
+# entries are ISA-specific AOT executables, and a container rescheduled
+# onto a different host microarchitecture between sessions would load
+# foreign-machine binaries — cpu_aot_loader warns about the machine-
+# feature mismatch ("could lead to execution errors such as SIGILL")
+# and intermittent SIGSEGVs inside jitted solves were observed exactly
+# that way.
+def _host_isa_tag() -> str:
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    flags = line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(
+        (platform.machine() + flags).encode()).hexdigest()[:12]
+
+
 if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
     _jax.config.update(
         "jax_compilation_cache_dir",
-        _os.path.expanduser("~/.cache/simplex_tpu_jax"))
+        _os.path.expanduser(f"~/.cache/simplex_tpu_jax_{_host_isa_tag()}"))
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from .config import EPS, SolverOptions, Status, compare  # noqa: F401

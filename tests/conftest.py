@@ -34,6 +34,24 @@ import pytest  # noqa: E402
 DATA = pathlib.Path(__file__).resolve().parent.parent / "data" / "examples"
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_programs_between_modules():
+    """Release XLA:CPU executables after each test module.
+
+    The suite compiles ~300 distinct programs (many of them large
+    interpret-mode Pallas while-loops) into ONE process; past a
+    threshold the accumulated loaded executables nondeterministically
+    crash XLA:CPU late in the run — Segfault/Abort inside
+    backend_compile_and_load or a jitted call, bisected to the point
+    where the suite's compile count grew, not to any code change.
+    Dropping references between modules keeps the live-executable
+    population bounded; the persistent on-disk compilation cache
+    (simplex_tpu/__init__.py) keeps recompiles cheap across modules
+    that share programs."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def small_problem():
     from simplex_tpu import read_problem
