@@ -153,25 +153,24 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
         c0h, c0l = ff32_from_f64(costs0)
 
     def cond(s):
-        (Tt, chi, clo, bh, bl, base, w, zh, zl, status, iters, stall,
-         bland, windows) = s
+        (Tt, chi, clo, bh, bl, base, w, scf, sci, windows) = s
+        status = sci[:, 0]
+        iters = sci[:, 1]
         return (jnp.any((status == run_i) & (iters < max_iter))
                 & (windows < max_iter))
 
     def body(s):
-        (Tt, chi, clo, bh, bl, base, w, zh, zl, status, iters, stall,
-         bland, windows) = s
-        active = (status == run_i) & (iters < max_iter)
-        zeros_i = jnp.zeros((B,), jnp.int32)
-        mi = jnp.full((B,), jnp.int32(max_iter))
-        sci = jnp.stack([status, iters, stall, bland,
-                         active.astype(jnp.int32), mi, zeros_i,
-                         zeros_i], axis=1)
-        zeros_f = jnp.zeros((B,), jnp.float32)
-        scf = jnp.stack([zh, zl] + [zeros_f] * 6, axis=1)
+        # scf (B, 8) f32 [z_hi, z_lo] and sci (B, 8) i32 [status, iters,
+        # stall, bland, active, max_iter] ride the carry PACKED — the
+        # kernel's own operand layout — so the per-window glue writes two
+        # small columns instead of re-stacking eight (B,) vectors and
+        # re-slicing six on every window.
+        (Tt, chi, clo, bh, bl, base, w, scf, sci, windows) = s
+        active = (sci[:, 0] == run_i) & (sci[:, 1] < max_iter)
+        sci_in = sci.at[:, 4].set(active.astype(jnp.int32))
 
         (Tt2, chi2, clo2, bh2, bl2, base2, w2, scf2, sci2) = window(
-            Tt, chi, clo, bh, bl, base, w, scf, sci)
+            Tt, chi, clo, bh, bl, base, w, scf, sci_in)
         if devex:
             # Re-anchor the devex reference framework once per window
             # per lane when the weights drift too far — the single-chip
@@ -180,11 +179,7 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
             # bounds mid-window overflow).
             w2 = jnp.where(jnp.max(w2, axis=1, keepdims=True) > 1e8,
                            jnp.ones_like(w2), w2)
-        zh2, zl2 = scf2[:, 0], scf2[:, 1]
         status2 = sci2[:, 0]
-        iters2 = sci2[:, 1]
-        stall2 = sci2[:, 2]
-        bland2 = sci2[:, 3]
 
         if costs0 is not None:
             # Exact re-pricing with the blocked-kernel cadence contract:
@@ -228,22 +223,27 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
                         & row_mask)
             premature = (do_r & (status2 == jnp.int32(int(Status.OPTIMAL)))
                          & jnp.any(eligible, axis=1))
-            status2 = jnp.where(premature, run_i, status2)
+            sci2 = sci2.at[:, 0].set(jnp.where(premature, run_i, status2))
             take = do_r[:, None]
             chi2 = jnp.where(take, chi_e, chi2)
             clo2 = jnp.where(take, clo_e, clo2)
 
-        return (Tt2, chi2, clo2, bh2, bl2, base2, w2, zh2, zl2, status2,
-                iters2, stall2, bland2, windows + 1)
+        return (Tt2, chi2, clo2, bh2, bl2, base2, w2, scf2, sci2,
+                windows + 1)
 
+    sci0 = jnp.zeros((B, 8), jnp.int32)
+    sci0 = sci0.at[:, 0].set(run_i)
+    sci0 = sci0.at[:, 3].set(jnp.int32(1 if bland_static else 0))
+    sci0 = sci0.at[:, 5].set(jnp.int32(max_iter))
+    scf0 = jnp.zeros((B, 8), jnp.float32)
+    scf0 = scf0.at[:, 0].set(zh0).at[:, 1].set(zl0)
     init = (Tt0, chi0, clo0, bh0, bl0, tabs.base,
-            jnp.ones((B, R_pad), jnp.float32), zh0, zl0,
-            jnp.full((B,), run_i), jnp.zeros((B,), jnp.int32),
-            jnp.zeros((B,), jnp.int32),
-            jnp.full((B,), jnp.int32(1 if bland_static else 0)),
+            jnp.ones((B, R_pad), jnp.float32), scf0, sci0,
             jnp.zeros((), jnp.int32))
-    (Tt, chi, clo, bh, bl, base, _w, zh, zl, status, iters, _stall,
-     _bland, _windows) = lax.while_loop(cond, body, init)
+    (Tt, chi, clo, bh, bl, base, _w, scf, sci,
+     _windows) = lax.while_loop(cond, body, init)
+    zh, zl = scf[:, 0], scf[:, 1]
+    status, iters = sci[:, 0], sci[:, 1]
 
     out = dataclasses.replace(
         tabs,

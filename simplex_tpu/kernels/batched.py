@@ -420,7 +420,8 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
     sci_out[0, 0, 2] = stall
     sci_out[0, 0, 3] = bland
     sci_out[0, 0, 4] = sci_in[0, 0, 4]
-    for j in range(5, 8):
+    sci_out[0, 0, 5] = max_iter0    # preserved: sci rides the solver's
+    for j in range(6, 8):           # while-loop carry packed
         sci_out[0, 0, j] = jnp.int32(0)
 
 
