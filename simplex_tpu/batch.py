@@ -61,6 +61,17 @@ def batch_kernel_dims(n: int, m: int,
             round_up(m, options.lane_pad))
 
 
+def batch_window_len(options: SolverOptions) -> int:
+    """The in-VMEM kernel's per-grid-step window length L:
+    ``batch_block_pivots`` when set, else block_pivots clamped to the
+    accuracy-conservative 32 (see solve_loop_batched_kernel). Shared by
+    the loop and by the VMEM-fit gate so the gate budgets the same
+    L-scaled eta scratch the kernel will allocate."""
+    if options.batch_block_pivots is not None:
+        return int(options.batch_block_pivots)
+    return min(int(options.block_pivots or 1), 32)
+
+
 def batch_kernel_enabled(options: SolverOptions, n: int, m: int) -> bool:
     """Whether ``solve_device_batched``'s 'auto' dispatch takes the
     batched fused-kernel path: TPU backend, f32 blocked config (same
@@ -81,7 +92,7 @@ def batch_kernel_enabled(options: SolverOptions, n: int, m: int) -> bool:
     if jax.default_backend() != "tpu":
         return False
     R1, _, M = batch_kernel_dims(n, m, options)
-    return batch_kernel_fits(M, R1)
+    return batch_kernel_fits(M, R1, batch_window_len(options))
 
 
 def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
@@ -127,10 +138,7 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
     # tools/profile_batch_alias.py) amortizes over L, so larger windows
     # trade ~sqrt(L) accuracy inside the 5e-4 mixed envelope for
     # wall-clock.
-    if options.batch_block_pivots is not None:
-        L = int(options.batch_block_pivots)
-    else:
-        L = min(int(options.block_pivots or 1), 32)
+    L = batch_window_len(options)
     reprice_every = max(1, int(options.reprice_every))
     B, R_pad, M_pad = tabs.T.shape
     vdtype = tabs.costs.dtype

@@ -276,10 +276,10 @@ def main(argv: list[str] | None = None) -> int:
             print(f"Seed file saved to {path}")
 
     if args.sharded:
-        if args.timer or args.per_iteration or args.batch > 1:
+        if args.timer or args.per_iteration or args.batch > 1 or args.fleet:
             raise SystemExit(
                 "--sharded runs one fused device program and is "
-                "incompatible with --timer/--per-iteration/--batch")
+                "incompatible with --timer/--per-iteration/--batch/--fleet")
         import jax
         from jax.sharding import Mesh
 

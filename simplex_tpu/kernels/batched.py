@@ -23,11 +23,16 @@ from VMEM.
 Numerics contract matches the fused blocked-kernel loop
 (kernels/blocked.py): f32 tableau; costs, b and z carried as
 double-float32 (hi, lo) pairs updated with error-free Dekker transforms
-(~2^-48 relative); pivot DECISIONS (entering eligibility, ratio test)
-read the f32-rounded (hi + lo) view, the representation the window
-re-pricing premature-optimal check must therefore also use. Exact
-window-boundary re-pricing runs as a separate batched pair-accumulation
-kernel (``batch_reprice_pass``) between window dispatches.
+(~2^-48 relative); pivot DECISIONS are pair-exact — entering
+eligibility via ``pair_eligible`` (cost + eps resolved through an
+error-free two_sum), Dantzig/devex selection by pair-lexicographic
+(hi, lo) ordering, and the min-ratio test on pair-divided ratios with
+pair-lexicographic tie ordering. The window re-pricing
+premature-optimal reopen check shares ``pair_eligible`` on the repriced
+pair, so glue and kernel can never disagree about "no eligible
+column". Exact window-boundary re-pricing runs as a separate batched
+pair-accumulation kernel (``batch_reprice_pass``) between window
+dispatches.
 
 Reference semantics mirrored per pivot (src/solver.cu:78-126): Dantzig
 argmin entering (lowest index on ties), ``a_h >= eps`` min-ratio leaving
@@ -56,11 +61,17 @@ from .blocked import (BIG_INDEX, _fast_two_sum, _i0, _two_prod, _two_sum,
 VMEM_TILE_BUDGET = 28 * 1024 * 1024
 
 
-def batch_kernel_fits(m_pad: int, r_pad: int) -> bool:
-    """Whether one lane's (m_pad, r_pad) f32 tableau fits the in-VMEM
-    window budget (the whole-tableau-resident design only makes sense
-    when it does; bigger lanes fall back to the vmapped XLA loop)."""
-    return m_pad * r_pad * 4 <= VMEM_TILE_BUDGET
+def batch_kernel_fits(m_pad: int, r_pad: int, l: int = 128) -> bool:
+    """Whether one lane's (m_pad, r_pad) f32 tableau plus the L-scaled
+    eta scratch — the (l, r_pad) F-factor slab and the (m_pad, l)
+    C-factor slab the window kernel keeps VMEM-resident — fits the
+    in-VMEM window budget (the whole-tableau-resident design only makes
+    sense when it does; bigger lanes fall back to the vmapped XLA
+    loop). ``l`` defaults to the largest allowed in-kernel window so an
+    ``batch_block_pivots`` override can never outgrow a gate that
+    passed."""
+    scratch = (l * r_pad + m_pad * l) * 4
+    return m_pad * r_pad * 4 + scratch <= VMEM_TILE_BUDGET
 
 
 def pair_eligible(chi, clo, eps32):

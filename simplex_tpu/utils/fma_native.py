@@ -39,7 +39,11 @@ def _build_library() -> ctypes.CDLL | None:
     try:
         if (not lib_path.exists()
                 or lib_path.stat().st_mtime < _SRC.stat().st_mtime):
-            with tempfile.TemporaryDirectory() as td:
+            # Build inside the destination's own directory: os.replace
+            # from a TemporaryDirectory (usually tmpfs) into the repo
+            # tree raises EXDEV on cross-filesystem setups, which would
+            # be swallowed below and permanently disable the fma path.
+            with tempfile.TemporaryDirectory(dir=_SRC.parent) as td:
                 tmp = os.path.join(td, "fma.so")
                 # -march=native lowers std::fma to the hardware vfmadd;
                 # without FMA hardware the libm call is bit-identical,
