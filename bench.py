@@ -31,7 +31,13 @@ def log(msg: str) -> None:
 REFERENCE_GBPS = 166.0  # BASELINE.md: RTX 2070 Super, 8192x8192 fp64
 
 
-def build_bench_state(n: int, m: int, dtype, options):
+def build_bench_state(n: int, m: int, dtype, options, stages: dict):
+    """Build the phase-1 bench tableau, attributing each stage
+    (VERDICT r4 weak #4: the r3->r4 'built in 4.8s vs 57.2s' swing was
+    unexplained because trace/compile/execute/transfer were lumped into
+    one number). ``stages`` gains build_trace_s / build_compile_s /
+    build_exec_s; data generation is on-device (jax.random), so there
+    is no host->device transfer stage to attribute."""
     # vectors take options.vector_dtype inside build_phase1
     import jax
     import jax.numpy as jnp
@@ -45,15 +51,22 @@ def build_bench_state(n: int, m: int, dtype, options):
     b = jax.random.uniform(kb, (m,), dtype=jnp.float32, minval=1.0,
                            maxval=100.0)
 
-    @jax.jit
     def prep(A, b):
         tab = build_phase1(A.astype(dtype), b.astype(dtype), n, m, options)
         return gaussian_eliminate(tab), tab.costs
 
-    tab, costs0 = prep(A, b)
+    t0 = time.perf_counter()
+    lowered = jax.jit(prep).lower(A, b)
+    stages["build_trace_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    compiled = lowered.compile()
+    stages["build_compile_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    tab, costs0 = compiled(A, b)
     # Sync via scalar readback — block_until_ready on multi-GB outputs
     # can wedge the axon tunnel (see timed._sync for the same pattern).
     float(tab.z)
+    stages["build_exec_s"] = round(time.perf_counter() - t0, 2)
     return tab, costs0
 
 
@@ -138,12 +151,16 @@ def main() -> int:
                             block_pivots=args.block or None, **extra)
 
     log(f"building phase-1 tableau n={n} m={m} dtype={dtype.name} ...")
+    stages = {}
     t0 = time.perf_counter()
-    tab0, costs0 = build_bench_state(n, m, dtype, options)
+    tab0, costs0 = build_bench_state(n, m, dtype, options, stages)
     R_pad, M_pad = tab0.T.shape
     tableau_gb = R_pad * M_pad * dtype.itemsize / 1e9
     log(f"tableau {R_pad} x {M_pad} = {tableau_gb:.2f} GB "
-        f"(built in {time.perf_counter() - t0:.1f}s)")
+        f"(built in {time.perf_counter() - t0:.1f}s: "
+        f"trace {stages['build_trace_s']}s, "
+        f"compile {stages['build_compile_s']}s, "
+        f"execute {stages['build_exec_s']}s)")
 
     log("measuring session RMW ceiling (bare read+write pass) ...")
     ceiling_gbs = measure_rmw_ceiling(tab0.T)
@@ -170,18 +187,31 @@ def main() -> int:
     # K=512 average spreads over only 512 (overstating ms/pivot ~25%).
     K_lo = max(K // 2, 1)
     results = {}
+    stages["loop_trace_s"] = 0.0
+    stages["loop_compile_s"] = 0.0
     for cap in (K_lo, K):
         run = make_run(cap)
         log(f"compiling + warmup (cap={cap}) ...")
         t0 = time.perf_counter()
+        lowered = run.lower(tab0, costs0)
+        trace_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        compiled = lowered.compile()
+        compile_s = time.perf_counter() - t0
+        stages["loop_trace_s"] = round(stages["loop_trace_s"] + trace_s, 2)
+        stages["loop_compile_s"] = round(
+            stages["loop_compile_s"] + compile_s, 2)
+        t0 = time.perf_counter()
         # Sync via scalar readback (block_until_ready can wedge on the
         # axon tunnel for large aliased outputs; reading any output of
         # the executable forces completion of the whole program).
-        out = run(tab0, costs0)
+        out = compiled(tab0, costs0)
         iters_done = int(out[2])
         warm_s = time.perf_counter() - t0
-        log(f"warmup: {warm_s:.1f}s, status={int(out[1])}, "
+        log(f"trace {trace_s:.1f}s, compile {compile_s:.1f}s, "
+            f"first run {warm_s:.1f}s, status={int(out[1])}, "
             f"iters={iters_done}")
+        run = compiled
         if iters_done < cap:
             log(f"WARNING: loop ended after {iters_done} < {cap} pivots")
         times = []
@@ -250,6 +280,13 @@ def main() -> int:
         "ceiling_gbs": round(ceiling_gbs, 1),
         "floor_ms_per_pivot": round(floor_ms, 3),
         "efficiency_pct": round(efficiency * 100, 1),
+        # Setup attribution (VERDICT r4 weak #4 / next #6): where the
+        # non-measured time went this session — tableau-build trace/
+        # compile/execute and the two solve-loop trace/compile pairs —
+        # so 10x cross-session swings in setup are explainable from the
+        # artifact alone.
+        "pivot_rule": options.pivot_rule_resolved,
+        **stages,
     }))
     return 0
 

@@ -44,7 +44,8 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .config import (DEFAULT_OPTIONS, EPS_REL_F32, SolverOptions, Status,
-                     kernel_blocked_eligible, normalize_enabled)
+                     kernel_blocked_eligible, normalize_enabled,
+                     refine_enabled)
 from .result import SolveResult
 from .tableau import (Tableau, build_phase1, count_basic_artificials,
                       extract_solution, gaussian_eliminate,
@@ -123,10 +124,10 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
                                   pair_eligible)
 
     eps = float(options.eps_resolved)
-    bland_static = options.pivot_rule == "bland"
-    devex = options.pivot_rule == "devex"
-    assert options.pivot_rule in ("dantzig", "bland", "devex"), (
-        options.pivot_rule)
+    bland_static = options.pivot_rule_resolved == "bland"
+    devex = options.pivot_rule_resolved == "devex"
+    assert options.pivot_rule_resolved in ("dantzig", "bland", "devex"), (
+        options.pivot_rule_resolved)
     threshold = options.bland_threshold
     # The in-VMEM kernel picks its own window length, default-clamped to
     # 32: the f32 eta-correction noise grows ~sqrt(L) (measured at
@@ -379,7 +380,7 @@ def _solve_device_batched_kernel(A: jax.Array, b: jax.Array, c: jax.Array,
 
     return DeviceSolveOutput(status, x, objective,
                              iters1.astype(jnp.int32),
-                             iters2.astype(jnp.int32), n_art)
+                             iters2.astype(jnp.int32), n_art, tab2.base)
 
 
 @functools.lru_cache(maxsize=32)
@@ -509,15 +510,54 @@ def solve_batched(problems, options: SolverOptions | None = None,
         out = jax.device_get(solve_device_batched(A, b, c, n, m, options,
                                                   kernel=kernel))
 
+    refine = refine_enabled(options)
     results = []
     for i in range(len(problems)):
         status = Status(int(out.status[i]))
-        results.append(SolveResult(
+        result = SolveResult(
             status=status,
             x=np.asarray(out.x[i]) if status == Status.OPTIMAL else None,
             objective=float(out.objective[i]),
             iterations_phase1=int(out.iterations_phase1[i]),
             iterations_phase2=int(out.iterations_phase2[i]),
             degenerate=bool(out.n_artificial_in_base[i] > 0),
-        ))
+        )
+        if refine and status == Status.OPTIMAL:
+            result = _refine_lane(problems[i], out.base[i], options, result)
+        results.append(result)
     return results
+
+
+def _refine_lane(problem, base, options: SolverOptions,
+                 result: SolveResult) -> SolveResult:
+    """f64 basis refinement for one OPTIMAL batch lane, on the HOST
+    (LAPACK f64 against the lane's original problem data — the device
+    copy of A was deliberately downcast to the tableau dtype for the
+    transfer, see solve_batched). Certificate failure falls back to an
+    f64 finishing solve of just that lane."""
+    from .refine import RefineInfo, certificates_pass, refine_solution_host
+    from .two_phase import fallback_options, solve
+
+    tol = float(options.refine_tol)
+    ro = refine_solution_host(problem.A, problem.b, problem.c,
+                              np.asarray(base), problem.vars,
+                              problem.constraints)
+    ok = ro is not None and certificates_pass(ro, problem.b, problem.c, tol)
+    if ok:
+        info = RefineInfo(True, float(ro.primal_residual),
+                          float(ro.primal_negativity),
+                          float(ro.artificial_mass),
+                          float(ro.dual_infeasibility), tol,
+                          objective_shift=(float(ro.objective)
+                                           - result.objective))
+        return dataclasses.replace(result, x=np.asarray(ro.x),
+                                   objective=float(ro.objective),
+                                   refine=info)
+    info = RefineInfo(False,
+                      float(ro.primal_residual) if ro else float("inf"),
+                      float(ro.primal_negativity) if ro else float("inf"),
+                      float(ro.artificial_mass) if ro else float("inf"),
+                      float(ro.dual_infeasibility) if ro else float("inf"),
+                      tol, fallback=True)
+    result64 = solve(problem, fallback_options(options))
+    return dataclasses.replace(result64, refine=info)

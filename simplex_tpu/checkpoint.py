@@ -103,7 +103,7 @@ def _run_windows(tab: Tableau, options: SolverOptions, max_iter: int,
     is capped to the remaining ``max_iter - done`` budget so the total
     pivot count never overshoots ``max_iter`` (costing at most one extra
     jit specialization for the shorter window)."""
-    if options.bland_threshold and options.pivot_rule == "dantzig":
+    if options.bland_threshold and options.pivot_rule_resolved == "dantzig":
         clamped = max(every, 4 * int(options.bland_threshold))
         if clamped != every:
             import warnings

@@ -85,12 +85,13 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--block", type=int, default=None, metavar="L",
                    help="deferred block-pivot window (see BENCHMARKS.md); "
                         "default: plain reference-semantics loop")
-    p.add_argument("--pivot-rule", default="dantzig",
-                   choices=["dantzig", "devex", "bland"],
-                   help="entering-variable pricing: dantzig (reference "
-                        "parity, default), devex (Forrest-Goldfarb "
-                        "weights, ~35-45%% fewer pivots; needs --block), "
-                        "or bland (anti-cycling)")
+    p.add_argument("--pivot-rule", default="auto",
+                   choices=["auto", "dantzig", "devex", "bland"],
+                   help="entering-variable pricing: auto (default — devex "
+                        "for f32 --block production runs, dantzig "
+                        "elsewhere), dantzig (reference parity rule, "
+                        "solver.cu:87), devex (Forrest-Goldfarb weights, "
+                        "~35-45%% fewer pivots), or bland (anti-cycling)")
     p.add_argument("--limit", type=int, default=8192,
                    help="benchmark sweep upper size")
     p.add_argument("--resume-sweep", action="store_true",
@@ -139,7 +140,7 @@ def _options(args) -> SolverOptions:
         eps=args.eps,   # None -> dtype-resolved default (config.EPS_F32)
         max_iter=args.max_iter,
         block_pivots=args.block,
-        pivot_rule=args.pivot_rule,
+        pivot_rule=None if args.pivot_rule == "auto" else args.pivot_rule,
         degeneracy="reference" if args.reference_degeneracy else "continue",
     )
 

@@ -150,13 +150,23 @@ class SolverOptions:
     max_iter: Optional[int] = None
 
     #: 'dantzig' (reference rule: most negative reduced cost,
-    #: solver.cu:87 — the parity default), 'devex' (Forrest-Goldfarb
+    #: solver.cu:87 — the parity rule), 'devex' (Forrest-Goldfarb
     #: reference-framework weights: pick the eligible column maximizing
     #: cost^2 / weight; measured 35-45% fewer pivots than Dantzig on
     #: seeded dense instances at ~zero per-pivot cost — see
     #: BENCHMARKS.md), or 'bland' (always lowest eligible index;
-    #: anti-cycling).
-    pivot_rule: str = "dantzig"
+    #: anti-cycling). None (the default) resolves by mode into
+    #: ``pivot_rule_resolved``: devex for the f32 blocked production
+    #: configurations (the measured-best rule IS the default path),
+    #: dantzig everywhere else — f64 keeps the reference's own rule
+    #: (parity contract), and non-blocked loops match the reference's
+    #: sequential economics. Solver code reads ``pivot_rule_resolved``.
+    pivot_rule: Optional[str] = None
+
+    #: Derived: ``pivot_rule`` resolved against the mode (set in
+    #: ``__post_init__``; never pass it yourself).
+    pivot_rule_resolved: str = dataclasses.field(init=False, repr=False,
+                                                 compare=False)
 
     #: Consecutive non-improving (degenerate) pivots before temporarily
     #: switching Dantzig -> Bland. None disables the fallback
@@ -208,6 +218,31 @@ class SolverOptions:
     #: of 8 (the eta-slab stores).
     batch_block_pivots: Optional[int] = None
 
+    #: f64 basis-system refinement at solution extraction (refine.py):
+    #: rebuild B from the ORIGINAL f64 problem data for the final basis,
+    #: re-solve B x_B = b and B^T y = c_B with an f32 LU + f64 iterative
+    #: refinement, and replace x/objective with the f64-certified values
+    #: (the TPU-native analogue of the reference's f64 getSolutionHost,
+    #: twoPhaseMethod.cu:370-383, which extracts from an all-f64
+    #: tableau). "auto" (default): enabled exactly for the mixed
+    #: production mode (f32 tableau + f64 vectors) — the mode whose
+    #: in-loop drift refinement erases; f64 solves are already exact and
+    #: pure-f32 solves have no f64 data path. If the refinement
+    #: certificates fail (wrong final basis — knife-edge numerics), the
+    #: host wrapper falls back to an f64 finishing solve.
+    refine: Union[str, bool] = "auto"
+
+    #: Iterative-refinement sweeps for the primal and dual basis solves
+    #: (each contracts the error by ~cond(B) * 2^-24; 3 reaches f64
+    #: round-off for any basis an f32 pivot walk can navigate).
+    refine_iters: int = 3
+
+    #: Scale-relative certificate tolerance (refine.certificates_pass):
+    #: primal residual / negativity / artificial mass against the |b|
+    #: scale, dual infeasibility against the cost+dual scale. Failing
+    #: any of them triggers the f64 finishing fallback.
+    refine_tol: float = 1e-6
+
     #: Pad the constraint axis to a multiple of this (TPU lane width).
     lane_pad: int = 128
     #: Pad the variable axis to a multiple of this (TPU sublane tile).
@@ -219,13 +254,22 @@ class SolverOptions:
         return 50 * (rows + cols)
 
     def __post_init__(self):
-        if self.pivot_rule not in ("dantzig", "devex", "bland"):
+        if self.pivot_rule not in (None, "dantzig", "devex", "bland"):
             raise ValueError(f"unknown pivot_rule {self.pivot_rule!r}")
         if self.degeneracy not in ("continue", "reference"):
             raise ValueError(f"unknown degeneracy policy {self.degeneracy!r}")
         if int(self.reprice_every) < 1:
             raise ValueError(
                 f"reprice_every must be >= 1, got {self.reprice_every}")
+        if self.refine not in ("auto", True, False):
+            raise ValueError(f"refine must be 'auto'/True/False, "
+                             f"got {self.refine!r}")
+        if int(self.refine_iters) < 1:
+            raise ValueError(
+                f"refine_iters must be >= 1, got {self.refine_iters}")
+        if not (float(self.refine_tol) > 0.0):
+            raise ValueError(
+                f"refine_tol must be > 0, got {self.refine_tol}")
         if self.batch_block_pivots is not None and (
                 int(self.batch_block_pivots) < 8
                 or int(self.batch_block_pivots) > 128
@@ -249,11 +293,36 @@ class SolverOptions:
             self, "eps_resolved",
             float(self.eps) if self.eps is not None
             else (EPS if self.dtype.itemsize == 8 else EPS_F32))
+        # pivot_rule follows the same raw-vs-derived pattern: None means
+        # "resolve by mode" — devex for the f32 blocked production
+        # configurations (the measured-best rule ships as the default
+        # path, VERDICT r4 #2), dantzig for the f64 parity modes and the
+        # sequential loops (the reference's own rule, solver.cu:87).
+        if self.pivot_rule is not None:
+            resolved_rule = self.pivot_rule
+        elif (self.block_pivots and int(self.block_pivots) > 1
+                and self.dtype.itemsize == 4):
+            resolved_rule = "devex"
+        else:
+            resolved_rule = "dantzig"
+        object.__setattr__(self, "pivot_rule_resolved", resolved_rule)
 
     @property
     def needs_x64(self) -> bool:
         return (self.dtype == np.float64
-                or self.vector_dtype == np.float64)
+                or self.vector_dtype == np.float64
+                or refine_enabled(self))
+
+
+def refine_enabled(options: SolverOptions) -> bool:
+    """Resolve ``refine``: 'auto' means the mixed production mode only
+    (f32 tableau whose drift refinement erases + f64 vectors proving an
+    f64 data path exists); f64 solves are already reference-exact and
+    pure-f32 solves have no f64 inputs to refine against."""
+    if options.refine == "auto":
+        return (np.dtype(options.dtype).itemsize == 4
+                and np.dtype(options.vector_dtype).itemsize == 8)
+    return bool(options.refine)
 
 
 def normalize_enabled(options: SolverOptions) -> bool:

@@ -194,8 +194,8 @@ def _solve_loop(t: _Tableau, enter_mask, options: SolverOptions,
     Bland fallback after ``bland_threshold`` consecutive non-improving
     pivots and an iteration fuse (no reference equivalents)."""
     eps = options.eps_resolved
-    bland = options.pivot_rule == "bland"
-    devex = options.pivot_rule == "devex"
+    bland = options.pivot_rule_resolved == "bland"
+    devex = options.pivot_rule_resolved == "devex"
     # Devex reference-framework weights (Forrest & Goldfarb 1992), one
     # per stored variable row, re-initialised to 1 whenever they drift
     # too far from the reference framework.
@@ -236,7 +236,7 @@ def _solve_loop(t: _Tableau, enter_mask, options: SolverOptions,
             if weights.max() > 1e8:    # re-anchor the framework
                 weights[:] = 1.0
         _pivot(t, h, k, minc, fma=fma)
-        if options.pivot_rule != "bland" and options.bland_threshold:
+        if options.pivot_rule_resolved != "bland" and options.bland_threshold:
             if abs(t.z - z_before) < eps:
                 stall += 1
                 if stall >= options.bland_threshold:

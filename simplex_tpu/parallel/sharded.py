@@ -243,7 +243,7 @@ def solve_loop_sharded(tab: Tableau, options: SolverOptions, max_iter: int):
     the distributed mirror of solver.solve_loop with the same statuses,
     Bland fallback, and iteration fuse."""
     eps = float(options.eps_resolved)
-    bland_static = options.pivot_rule == "bland"
+    bland_static = options.pivot_rule_resolved == "bland"
     threshold = options.bland_threshold
 
     def cond(state: LoopState):
@@ -398,8 +398,8 @@ def solve_loop_blocked_sharded(tab: Tableau, options: SolverOptions,
     the entering fold gathers (score, cost, weight), and the per-pivot
     framework re-anchor adds one scalar all-gather."""
     eps = float(options.eps_resolved)
-    bland_static = options.pivot_rule == "bland"
-    devex = options.pivot_rule == "devex"
+    bland_static = options.pivot_rule_resolved == "bland"
+    devex = options.pivot_rule_resolved == "devex"
     threshold = options.bland_threshold
     L = int(options.block_pivots or 1)
     R_loc, m_pad = tab.T.shape
@@ -565,8 +565,8 @@ def solve_loop_blocked_kernel_sharded(tab: Tableau, options: SolverOptions,
                                    ff32_from_f64, ff32_to_f64)
 
     eps = float(options.eps_resolved)
-    bland_static = options.pivot_rule == "bland"
-    devex = options.pivot_rule == "devex"
+    bland_static = options.pivot_rule_resolved == "bland"
+    devex = options.pivot_rule_resolved == "devex"
     threshold = options.bland_threshold
     L = int(options.block_pivots or 1)
     R_loc, m_pad = tab.T.shape
@@ -890,7 +890,7 @@ def run_solve_loop_sharded(tab: Tableau, options: SolverOptions,
                    # the kernels' 8-row C-slab write needs an 8-aligned
                    # L (kernels/blocked.py colk_costs_pass)
                    and (L < 8 or L % 8 == 0))
-    if options.pivot_rule == "devex" and L <= 1:
+    if options.pivot_rule_resolved == "devex" and L <= 1:
         raise ValueError(
             "sharded pivot_rule='devex' requires block_pivots > 1 (the "
             "deferred block-pivot loops — fused-kernel or XLA fallback — "
@@ -954,6 +954,7 @@ class ShardedSolveOutput(NamedTuple):
     iterations_phase1: jax.Array
     iterations_phase2: jax.Array
     n_artificial_in_base: jax.Array
+    base: jax.Array          # (M_pad,) int32 final basis (replicated)
 
 
 def pivot_out_artificials_sharded(tab: Tableau,
@@ -1095,7 +1096,7 @@ def _two_phase_core(tab: Tableau, c: jax.Array, b_scale, inputs_finite,
     iters2 = jnp.where(phase1_failed, 0, iters2)
     return ShardedSolveOutput(status, x, objective,
                               iters1.astype(jnp.int32),
-                              iters2.astype(jnp.int32), n_art)
+                              iters2.astype(jnp.int32), n_art, tab2.base)
 
 
 def build_phase1_sharded(A, b, n: int, m: int, n_shards: int,
@@ -1137,7 +1138,7 @@ def make_sharded_solver(mesh: Mesh, n: int, m: int,
         mesh=mesh,
         in_specs=(tab_specs, P(None), P(), P()),
         out_specs=ShardedSolveOutput(
-            P(), P(None), P(), P(), P(), P()),
+            P(), P(None), P(), P(), P(), P(), P(None)),
         check_vma=False,
     )
 
@@ -1167,6 +1168,8 @@ def solve_sharded(problem, mesh: Mesh,
     blocked-pivot kernels in Pallas interpret mode (CPU meshes)."""
     from ..result import SolveResult
 
+    from ..config import refine_enabled
+
     if options.needs_x64:
         jax.config.update("jax_enable_x64", True)
     m, n = problem.constraints, problem.vars
@@ -1174,11 +1177,31 @@ def solve_sharded(problem, mesh: Mesh,
     out = jax.device_get(fn(jnp.asarray(problem.A), jnp.asarray(problem.b),
                             jnp.asarray(problem.c)))
     status = Status(int(out.status))
+
+    x = np.asarray(out.x) if status == Status.OPTIMAL else None
+    objective = float(out.objective)
+    refine_info = None
+    if status == Status.OPTIMAL and refine_enabled(options):
+        from ..two_phase import fallback_options, refine_result
+        import dataclasses as _dc
+
+        rx, robj, refine_info = refine_result(problem, out.base, options,
+                                              raw_objective=objective)
+        if rx is not None:
+            x, objective = rx, robj
+        else:
+            from ..two_phase import solve as _solve_single
+
+            result64 = _solve_single(problem, fallback_options(options))
+            return _dc.replace(
+                result64, refine=refine_info._replace(fallback=True))
+
     return SolveResult(
         status=status,
-        x=np.asarray(out.x) if status == Status.OPTIMAL else None,
-        objective=float(out.objective),
+        x=x,
+        objective=objective,
         iterations_phase1=int(out.iterations_phase1),
         iterations_phase2=int(out.iterations_phase2),
         degenerate=bool(out.n_artificial_in_base > 0),
+        refine=refine_info,
     )

@@ -32,6 +32,10 @@ class SolveResult:
     #: Artificial variables left in the phase-1 basis (reference
     #: checkDegeneracy, twoPhaseMethod.cu:206-223).
     degenerate: bool = False
+    #: f64 basis-refinement record (refine.RefineInfo) when the solve
+    #: went through solution refinement; None otherwise (f64 parity
+    #: mode, non-OPTIMAL statuses, refinement disabled).
+    refine: Optional[object] = None
 
     @property
     def iterations(self) -> int:

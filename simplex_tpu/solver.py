@@ -122,7 +122,7 @@ def iteration_body(state: LoopState, options: SolverOptions) -> LoopState:
     OPTIMAL/UNBOUNDED (re-derives the same exit and skips the update),
     which also makes it vmap-safe for lanes that finish early."""
     eps = float(options.eps_resolved)
-    bland_static = options.pivot_rule == "bland"
+    bland_static = options.pivot_rule_resolved == "bland"
     threshold = options.bland_threshold
 
     tab = state.tab
@@ -182,7 +182,7 @@ def anticycling_update(do, improved, prev_stall, prev_bland, *,
 def initial_state(tab: Tableau, options: SolverOptions) -> LoopState:
     return LoopState(tab, jnp.asarray(int(Status.RUNNING), jnp.int32),
                      jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-                     jnp.asarray(options.pivot_rule == "bland"))
+                     jnp.asarray(options.pivot_rule_resolved == "bland"))
 
 
 def solve_loop(tab: Tableau, options: SolverOptions,
@@ -229,7 +229,7 @@ def solve_loop_pallas(tab: Tableau, options: SolverOptions,
     from .kernels.pivot import BIG_INDEX, entering_candidates, fused_pivot
 
     eps = float(options.eps_resolved)
-    bland_static = options.pivot_rule == "bland"
+    bland_static = options.pivot_rule_resolved == "bland"
     threshold = options.bland_threshold
     r_pad = tab.rows_padded
 
@@ -462,8 +462,8 @@ def solve_loop_blocked(tab: Tableau, options: SolverOptions,
     summation order differs.
     """
     eps = float(options.eps_resolved)
-    bland_static = options.pivot_rule == "bland"
-    devex = options.pivot_rule == "devex"
+    bland_static = options.pivot_rule_resolved == "bland"
+    devex = options.pivot_rule_resolved == "devex"
     threshold = options.bland_threshold
     L = int(options.block_pivots or 1)
     r_pad, m_pad = tab.T.shape
@@ -682,8 +682,8 @@ def solve_loop_blocked_kernel(tab: Tableau, options: SolverOptions,
                                   ff32_from_f64, ff32_to_f64)
 
     eps = float(options.eps_resolved)
-    bland_static = options.pivot_rule == "bland"
-    devex = options.pivot_rule == "devex"
+    bland_static = options.pivot_rule_resolved == "bland"
+    devex = options.pivot_rule_resolved == "devex"
     threshold = options.bland_threshold
     L = int(options.block_pivots or 1)
     r_pad, m_pad = tab.T.shape
@@ -940,7 +940,7 @@ def run_solve_loop(tab: Tableau, options: SolverOptions, max_iter: int,
     from .config import (EPS_REL_F32, kernel_blocked_enabled,
                          normalize_enabled)
 
-    if (options.pivot_rule == "devex"
+    if (options.pivot_rule_resolved == "devex"
             and not (options.block_pivots
                      and int(options.block_pivots) > 1)):
         raise ValueError(

@@ -148,7 +148,7 @@ def _run_solve(tab, options, max_iter, chrono, rows_csv, per_iteration,
         chrono.row(rows_csv, tab.m, "solveIterations", total / 1e6)
         return tab, status_i, total
 
-    if options.pivot_rule == "devex":
+    if options.pivot_rule_resolved == "devex":
         raise ValueError(
             "per-iteration timing drives the single-pivot reference "
             "loop, which prices with Dantzig/Bland only (devex lives in "

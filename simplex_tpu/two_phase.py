@@ -47,6 +47,7 @@ class DeviceSolveOutput(NamedTuple):
     iterations_phase1: jax.Array
     iterations_phase2: jax.Array
     n_artificial_in_base: jax.Array
+    base: jax.Array          # (M_pad,) int32 final basis (refine.py input)
 
 
 def pivot_out_artificials(tab: Tableau, options: SolverOptions,
@@ -213,7 +214,46 @@ def solve_device(A: jax.Array, b: jax.Array, c: jax.Array, n: int, m: int,
 
     return DeviceSolveOutput(status, x, objective,
                              iters1.astype(jnp.int32),
-                             iters2.astype(jnp.int32), n_art)
+                             iters2.astype(jnp.int32), n_art, tab2.base)
+
+
+def refine_result(problem: Problem, base, options: SolverOptions,
+                  A_dev=None, b_dev=None, c_dev=None,
+                  raw_objective: float = float("nan")):
+    """Run f64 basis refinement for one OPTIMAL solve and certify it
+    (see refine.py). Returns ``(x, objective, RefineInfo) | None`` —
+    None means the certificates failed and the caller should fall back
+    to an f64 finishing solve. Shared by solve(), the batched wrapper
+    (per-lane) and the sharded wrapper."""
+    from .refine import RefineInfo, certificates_pass, refine_solution
+
+    m, n = problem.constraints, problem.vars
+    ro = jax.device_get(refine_solution(
+        A_dev if A_dev is not None else jnp.asarray(problem.A),
+        b_dev if b_dev is not None else jnp.asarray(problem.b),
+        c_dev if c_dev is not None else jnp.asarray(problem.c),
+        jnp.asarray(base), n=n, m=m, iters=int(options.refine_iters)))
+    tol = float(options.refine_tol)
+    ok = certificates_pass(ro, problem.b, problem.c, tol)
+    info = RefineInfo(
+        certified=ok,
+        primal_residual=float(ro.primal_residual),
+        primal_negativity=float(ro.primal_negativity),
+        artificial_mass=float(ro.artificial_mass),
+        dual_infeasibility=float(ro.dual_infeasibility),
+        tol=tol,
+        objective_shift=float(ro.objective) - raw_objective)
+    if not ok:
+        return None, None, info
+    return np.asarray(ro.x), float(ro.objective), info
+
+
+def fallback_options(options: SolverOptions) -> SolverOptions:
+    """The f64 finishing configuration used when refinement certificates
+    fail: full-f64 tableau under the reference's 1e-9 eps discipline
+    (eps=None re-resolves by dtype), refinement off (already exact)."""
+    return dataclasses.replace(
+        options, dtype=np.float64, vector_dtype=np.float64, refine=False)
 
 
 def solve(problem: Problem, options: SolverOptions | None = None,
@@ -222,7 +262,15 @@ def solve(problem: Problem, options: SolverOptions | None = None,
 
     ``replacements`` override individual SolverOptions fields, e.g.
     ``solve(p, dtype=np.float32, pivot_rule="bland")``.
+
+    In the mixed production mode (f32 tableau + f64 vectors) the
+    OPTIMAL result is passed through f64 basis refinement (refine.py)
+    so the reported x/objective are f64-class like the reference's
+    all-double extraction; if the refinement certificates fail the
+    solve is finished in full f64 (``RefineInfo.fallback``).
     """
+    from .config import refine_enabled
+
     options = options or DEFAULT_OPTIONS
     if replacements:
         options = dataclasses.replace(options, **replacements)
@@ -230,15 +278,32 @@ def solve(problem: Problem, options: SolverOptions | None = None,
         jax.config.update("jax_enable_x64", True)
 
     m, n = problem.constraints, problem.vars
-    out = solve_device(jnp.asarray(problem.A), jnp.asarray(problem.b),
-                       jnp.asarray(problem.c), n, m, options)
+    A_dev, b_dev, c_dev = (jnp.asarray(problem.A), jnp.asarray(problem.b),
+                           jnp.asarray(problem.c))
+    out = solve_device(A_dev, b_dev, c_dev, n, m, options)
     out = jax.device_get(out)
     status = Status(int(out.status))
+
+    x = np.asarray(out.x) if status == Status.OPTIMAL else None
+    objective = float(out.objective)
+    refine_info = None
+    if status == Status.OPTIMAL and refine_enabled(options):
+        rx, robj, refine_info = refine_result(problem, out.base, options,
+                                              A_dev, b_dev, c_dev,
+                                              raw_objective=objective)
+        if rx is not None:
+            x, objective = rx, robj
+        else:
+            result64 = solve(problem, fallback_options(options))
+            return dataclasses.replace(
+                result64, refine=refine_info._replace(fallback=True))
+
     return SolveResult(
         status=status,
-        x=np.asarray(out.x) if status == Status.OPTIMAL else None,
-        objective=float(out.objective),
+        x=x,
+        objective=objective,
         iterations_phase1=int(out.iterations_phase1),
         iterations_phase2=int(out.iterations_phase2),
         degenerate=bool(out.n_artificial_in_base > 0),
+        refine=refine_info,
     )

@@ -244,8 +244,12 @@ class TestMultiTileWalk:
         # use seeds where they do not.
         from simplex_tpu.two_phase import solve
 
+        # dantzig pinned: exact cross-implementation walk equality is a
+        # Dantzig artifact (devex near-tie scores are f32-representation
+        # sensitive; the default now resolves devex for this config).
         opts = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
-                             eps=1e-5, block_pivots=16)
+                             eps=1e-5, block_pivots=16,
+                             pivot_rule="dantzig")
         problems = _random_batch(300, 140, seeds=(1, 3, 4, 5))
         results = solve_batched(problems, opts, kernel="interpret")
         for p, r in zip(problems, results):
@@ -365,7 +369,8 @@ class TestDevexKernel:
         # the same instances (35-45% at scale; ~30% at this size).
         dantzig = SolverOptions(dtype=np.float32,
                                 vector_dtype=np.float64,
-                                block_pivots=16, eps=1e-5)
+                                block_pivots=16, eps=1e-5,
+                                pivot_rule="dantzig")
         problems = _random_batch(300, 140, seeds=(1, 2))
         dev = solve_batched(problems, self.DEVEX, kernel="interpret")
         dan = solve_batched(problems, dantzig, kernel="interpret")

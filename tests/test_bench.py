@@ -40,7 +40,15 @@ def test_one_json_line_contract(extra):
     rec = json.loads(lines[0])
     assert set(rec) == {"metric", "value", "unit", "vs_baseline",
                         "ceiling_gbs", "floor_ms_per_pivot",
-                        "efficiency_pct"}
+                        "efficiency_pct", "pivot_rule",
+                        "build_trace_s", "build_compile_s",
+                        "build_exec_s", "loop_trace_s", "loop_compile_s"}
+    # Setup attribution (VERDICT r4 next #6): every stage measured and
+    # non-negative; the pivot rule of record is the resolved default.
+    for k in ("build_trace_s", "build_compile_s", "build_exec_s",
+              "loop_trace_s", "loop_compile_s"):
+        assert rec[k] >= 0
+    assert rec["pivot_rule"] in ("dantzig", "devex", "bland")
     assert rec["unit"] == "GB/s/chip"
     assert rec["value"] > 0
     # Self-normalization keys (VERDICT r3 #3): a positive in-run RMW

@@ -50,6 +50,42 @@ class TestEpsResolution:
         assert o2.eps_resolved == 1e-6
 
 
+class TestPivotRuleResolution:
+    """The r5 production default: devex for f32 blocked configs, the
+    reference's own Dantzig rule (solver.cu:87) everywhere else."""
+
+    def test_mixed_blocked_resolves_devex(self):
+        o = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                          block_pivots=128)
+        assert o.pivot_rule_resolved == "devex"
+
+    def test_f64_parity_mode_stays_dantzig(self):
+        assert SolverOptions().pivot_rule_resolved == "dantzig"
+        assert SolverOptions(
+            dtype=np.float64,
+            block_pivots=128).pivot_rule_resolved == "dantzig"
+
+    def test_sequential_f32_stays_dantzig(self):
+        assert SolverOptions(
+            dtype=np.float32).pivot_rule_resolved == "dantzig"
+
+    def test_explicit_rule_wins(self):
+        o = SolverOptions(dtype=np.float32, block_pivots=128,
+                          pivot_rule="dantzig")
+        assert o.pivot_rule_resolved == "dantzig"
+
+    def test_replace_rederives_rule(self):
+        o = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
+                          block_pivots=128)
+        o2 = dataclasses.replace(o, dtype=np.float64,
+                                 vector_dtype=np.float64)
+        assert o2.pivot_rule_resolved == "dantzig"
+
+    def test_unknown_rule_rejected(self):
+        with pytest.raises(ValueError):
+            SolverOptions(pivot_rule="steepest")
+
+
 @pytest.mark.slow
 def test_degenerate_crawl_instance_terminates():
     """n=300 m=900 seed=777: phase 2 visits a degenerate optimal vertex
