@@ -73,27 +73,44 @@ def batch_window_len(options: SolverOptions) -> int:
     return min(int(options.block_pivots or 1), 32)
 
 
-def batch_kernel_enabled(options: SolverOptions, n: int, m: int) -> bool:
-    """Whether ``solve_device_batched``'s 'auto' dispatch takes the
-    batched fused-kernel path: TPU backend, f32 blocked config (same
-    eligibility as the flagship fused kernels, minus their L-alignment
-    constraint — the batched kernel has none; all three pricing rules
-    run in-kernel, incl. per-lane devex weights), and a per-lane tableau
-    that fits the VMEM-resident design."""
+def batch_kernel_tier(options: SolverOptions, n: int, m: int) -> str | None:
+    """Which batched fused-kernel tier a (n, m) lane shape gets:
+    'vmem' (whole tableau VMEM-resident, kernels/batched.py), 'hbm'
+    (tableau in HBM, per-pivot strip/slab DMAs — kernels/batched_hbm.py,
+    the r5 tier that lifts the 28 MB gate), or None (config ineligible
+    or the working set beyond even the HBM tier: vmapped-XLA fallback).
+    Backend-independent — callers add the TPU/interpret condition."""
     from .kernels.batched import batch_kernel_fits
+    from .kernels.batched_hbm import hbm_tier_fits
 
     if not kernel_blocked_eligible(options):
-        return False
+        return None
     if (options.batch_block_pivots is None
             and int(options.block_pivots) % 8 != 0):
-        return False   # the kernel's eta-slab writes need 8-aligned L
+        return None    # the kernel's eta-slab writes need 8-aligned L
         # (an explicit batch_block_pivots override IS the in-kernel L and
         # is already validated to a multiple of 8, so block_pivots'
         # alignment is then irrelevant)
+    R1, _, M = batch_kernel_dims(n, m, options)
+    L = batch_window_len(options)
+    if batch_kernel_fits(M, R1, L):
+        return "vmem"
+    if hbm_tier_fits(M, R1, L):
+        return "hbm"
+    return None
+
+
+def batch_kernel_enabled(options: SolverOptions, n: int, m: int) -> bool:
+    """Whether ``solve_device_batched``'s 'auto' dispatch takes a
+    batched fused-kernel path: TPU backend, f32 blocked config (same
+    eligibility as the flagship fused kernels, minus their L-alignment
+    constraint — the batched kernel has none; all three pricing rules
+    run in-kernel, incl. per-lane devex weights), and a lane shape one
+    of the two kernel tiers covers (VMEM-resident, or the HBM tier's
+    strip-DMA design)."""
     if jax.default_backend() != "tpu":
         return False
-    R1, _, M = batch_kernel_dims(n, m, options)
-    return batch_kernel_fits(M, R1, batch_window_len(options))
+    return batch_kernel_tier(options, n, m) is not None
 
 
 def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
@@ -148,7 +165,17 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
     run_i = jnp.int32(int(Status.RUNNING))
     row_mask = (jnp.arange(R_pad) < tabs.r)[None, :]
 
-    window = partial(batch_window_pass, L=L, r=tabs.r, eps=eps,
+    # Tier dispatch: whole-tableau-in-VMEM window kernel when the lane
+    # fits, else the HBM tier (same shared pivot loop, tableau parked in
+    # HBM with per-pivot strip/slab DMAs — kernels/batched_hbm.py).
+    from .kernels.batched import batch_kernel_fits
+
+    if batch_kernel_fits(M_pad, R_pad, L):
+        window_fn = batch_window_pass
+    else:
+        from .kernels.batched_hbm import hbm_window_pass
+        window_fn = hbm_window_pass
+    window = partial(window_fn, L=L, r=tabs.r, eps=eps,
                      bland_static=bland_static, threshold=threshold,
                      devex=devex, interpret=interpret)
 

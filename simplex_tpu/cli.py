@@ -92,6 +92,10 @@ def _build_parser() -> argparse.ArgumentParser:
                         "elsewhere), dantzig (reference parity rule, "
                         "solver.cu:87), devex (Forrest-Goldfarb weights, "
                         "~35-45%% fewer pivots), or bland (anti-cycling)")
+    p.add_argument("--equilibrate", action="store_true",
+                   help="power-of-two row/column equilibration at fill "
+                        "(extreme-magnitude LPs in the mixed mode; "
+                        "results unwound/refined to original units)")
     p.add_argument("--limit", type=int, default=8192,
                    help="benchmark sweep upper size")
     p.add_argument("--resume-sweep", action="store_true",
@@ -142,6 +146,7 @@ def _options(args) -> SolverOptions:
         block_pivots=args.block,
         pivot_rule=None if args.pivot_rule == "auto" else args.pivot_rule,
         degeneracy="reference" if args.reference_degeneracy else "continue",
+        equilibrate=args.equilibrate,
     )
 
 

@@ -243,6 +243,17 @@ class SolverOptions:
     #: any of them triggers the f64 finishing fallback.
     refine_tol: float = 1e-6
 
+    #: Opt-in power-of-two row/column equilibration at fill time
+    #: (scaling.py): closes the exponent-range gap between the mixed
+    #: mode's double-f32 pair vectors (~1e±38) and the reference's
+    #: all-f64 tolerance, exactly (power-of-two factors touch only fp
+    #: exponents, so pivot arithmetic sees the same mantissas). The eps
+    #: discipline then applies in the scaled units; OPTIMAL results
+    #: refine/unwind back to original units. Host-wrapper feature
+    #: (solve() and the CLI): the device cores always see the already-
+    #: scaled arrays.
+    equilibrate: bool = False
+
     #: Pad the constraint axis to a multiple of this (TPU lane width).
     lane_pad: int = 128
     #: Pad the variable axis to a multiple of this (TPU sublane tile).

@@ -92,36 +92,20 @@ def pair_eligible(chi, clo, eps32):
     return (s1 + (e1 + clo)) <= 0
 
 
-def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
-                         w_in, scf_in, sci_in,
-                         Tt_out, chi_out, clo_out, bh_out, bl_out,
-                         base_out, w_out, scf_out, sci_out,
-                         C_ref, Ft_ref,
-                         *, L, r, m_pad, r_pad, eps, bland_static,
-                         threshold, devex):
-    """One lane's window: up to L deferred eta pivots, tableau in VMEM.
+def _window_pivot_loop(fetch_hstrip, fetch_kslab, C_ref, Ft_ref, init,
+                       *, L, r, m_pad, r_pad, eps, bland_static,
+                       threshold, devex, active0, max_iter0):
+    """The shared per-window pivot loop: up to L deferred eta pivots
+    against VMEM-resident vectors and eta scratch, with the two stale
+    tableau touches abstracted behind ``fetch_hstrip(h128) ->
+    (m_pad, 128)`` and ``fetch_kslab(k8) -> (8, r_pad)``. The in-VMEM
+    kernel (``_batch_window_kernel``) slices its resident tableau
+    block; the HBM tier (batched_hbm._hbm_window_kernel) DMAs the strip
+    and slab on demand — SAME math, byte-identical pivot walks (the
+    multi-tile walk-equality tests pin it).
 
-    Refs (one lane's blocks): Tt (m_pad, r_pad) f32 transposed tableau
-    (sublane=constraint, lane=variable); cost pair (1, 1, r_pad); b pair
-    (m_pad, 1); base (1, 1, m_pad) i32; devex weights w (1, 1, r_pad)
-    f32 (carried untouched unless ``devex``); scf SMEM (1, 1, 8) f32
-    [z_hi, z_lo]; sci SMEM (1, 1, 8) i32 [status, iters, stall, bland,
-    active, max_iter]. ``active`` is precomputed by the glue (status
-    RUNNING and under the iteration fuse) so a fuse-frozen lane is never
-    pivoted; ``max_iter`` re-gates every in-window pivot so the fuse is
-    exact (a lane stops at max_iter, mid-window).
-    C_ref (L, r_pad) / Ft_ref (m_pad, L) are the eta-factor scratch
-    (Ft TRANSPOSED — eta rows as columns — so the per-pivot v write, the
-    a_h correction and the window apply all avoid vector transposes),
-    zeroed per lane. All stale-tableau reads go to the INPUT block; the
-    output block is written exactly once, by the window apply.
-
-    Extraction economy: lane-indexed vectors come from 128-lane STRIPS
-    at dynamic 128-aligned offsets (pl.ds + multiple_of), never from
-    full-tile masked folds — a direct rank-1 variant paying full-tile
-    cross-lane reductions per pivot measured 0.27 ms per in-kernel
-    pivot, and one-hot MXU matvecs against the full tile 0.41 ms; the
-    strip form touches ~3 MB of VMEM per pivot instead of ~20.
+    ``init``/return: (chi, clo, bh, bl, base, w, zh, zl, status, iters,
+    stall, bland) — see _batch_window_kernel for shapes/semantics.
     """
     i32 = jnp.int32
     big = i32(BIG_INDEX)
@@ -130,19 +114,6 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
     run_i = i32(int(Status.RUNNING))
     opt_i = i32(int(Status.OPTIMAL))
     unb_i = i32(int(Status.UNBOUNDED))
-
-    status0 = sci_in[0, 0, 0]
-    iters0 = sci_in[0, 0, 1]
-    stall0 = sci_in[0, 0, 2]
-    bland0 = sci_in[0, 0, 3]
-    active0 = sci_in[0, 0, 4] != 0
-    max_iter0 = sci_in[0, 0, 5]
-    zh0 = scf_in[0, 0, 0]
-    zl0 = scf_in[0, 0, 1]
-
-    # Scratch persists across grid steps (lanes) — zero this lane's etas.
-    C_ref[:] = jnp.zeros_like(C_ref)
-    Ft_ref[:] = jnp.zeros_like(Ft_ref)
 
     riota = lax.broadcasted_iota(i32, (1, r_pad), 1)
     miota_s = lax.broadcasted_iota(i32, (m_pad, 1), 0)
@@ -157,37 +128,17 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
              == lax.broadcasted_iota(i32, (L, L), 1)).astype(jnp.float32)
 
     def candidates(chi, clo, w, bland):
-        """Entering candidate with PAIR-EXACT eligibility: the f32
-        (hi + lo) view's ulp at cost scale ~100 is 6e-6 — bigger than
-        the f32 eps discipline — so a view-based ``<= -eps`` test stops
-        lanes ~1e-4-relative short of the optimum (measured). Here
-        eligibility tests chi + clo + eps <= 0 through an error-free
-        two_sum (``pair_eligible`` — shared with the glue's premature-
-        optimal reopen test, which must agree exactly; resolution ~2^-48
-        of the cost, the same class as the single-chip kernel loop's f64
-        round-trip view), the Dantzig argmin then picks the most
-        negative PAIR among eligible columns, ordered (hi, then lo,
-        then lowest index) — the f64 ordering for normalized pairs —
-        and optimality is "no eligible column" exactly. Returns
-        (h, cost pair at h, optimal).
-        """
+        """Entering candidate with PAIR-EXACT eligibility (see
+        _batch_window_kernel's docstring for the numerics rationale).
+        Returns (h, cost pair at h, optimal)."""
         eligible = pair_eligible(chi, clo, eps32) & (riota < i32(r))
         h_b = jnp.min(jnp.where(eligible, riota, big))
         none = h_b == big
         if devex:
-            # Devex: maximize cost^2 / weight over eligible columns
-            # (ties -> lowest index) — the same f32 hi-part score as the
-            # single-chip fused kernel's candidate fold
-            # (kernels/blocked.py colk_costs_pass devex stage).
             key = jnp.where(eligible, (chi * chi) / w, -inf)
             vmax = jnp.max(key)
             h_d = jnp.min(jnp.where(eligible & (key == vmax), riota, big))
         else:
-            # Dantzig argmin ordered PAIR-LEXICOGRAPHICALLY (hi, then lo,
-            # then lowest index): for normalized pairs this is the f64
-            # ordering to ~2^-48 — an f32 (hi + lo) view key measured
-            # enough 2^-24-class near-ties at phase-2 tails to walk the
-            # pivot path off the single-chip loops' by a few pivots.
             kh = jnp.where(eligible, chi, inf)
             vh = jnp.min(kh)
             ath = kh == vh
@@ -221,12 +172,11 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
         h, mh, ml, optimal = candidates(chi, clo, w, bland)
 
         # Live entering column a_h = Tt_stale[:, h] - Ft @ C[:, h] as an
-        # (m_pad, 1) column: both lane extractions read only the 128-lane
-        # strip around h, the correction is a small (m, L) x (L, 1)
-        # matvec against the eta factors.
+        # (m_pad, 1) column: the stale strip comes from the fetcher, the
+        # correction is a small (m, L) x (L, 1) matvec against the etas.
         h128 = pl.multiple_of(lax.div(h, i32(128)) * i32(128), 128)
         hmod = lax.rem(h, i32(128))
-        tstrip = Tt_in[:, pl.ds(h128, 128)]               # (m_pad, 128)
+        tstrip = fetch_hstrip(h128)                       # (m_pad, 128)
         ah_stale = jnp.sum(jnp.where(strip_m == hmod, tstrip, 0.0),
                            axis=1, keepdims=True)         # (m_pad, 1)
         cstrip = C_ref[:, pl.ds(h128, 128)]               # (L, 128)
@@ -234,15 +184,8 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
                       axis=1, keepdims=True)              # (L, 1)
         ah = ah_stale - matvec(Ft_ref[:], c_h, 1, 0)      # (m_pad, 1)
 
-        # Min-ratio leaving test (reference createIndicatorsVector +
-        # minElement, reduction.cu:106-140) in double-f32 PAIR
-        # arithmetic — q = b / a_h with an exact-division residual,
-        # compared (q1, then q2, then lowest index), the same ordering
-        # contract as the flagship ah_ratio_pass (kernels/blocked.py):
-        # for normalized pairs this orders like the f64 quotients to
-        # ~2^-48, where an f32-view quotient's 2^-24 near-ties measured
-        # enough leaving-row flips to desynchronise the walk from the
-        # single-chip loops at phase-2 tails.
+        # Min-ratio leaving test in double-f32 PAIR arithmetic (see
+        # _batch_window_kernel's docstring).
         mask = ah >= eps32
         # (jnp.any's bool-reduce squeezes through a f64 scalar under x64,
         # which Mosaic cannot lower — reduce in f32 instead.)
@@ -268,13 +211,11 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
         bkl = jnp.sum(jnp.where(at_k, bl, 0.0))
 
         # Live leaving row colk = Tt_stale[k, :] - F[:, k] @ C: the
-        # stale row from the 8-row slab around constraint k; the eta
-        # weights come off Ft's k-slab as a row, turn into a column via
-        # the identity matmul, and fold against C on the VPU (sublane
-        # broadcast + axis-0 tree, the kernels/blocked accumulation
-        # pattern).
+        # stale 8-row slab from the fetcher; the eta weights come off
+        # Ft's k-slab as a row, turn into a column via the identity
+        # matmul, and fold against C on the VPU.
         k8 = lax.div(k, i32(8)) * i32(8)
-        slab = Tt_in[pl.ds(pl.multiple_of(k8, 8), 8), :]
+        slab = fetch_kslab(k8)                            # (8, r_pad)
         sub8 = k8 + lax.broadcasted_iota(i32, (8, r_pad), 0)
         trow = jnp.sum(jnp.where(sub8 == k, slab, 0.0), axis=0,
                        keepdims=True)                     # (1, r_pad)
@@ -287,15 +228,7 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
                               keepdims=True)              # (1, r_pad)
 
         if devex:
-            # Devex weight update (Forrest-Goldfarb, riding the colk this
-            # pivot already computed) — the single-chip fused kernel's
-            # exact arithmetic (kernels/blocked.py colk_costs_pass):
-            # w' = max(w, (colk/p)^2 * w_h); the leaving variable
-            # re-anchors to max(w_h / p^2, 1), unguarded on the row index
-            # (any in-range leaving variable incl. basic artificials —
-            # the guard parity ADVICE r3 pinned across paths); per-update
-            # 1e12 cap + NaN -> 1 (mid-window f32 overflow otherwise
-            # poisons the score argmax into picking ineligible rows).
+            # Devex weight update (see _batch_window_kernel docstring).
             wh = jnp.sum(jnp.where(riota == h, w, 0.0))
             # min-fold extraction, NOT jnp.sum: under x64 an integer sum
             # accumulates in i64 (even with dtype=int32, which only sets
@@ -361,10 +294,6 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
             status)
 
         # Anti-cycling policy, identical to solver.anticycling_update.
-        # The improvement test reads the update magnitude |u * bk| (= the
-        # exact |z2 - z|) rather than the pair's hi parts, whose f32
-        # resolution at large |z| would miss genuine >= eps improvements
-        # and spuriously trip the Bland fallback.
         improved = jnp.abs(zp1) >= eps32
         stall2 = jnp.where(do, jnp.where(improved, i32(0), stall + 1),
                            stall)
@@ -380,7 +309,7 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
 
         # Eta writes: colk into C's 8-row slab around row t (dynamic
         # 8-aligned sublane store), v into Ft's COLUMN t (a lane-masked
-        # full read-modify-write of the small (m_pad, L) Ft — 0.25 MB).
+        # full read-modify-write of the small (m_pad, L) Ft).
         # Skipped pivots simply skip the write: the scratch was zeroed,
         # so their eta rows stay zero (the liveness contract).
         @pl.when(do)
@@ -399,13 +328,65 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
         return (chi2, clo2, bh2, bl2, base2, w2, zh2, zl2,
                 status2, iters2, stall2, bland2)
 
-    init = (chi_in[0], clo_in[0], bh_in[:], bl_in[:], base_in[0],
-            w_in[0], zh0, zl0, status0, iters0, stall0, bland0)
     # int32 loop bounds: Python ints promote to i64 under x64, which the
     # Mosaic lowering cannot convert (infinite _convert_helper recursion).
+    return lax.fori_loop(jnp.int32(0), jnp.int32(L), body, init)
+
+
+def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
+                         w_in, scf_in, sci_in,
+                         Tt_out, chi_out, clo_out, bh_out, bl_out,
+                         base_out, w_out, scf_out, sci_out,
+                         C_ref, Ft_ref,
+                         *, L, r, m_pad, r_pad, eps, bland_static,
+                         threshold, devex):
+    """One lane's window: up to L deferred eta pivots, tableau in VMEM.
+
+    Refs (one lane's blocks): Tt (m_pad, r_pad) f32 transposed tableau
+    (sublane=constraint, lane=variable); cost pair (1, 1, r_pad); b pair
+    (m_pad, 1); base (1, 1, m_pad) i32; devex weights w (1, 1, r_pad)
+    f32 (carried untouched unless ``devex``); scf SMEM (1, 1, 8) f32
+    [z_hi, z_lo]; sci SMEM (1, 1, 8) i32 [status, iters, stall, bland,
+    active, max_iter]. ``active`` is precomputed by the glue (status
+    RUNNING and under the iteration fuse) so a fuse-frozen lane is never
+    pivoted; ``max_iter`` re-gates every in-window pivot so the fuse is
+    exact (a lane stops at max_iter, mid-window).
+    C_ref (L, r_pad) / Ft_ref (m_pad, L) are the eta-factor scratch
+    (Ft TRANSPOSED — eta rows as columns — so the per-pivot v write, the
+    a_h correction and the window apply all avoid vector transposes),
+    zeroed per lane. All stale-tableau reads go to the INPUT block; the
+    output block is written exactly once, by the window apply.
+
+    Extraction economy: lane-indexed vectors come from 128-lane STRIPS
+    at dynamic 128-aligned offsets (pl.ds + multiple_of), never from
+    full-tile masked folds — a direct rank-1 variant paying full-tile
+    cross-lane reductions per pivot measured 0.27 ms per in-kernel
+    pivot, and one-hot MXU matvecs against the full tile 0.41 ms; the
+    strip form touches ~3 MB of VMEM per pivot instead of ~20.
+    """
+    status0 = sci_in[0, 0, 0]
+    iters0 = sci_in[0, 0, 1]
+    stall0 = sci_in[0, 0, 2]
+    bland0 = sci_in[0, 0, 3]
+    active0 = sci_in[0, 0, 4] != 0
+    max_iter0 = sci_in[0, 0, 5]
+    zh0 = scf_in[0, 0, 0]
+    zl0 = scf_in[0, 0, 1]
+
+    # Scratch persists across grid steps (lanes) — zero this lane's etas.
+    C_ref[:] = jnp.zeros_like(C_ref)
+    Ft_ref[:] = jnp.zeros_like(Ft_ref)
+
+    init = (chi_in[0], clo_in[0], bh_in[:], bl_in[:], base_in[0],
+            w_in[0], zh0, zl0, status0, iters0, stall0, bland0)
     (chi, clo, bh, bl, base, w, zh, zl,
-     status, iters, stall, bland) = lax.fori_loop(
-        jnp.int32(0), jnp.int32(L), body, init)
+     status, iters, stall, bland) = _window_pivot_loop(
+        lambda h128: Tt_in[:, pl.ds(h128, 128)],
+        lambda k8: Tt_in[pl.ds(pl.multiple_of(k8, 8), 8), :],
+        C_ref, Ft_ref, init, L=L, r=r, m_pad=m_pad, r_pad=r_pad,
+        eps=eps, bland_static=bland_static, threshold=threshold,
+        devex=devex, active0=active0, max_iter0=max_iter0)
+
 
     # Window apply — the ONLY full-tile pass, on the MXU (HIGHEST keeps
     # the exact-f32 contract of apply_window_pass). Inactive lanes have
@@ -584,17 +565,26 @@ def batch_reprice_pass(Tt: jax.Array, c_hi: jax.Array, c_lo: jax.Array,
     m_pad = bm // B
     assert m_pad % 8 == 0 and bm % B == 0, (bm, B)
 
-    tile = pl.BlockSpec((m_pad, r_pad), lambda b: (b, _i0()),
+    # r-tiled for lanes beyond VMEM residency (the HBM tier): each grid
+    # step folds one (m_pad, tile_r) tableau tile over its sublanes;
+    # small lanes keep a single full-width tile (identical schedule to
+    # the pre-tier kernel).
+    from .batched_hbm import APPLY_TILE_BYTES
+    from .blocked import pick_tile_div
+
+    tile_r = pick_tile_div(r_pad, 128,
+                           max(128, APPLY_TILE_BYTES // (4 * m_pad)))
+    tile = pl.BlockSpec((m_pad, tile_r), lambda b, t: (b, t),
                         memory_space=pltpu.VMEM)
-    colv = pl.BlockSpec((m_pad, 1), lambda b: (b, _i0()),
+    colv = pl.BlockSpec((m_pad, 1), lambda b, t: (b, _i0()),
                         memory_space=pltpu.VMEM)
-    rowv = pl.BlockSpec((1, 1, r_pad), lambda b: (b, _i0(), _i0()),
+    rowv = pl.BlockSpec((1, 1, tile_r), lambda b, t: (b, _i0(), t),
                         memory_space=pltpu.VMEM)
     hi, lo = pl.pallas_call(
         functools.partial(_batch_reprice_kernel, m_pad=m_pad),
-        grid=(B,),
+        grid=(B, r_pad // tile_r),
         in_specs=[tile, colv, colv,
-                  pl.BlockSpec((1, 1, 1), lambda b: (b, _i0(), _i0()),
+                  pl.BlockSpec((1, 1, 1), lambda b, t: (b, _i0(), _i0()),
                                memory_space=pltpu.SMEM)],
         out_specs=[rowv, rowv],
         out_shape=[jax.ShapeDtypeStruct((B, 1, r_pad), jnp.float32),

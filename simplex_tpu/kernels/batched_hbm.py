@@ -1,0 +1,274 @@
+"""HBM-resident tier of the batched fused solve kernels.
+
+Lifts the in-VMEM batch kernel's 28 MB per-lane gate (VERDICT r4 next
+#3): lanes whose tableau exceeds VMEM keep the SAME fused window
+economy — the per-pivot work is O(L*(r+m)) against VMEM-resident
+vectors and eta factors — with the tableau parked in HBM and only its
+two per-pivot touches DMA'd on demand:
+
+* the entering variable's 128-lane strip (m_pad x 128), and
+* the leaving constraint's 8-row slab (8 x r_pad),
+
+exactly the strips the in-VMEM kernel slices from its resident block
+(``batched._window_pivot_loop`` is shared verbatim — the fetchers are
+the only difference, so the pivot walks are bit-identical; the
+multi-tile walk-equality tests pin it). Per-pivot HBM traffic is
+therefore (m_pad*128 + 8*r_pad)*4 bytes — at the VERDICT example shape
+(m=500 x n=12k: 27 MB/lane) about 660 KB/pivot/lane instead of the
+whole tableau, the same per-pivot fused economy the reference gets at
+any size from its persistent-tableau design (solver.cu:34-46).
+
+The O(m*r) window apply runs as a separate r-tiled MXU pass
+(``hbm_apply_pass``, grid (B, r_tiles), tableau tiles double-buffered
+by the Pallas pipeline), once per L pivots — the 1/L-amortised
+bandwidth bill, unchanged from the in-VMEM tier. Window-boundary
+re-pricing reuses ``batched.batch_reprice_pass``, which r-tiles itself
+by the same budget.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .blocked import _i0, pick_tile_div
+from .batched import _window_pivot_loop
+
+#: Soft VMEM budget for the HBM-tier window kernel's per-lane working
+#: set: eta factors C (L, r_pad) + Ft (m_pad, L), the two DMA scratch
+#: buffers, and the pair vectors. 20 MB leaves pipeline headroom under
+#: the 100 MB scoped-vmem cap.
+HBM_TIER_BUDGET = 20 * 1024 * 1024
+
+#: Target byte size for one (m_pad, tile_r) tableau tile of the apply /
+#: reprice passes (the pipeline holds ~2-3 tiles in flight).
+APPLY_TILE_BYTES = 8 * 1024 * 1024
+
+
+def hbm_tier_fits(m_pad: int, r_pad: int, l: int) -> bool:
+    """Whether the HBM-tier window kernel's per-lane VMEM working set
+    fits: C (l, r_pad) + Ft (m_pad, l) + h-strip (m_pad, 128) + k-slab
+    (8, r_pad) + ~8 pair/index vectors of r_pad and m_pad."""
+    working = 4 * (l * r_pad + m_pad * l          # eta factors
+                   + 128 * m_pad + 8 * r_pad      # DMA scratch
+                   + 8 * r_pad + 6 * m_pad)       # vectors (in+out)
+    return working <= HBM_TIER_BUDGET
+
+
+def _hbm_window_kernel(Tt_any, chi_in, clo_in, bh_in, bl_in, base_in,
+                       w_in, scf_in, sci_in,
+                       chi_out, clo_out, bh_out, bl_out,
+                       base_out, w_out, scf_out, sci_out,
+                       C_out, Ft_out,
+                       strip_scr, slab_scr, sems,
+                       *, L, r, m_pad, r_pad, eps, bland_static,
+                       threshold, devex):
+    """One lane's window with the tableau in HBM: the shared pivot loop
+    (batched._window_pivot_loop) with DMA fetchers, eta factors written
+    to per-lane VMEM OUTPUT blocks (the caller's apply pass consumes
+    them), and the same packed scf/sci contract as the in-VMEM kernel.
+    ``Tt_any`` is the FULL (B*m_pad, r_pad) array left in HBM/ANY; this
+    kernel only reads two dynamic windows of it per pivot."""
+    i32 = jnp.int32
+    lane0 = pl.program_id(0) * i32(m_pad)
+
+    status0 = sci_in[0, 0, 0]
+    iters0 = sci_in[0, 0, 1]
+    stall0 = sci_in[0, 0, 2]
+    bland0 = sci_in[0, 0, 3]
+    active0 = sci_in[0, 0, 4] != 0
+    max_iter0 = sci_in[0, 0, 5]
+    zh0 = scf_in[0, 0, 0]
+    zl0 = scf_in[0, 0, 1]
+
+    # The eta OUTPUT blocks double as the working scratch (VMEM,
+    # per-lane); zero them — the liveness contract of skipped pivots.
+    C_out[:] = jnp.zeros_like(C_out)
+    Ft_out[:] = jnp.zeros_like(Ft_out)
+
+    def fetch_hstrip(h128):
+        dma = pltpu.make_async_copy(
+            Tt_any.at[pl.ds(lane0, m_pad), pl.ds(h128, 128)],
+            strip_scr, sems.at[0])
+        dma.start()
+        dma.wait()
+        return strip_scr[:]
+
+    def fetch_kslab(k8):
+        dma = pltpu.make_async_copy(
+            Tt_any.at[pl.ds(lane0 + pl.multiple_of(k8, 8), 8), :],
+            slab_scr, sems.at[1])
+        dma.start()
+        dma.wait()
+        return slab_scr[:]
+
+    init = (chi_in[0], clo_in[0], bh_in[:], bl_in[:], base_in[0],
+            w_in[0], zh0, zl0, status0, iters0, stall0, bland0)
+    (chi, clo, bh, bl, base, w, zh, zl,
+     status, iters, stall, bland) = _window_pivot_loop(
+        fetch_hstrip, fetch_kslab, C_out, Ft_out, init,
+        L=L, r=r, m_pad=m_pad, r_pad=r_pad, eps=eps,
+        bland_static=bland_static, threshold=threshold, devex=devex,
+        active0=active0, max_iter0=max_iter0)
+
+    chi_out[0] = chi
+    clo_out[0] = clo
+    bh_out[:] = bh
+    bl_out[:] = bl
+    base_out[0] = base
+    w_out[0] = w
+    scf_out[0, 0, 0] = zh
+    scf_out[0, 0, 1] = zl
+    for j in range(2, 8):
+        scf_out[0, 0, j] = jnp.float32(0)
+    sci_out[0, 0, 0] = status
+    sci_out[0, 0, 1] = iters
+    sci_out[0, 0, 2] = stall
+    sci_out[0, 0, 3] = bland
+    sci_out[0, 0, 4] = sci_in[0, 0, 4]
+    sci_out[0, 0, 5] = max_iter0
+    for j in range(6, 8):
+        sci_out[0, 0, j] = jnp.int32(0)
+
+
+def _apply_kernel(Tt_ref, Ft_ref, C_ref, out_ref):
+    """out = Tt - Ft @ C for one (m_pad, tile_r) tableau tile (MXU,
+    HIGHEST — the exact-f32 contract of the in-VMEM window apply)."""
+    out_ref[:] = Tt_ref[:] - lax.dot_general(
+        Ft_ref[:], C_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def hbm_apply_pass(Tt: jax.Array, C: jax.Array, Ft: jax.Array,
+                   interpret: bool = False) -> jax.Array:
+    """The window apply for HBM-resident lanes: grid (B, r_tiles), each
+    step streams one (m_pad, tile_r) tableau tile through VMEM (Pallas
+    double-buffers the in/out windows), subtracting the lane's
+    ``Ft @ C`` tile on the MXU. Inactive lanes carry all-zero etas and
+    round-trip unchanged."""
+    bm, r_pad = Tt.shape
+    L = Ft.shape[1]
+    # Shapes: Tt (B*m_pad, r_pad), C (B*L, r_pad), Ft (B*m_pad, L).
+    nb = C.shape[0] // L
+    assert C.shape[0] % L == 0 and bm % nb == 0, (C.shape, L, bm)
+    m_pad = bm // nb
+    tile_r = pick_tile_div(r_pad, 128,
+                           max(128, APPLY_TILE_BYTES // (4 * m_pad)))
+    grid = (nb, r_pad // tile_r)
+
+    return pl.pallas_call(
+        _apply_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m_pad, tile_r), lambda b, t: (b, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, L), lambda b, t: (b, _i0()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, tile_r), lambda b, t: (b, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m_pad, tile_r), lambda b, t: (b, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb * m_pad, r_pad), jnp.float32),
+        input_output_aliases={0: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * Tt.shape[0] * r_pad,
+            bytes_accessed=2 * Tt.shape[0] * r_pad * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(Tt, Ft, C)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("L", "r", "eps", "bland_static",
+                              "threshold", "devex", "interpret"))
+def hbm_window_pass(Tt: jax.Array, chi: jax.Array, clo: jax.Array,
+                    bh: jax.Array, bl: jax.Array, base: jax.Array,
+                    w: jax.Array, scf: jax.Array, sci: jax.Array,
+                    *, L: int, r: int, eps: float,
+                    bland_static: bool, threshold: int | None,
+                    devex: bool = False, interpret: bool = False):
+    """Drop-in replacement for ``batched.batch_window_pass`` for lanes
+    too big for VMEM residency: one grid step per lane runs the window
+    against the HBM tableau (strip/slab DMAs per pivot), then the
+    r-tiled MXU apply folds the eta factors into the tableau. Same
+    nine-array contract and the same pivot walks."""
+    bm, r_pad = Tt.shape
+    B = sci.shape[0]
+    assert bm % B == 0, (bm, B)
+    m_pad = bm // B
+    assert bh.shape == (B, m_pad) and chi.shape == (B, r_pad), (
+        bh.shape, chi.shape)
+    assert m_pad % 8 == 0 and L % 8 == 0, (m_pad, L)
+    assert r_pad % 128 == 0 and m_pad % 128 == 0, (r_pad, m_pad)
+
+    kernel = functools.partial(
+        _hbm_window_kernel, L=int(L), r=int(r), m_pad=m_pad,
+        r_pad=r_pad, eps=float(eps), bland_static=bool(bland_static),
+        threshold=None if threshold is None else int(threshold),
+        devex=bool(devex))
+
+    rowv = pl.BlockSpec((1, 1, r_pad), lambda b: (b, _i0(), _i0()),
+                        memory_space=pltpu.VMEM)
+    colv = pl.BlockSpec((m_pad, 1), lambda b: (b, _i0()),
+                        memory_space=pltpu.VMEM)
+    lanev = pl.BlockSpec((1, 1, m_pad), lambda b: (b, _i0(), _i0()),
+                         memory_space=pltpu.VMEM)
+    smem8 = pl.BlockSpec((1, 1, 8), lambda b: (b, _i0(), _i0()),
+                         memory_space=pltpu.SMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  rowv, rowv, colv, colv, lanev, rowv, smem8, smem8],
+        out_specs=[rowv, rowv, colv, colv, lanev, rowv, smem8, smem8,
+                   pl.BlockSpec((L, r_pad), lambda b: (b, _i0()),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((m_pad, L), lambda b: (b, _i0()),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bm, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bm, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, m_pad), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, 8), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, 8), jnp.int32),
+            jax.ShapeDtypeStruct((B * L, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bm, L), jnp.float32),
+        ],
+        input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5},
+        scratch_shapes=[pltpu.VMEM((m_pad, 128), jnp.float32),
+                        pltpu.VMEM((8, r_pad), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * L * L * (r_pad + m_pad) * B,
+            bytes_accessed=L * (m_pad * 128 + 8 * r_pad) * 4 * B,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(Tt, chi.reshape(B, 1, r_pad), clo.reshape(B, 1, r_pad),
+      bh.reshape(bm, 1), bl.reshape(bm, 1),
+      base.reshape(B, 1, m_pad), w.reshape(B, 1, r_pad),
+      scf.reshape(B, 1, 8), sci.reshape(B, 1, 8))
+    (chi2, clo2, bh2, bl2, base2, w2, scf2, sci2, C, Ft) = out
+
+    Tt2 = hbm_apply_pass(Tt, C, Ft, interpret=interpret)
+    return (Tt2, chi2.reshape(B, r_pad), clo2.reshape(B, r_pad),
+            bh2.reshape(B, m_pad), bl2.reshape(B, m_pad),
+            base2.reshape(B, m_pad), w2.reshape(B, r_pad),
+            scf2.reshape(B, 8), sci2.reshape(B, 8))

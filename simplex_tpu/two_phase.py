@@ -277,20 +277,43 @@ def solve(problem: Problem, options: SolverOptions | None = None,
     if options.needs_x64:
         jax.config.update("jax_enable_x64", True)
 
+    scaling = None
+    solve_problem = problem
+    if options.equilibrate:
+        from .scaling import equilibrate
+
+        solve_problem, scaling = equilibrate(problem)
+
     m, n = problem.constraints, problem.vars
-    A_dev, b_dev, c_dev = (jnp.asarray(problem.A), jnp.asarray(problem.b),
-                           jnp.asarray(problem.c))
+    A_dev, b_dev, c_dev = (jnp.asarray(solve_problem.A),
+                           jnp.asarray(solve_problem.b),
+                           jnp.asarray(solve_problem.c))
     out = solve_device(A_dev, b_dev, c_dev, n, m, options)
     out = jax.device_get(out)
     status = Status(int(out.status))
 
     x = np.asarray(out.x) if status == Status.OPTIMAL else None
     objective = float(out.objective)
+    if scaling is not None and x is not None:
+        # Raw unwind (x = col * x', objective = c @ x in f64); a
+        # certified refinement below replaces this wholesale since it
+        # runs against the ORIGINAL problem data. Non-OPTIMAL
+        # objectives (phase-1 diagnostics) stay in scaled units.
+        x = scaling.col * np.asarray(x, np.float64)
+        objective = float(problem.c @ x)
     refine_info = None
     if status == Status.OPTIMAL and refine_enabled(options):
-        rx, robj, refine_info = refine_result(problem, out.base, options,
-                                              A_dev, b_dev, c_dev,
-                                              raw_objective=objective)
+        # Refinement always runs against the ORIGINAL f64 data — the
+        # basis is scale-free, so an equilibrated solve's refined
+        # x/objective/certificates come out in original units with no
+        # unwind step at all.
+        if scaling is None:
+            rx, robj, refine_info = refine_result(
+                problem, out.base, options, A_dev, b_dev, c_dev,
+                raw_objective=objective)
+        else:
+            rx, robj, refine_info = refine_result(
+                problem, out.base, options, raw_objective=objective)
         if rx is not None:
             x, objective = rx, robj
         else:
