@@ -167,17 +167,24 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
 
     # Tier dispatch: whole-tableau-in-VMEM window kernel when the lane
     # fits, else the HBM tier (same shared pivot loop, tableau parked in
-    # HBM with per-pivot strip/slab DMAs — kernels/batched_hbm.py).
+    # HBM with per-pivot strip/slab DMAs — kernels/batched_hbm.py). The
+    # in-VMEM tier fuses the window-boundary re-pricing + premature-
+    # optimal reopen into the window kernel's own grid step (r5: one
+    # full-tableau re-read and one dispatch per window removed); the
+    # HBM tier keeps the separate r-tiled reprice pass.
     from .kernels.batched import batch_kernel_fits
 
     if batch_kernel_fits(M_pad, R_pad, L):
         window_fn = batch_window_pass
+        fused_reprice = costs0 is not None
     else:
         from .kernels.batched_hbm import hbm_window_pass
         window_fn = hbm_window_pass
+        fused_reprice = False
     window = partial(window_fn, L=L, r=tabs.r, eps=eps,
                      bland_static=bland_static, threshold=threshold,
-                     devex=devex, interpret=interpret)
+                     devex=devex, fuse_reprice=fused_reprice,
+                     interpret=interpret)
 
     Tt0 = tabs.T.transpose(0, 2, 1).reshape(B * M_pad, R_pad)
     chi0, clo0 = ff32_from_f64(tabs.costs)
@@ -187,9 +194,21 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
         # Pre-split once; the loop body's re-pricing glue is then pure
         # f32 pair arithmetic (no emulated-f64 ops per window).
         c0h, c0l = ff32_from_f64(costs0)
+    else:
+        c0h = jnp.zeros((B, R_pad), jnp.float32)
+        c0l = jnp.zeros_like(c0h)
+    # Initial basic-coefficient pair columns (cf[k] = c0[base[k]] for
+    # valid basics): gathered ONCE here; the window kernels maintain
+    # them incrementally at each pivot thereafter.
+    valid0 = tabs.base < tabs.r
+    idx0 = jnp.minimum(tabs.base, R_pad - 1)
+    cfh0 = jnp.where(valid0, jnp.take_along_axis(c0h, idx0, axis=1),
+                     jnp.float32(0))
+    cfl0 = jnp.where(valid0, jnp.take_along_axis(c0l, idx0, axis=1),
+                     jnp.float32(0))
 
     def cond(s):
-        (Tt, chi, clo, bh, bl, base, w, scf, sci, windows) = s
+        (Tt, chi, clo, bh, bl, base, w, scf, sci, cfh, cfl, windows) = s
         status = sci[:, 0]
         iters = sci[:, 1]
         return (jnp.any((status == run_i) & (iters < max_iter))
@@ -201,12 +220,18 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
         # kernel's own operand layout — so the per-window glue writes two
         # small columns instead of re-stacking eight (B,) vectors and
         # re-slicing six on every window.
-        (Tt, chi, clo, bh, bl, base, w, scf, sci, windows) = s
+        (Tt, chi, clo, bh, bl, base, w, scf, sci, cfh, cfl, windows) = s
         active = (sci[:, 0] == run_i) & (sci[:, 1] < max_iter)
         sci_in = sci.at[:, 4].set(active.astype(jnp.int32))
+        cadence_hit = lax.rem(windows + 1,
+                              jnp.int32(reprice_every)) == 0
+        sci_in = sci_in.at[:, 6].set(
+            jnp.full((B,), cadence_hit.astype(jnp.int32)))
 
-        (Tt2, chi2, clo2, bh2, bl2, base2, w2, scf2, sci2) = window(
-            Tt, chi, clo, bh, bl, base, w, scf, sci_in)
+        (Tt2, chi2, clo2, bh2, bl2, base2, w2, scf2, sci2,
+         cfh2, cfl2) = window(
+            Tt, chi, clo, bh, bl, base, w, scf, sci_in, c0h, c0l,
+            cfh, cfl)
         if devex:
             # Re-anchor the devex reference framework once per window
             # per lane when the weights drift too far — the single-chip
@@ -217,32 +242,22 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
                            jnp.ones_like(w2), w2)
         status2 = sci2[:, 0]
 
-        if costs0 is not None:
-            # Exact re-pricing with the blocked-kernel cadence contract:
+        if costs0 is not None and not fused_reprice:
+            # Exact re-pricing with the blocked-kernel cadence contract
+            # (the in-VMEM tier runs this INSIDE the window kernel —
+            # fused_reprice — with operation-identical arithmetic):
             # off-cadence RUNNING windows skip it; a window that ENDS
             # non-RUNNING always re-prices so the premature-optimal check
             # runs on exact costs; long-finished lanes (inactive at
             # entry) never re-price again.
-            do_r = active & (
-                (status2 != run_i)
-                | (lax.rem(windows + 1, jnp.int32(reprice_every)) == 0))
-            valid = base2 < tabs.r
-            idx = jnp.minimum(base2, R_pad - 1)
+            do_r = active & ((status2 != run_i) | cadence_hit)
             # ALL-f32 glue: costs0 rides as a pre-split double-f32 pair
-            # (c0h, c0l), gathered and subtracted in pair arithmetic.
-            # The coeff gather commutes with the split exactly; the
-            # subtraction differs from the old f64 path by <= 2^-48 —
-            # the same class as the pair rounding itself. The old f64
-            # expressions ran through the TPU's EMULATED f64 on
-            # (B, R_pad) arrays every window: measured 2.5 ms/instance
-            # of the 13.1 ms config-3 wall time (19%).
-            c_hi = jnp.where(valid, jnp.take_along_axis(c0h, idx, axis=1),
-                             jnp.float32(0))
-            c_lo = jnp.where(valid, jnp.take_along_axis(c0l, idx, axis=1),
-                             jnp.float32(0))
+            # (c0h, c0l); the basic coefficients ride the cf pair the
+            # kernel maintains incrementally (== the old
+            # take_along_axis gather of c0[base2], value for value).
             mv_hi, mv_lo = batch_reprice_pass(
-                Tt2, c_hi.reshape(B * M_pad, 1),
-                c_lo.reshape(B * M_pad, 1), do_r.astype(jnp.int32),
+                Tt2, cfh2.reshape(B * M_pad, 1),
+                cfl2.reshape(B * M_pad, 1), do_r.astype(jnp.int32),
                 interpret=interpret)
             s_e, e_e = _two_sum(c0h, -mv_hi)
             chi_e, clo_e = _fast_two_sum(s_e, e_e + (c0l - mv_lo))
@@ -265,7 +280,7 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
             clo2 = jnp.where(take, clo_e, clo2)
 
         return (Tt2, chi2, clo2, bh2, bl2, base2, w2, scf2, sci2,
-                windows + 1)
+                cfh2, cfl2, windows + 1)
 
     sci0 = jnp.zeros((B, 8), jnp.int32)
     sci0 = sci0.at[:, 0].set(run_i)
@@ -275,8 +290,8 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
     scf0 = scf0.at[:, 0].set(zh0).at[:, 1].set(zl0)
     init = (Tt0, chi0, clo0, bh0, bl0, tabs.base,
             jnp.ones((B, R_pad), jnp.float32), scf0, sci0,
-            jnp.zeros((), jnp.int32))
-    (Tt, chi, clo, bh, bl, base, _w, scf, sci,
+            cfh0, cfl0, jnp.zeros((), jnp.int32))
+    (Tt, chi, clo, bh, bl, base, _w, scf, sci, _cfh, _cfl,
      _windows) = lax.while_loop(cond, body, init)
     zh, zl = scf[:, 0], scf[:, 1]
     status, iters = sci[:, 0], sci[:, 1]
@@ -563,7 +578,7 @@ def _refine_lane(problem, base, options: SolverOptions,
     transfer, see solve_batched). Certificate failure falls back to an
     f64 finishing solve of just that lane."""
     from .refine import RefineInfo, certificates_pass, refine_solution_host
-    from .two_phase import fallback_options, solve
+    from .two_phase import fallback_solve
 
     tol = float(options.refine_tol)
     ro = refine_solution_host(problem.A, problem.b, problem.c,
@@ -586,5 +601,5 @@ def _refine_lane(problem, base, options: SolverOptions,
                       float(ro.artificial_mass) if ro else float("inf"),
                       float(ro.dual_infeasibility) if ro else float("inf"),
                       tol, fallback=True)
-    result64 = solve(problem, fallback_options(options))
+    result64 = fallback_solve(problem, options)
     return dataclasses.replace(result64, refine=info)

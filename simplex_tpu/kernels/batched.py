@@ -94,7 +94,8 @@ def pair_eligible(chi, clo, eps32):
 
 def _window_pivot_loop(fetch_hstrip, fetch_kslab, C_ref, Ft_ref, init,
                        *, L, r, m_pad, r_pad, eps, bland_static,
-                       threshold, devex, active0, max_iter0):
+                       threshold, devex, active0, max_iter0,
+                       fetch_c0strip=None):
     """The shared per-window pivot loop: up to L deferred eta pivots
     against VMEM-resident vectors and eta scratch, with the two stale
     tableau touches abstracted behind ``fetch_hstrip(h128) ->
@@ -106,6 +107,14 @@ def _window_pivot_loop(fetch_hstrip, fetch_kslab, C_ref, Ft_ref, init,
 
     ``init``/return: (chi, clo, bh, bl, base, w, zh, zl, status, iters,
     stall, bland) — see _batch_window_kernel for shapes/semantics.
+
+    ``fetch_c0strip``: optional ``h128 -> ((1, 128), (1, 128))`` strip
+    reader of the ORIGINAL-cost pair rows. When given, init/return
+    append the basic-coefficient pair columns (cfh, cfl) ((m_pad, 1),
+    cf[k] = c0[base[k]] for valid basics, else 0) and the loop
+    maintains them INCREMENTALLY at each pivot (cf[k] = c0[h] — h is
+    always a valid row), so the window-boundary exact re-pricing needs
+    no per-window take_along_axis gather in the glue.
     """
     i32 = jnp.int32
     big = i32(BIG_INDEX)
@@ -160,8 +169,12 @@ def _window_pivot_loop(fetch_hstrip, fetch_kslab, C_ref, Ft_ref, init,
             precision=lax.Precision.HIGHEST)
 
     def body(t, carry):
-        (chi, clo, bh, bl, base, w, zh, zl,
-         status, iters, stall, bland) = carry
+        if fetch_c0strip is None:
+            (chi, clo, bh, bl, base, w, zh, zl,
+             status, iters, stall, bland) = carry
+        else:
+            (chi, clo, bh, bl, base, w, zh, zl,
+             status, iters, stall, bland, cfh, cfl) = carry
         # Per-PIVOT iteration fuse (not just per-window): without the
         # iters < max_iter term a lane entering its last window can
         # apply up to L-1 pivots past the fuse and report iterations up
@@ -325,8 +338,22 @@ def _window_pivot_loop(fetch_hstrip, fetch_kslab, C_ref, Ft_ref, init,
             Ft_ref[:] = jnp.where(liota_l == t_, v, Ft_ref[:])
 
         iters2 = iters + do.astype(i32)
+        if fetch_c0strip is None:
+            return (chi2, clo2, bh2, bl2, base2, w2, zh2, zl2,
+                    status2, iters2, stall2, bland2)
+
+        # Incremental re-pricing coefficients: the entering variable's
+        # ORIGINAL cost pair replaces row k's basic coefficient — the
+        # same value the glue's take_along_axis gather would fetch from
+        # the final base, one 128-lane strip read per pivot instead.
+        c0h_s, c0l_s = fetch_c0strip(h128)
+        strip_1 = lax.broadcasted_iota(i32, (1, 128), 1)
+        v0h = jnp.sum(jnp.where(strip_1 == hmod, c0h_s, 0.0))
+        v0l = jnp.sum(jnp.where(strip_1 == hmod, c0l_s, 0.0))
+        cfh2 = jnp.where(do & at_k, v0h, cfh)
+        cfl2 = jnp.where(do & at_k, v0l, cfl)
         return (chi2, clo2, bh2, bl2, base2, w2, zh2, zl2,
-                status2, iters2, stall2, bland2)
+                status2, iters2, stall2, bland2, cfh2, cfl2)
 
     # int32 loop bounds: Python ints promote to i64 under x64, which the
     # Mosaic lowering cannot convert (infinite _convert_helper recursion).
@@ -334,12 +361,14 @@ def _window_pivot_loop(fetch_hstrip, fetch_kslab, C_ref, Ft_ref, init,
 
 
 def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
-                         w_in, scf_in, sci_in,
+                         w_in, scf_in, sci_in, c0h_in, c0l_in,
+                         cfh_in, cfl_in,
                          Tt_out, chi_out, clo_out, bh_out, bl_out,
                          base_out, w_out, scf_out, sci_out,
+                         cfh_out, cfl_out,
                          C_ref, Ft_ref,
                          *, L, r, m_pad, r_pad, eps, bland_static,
-                         threshold, devex):
+                         threshold, devex, fuse_reprice):
     """One lane's window: up to L deferred eta pivots, tableau in VMEM.
 
     Refs (one lane's blocks): Tt (m_pad, r_pad) f32 transposed tableau
@@ -356,6 +385,19 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
     a_h correction and the window apply all avoid vector transposes),
     zeroed per lane. All stale-tableau reads go to the INPUT block; the
     output block is written exactly once, by the window apply.
+
+    r5 fused re-pricing (``fuse_reprice``): the ORIGINAL-cost pair rows
+    c0h/c0l ((1, 1, r_pad)) and the basic-coefficient pair columns
+    cfh/cfl ((m_pad, 1), maintained incrementally by the pivot loop)
+    let the window-boundary exact re-pricing run against the
+    just-applied OUTPUT block in this same grid step — the coefficient
+    fold, the pair subtraction, the premature-optimal reopen
+    (pair_eligible) all replicate batch_reprice_pass + the glue's
+    arithmetic operation for operation, eliminating one full-tableau
+    re-read + a dispatch per window. sci slot 6 carries the glue's
+    cadence decision (windows+1 divisible by reprice_every); a window
+    ending non-RUNNING re-prices regardless, exactly the glue
+    contract.
 
     Extraction economy: lane-indexed vectors come from 128-lane STRIPS
     at dynamic 128-aligned offsets (pl.ds + multiple_of), never from
@@ -378,15 +420,17 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
     Ft_ref[:] = jnp.zeros_like(Ft_ref)
 
     init = (chi_in[0], clo_in[0], bh_in[:], bl_in[:], base_in[0],
-            w_in[0], zh0, zl0, status0, iters0, stall0, bland0)
+            w_in[0], zh0, zl0, status0, iters0, stall0, bland0,
+            cfh_in[:], cfl_in[:])
     (chi, clo, bh, bl, base, w, zh, zl,
-     status, iters, stall, bland) = _window_pivot_loop(
+     status, iters, stall, bland, cfh, cfl) = _window_pivot_loop(
         lambda h128: Tt_in[:, pl.ds(h128, 128)],
         lambda k8: Tt_in[pl.ds(pl.multiple_of(k8, 8), 8), :],
         C_ref, Ft_ref, init, L=L, r=r, m_pad=m_pad, r_pad=r_pad,
         eps=eps, bland_static=bland_static, threshold=threshold,
-        devex=devex, active0=active0, max_iter0=max_iter0)
-
+        devex=devex, active0=active0, max_iter0=max_iter0,
+        fetch_c0strip=lambda h128: (c0h_in[0, :, pl.ds(h128, 128)],
+                                    c0l_in[0, :, pl.ds(h128, 128)]))
 
     # Window apply — the ONLY full-tile pass, on the MXU (HIGHEST keeps
     # the exact-f32 contract of apply_window_pass). Inactive lanes have
@@ -396,6 +440,58 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
         Ft_ref[:], C_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=lax.Precision.HIGHEST)
+
+    cfh_out[:] = cfh
+    cfl_out[:] = cfl
+
+    if fuse_reprice:
+        i32 = jnp.int32
+        eps32 = jnp.float32(eps)
+        run_i = i32(int(Status.RUNNING))
+        cadence_hit = sci_in[0, 0, 6] != 0
+        do_r = active0 & (cadence_hit | (status != run_i))
+
+        # Pair-accumulated cf @ Tt_out — operation for operation the
+        # batch_reprice_pass fold (same 8-sublane grouping, same tree),
+        # so the fused and unfused paths stay bit-identical.
+        def gbody(g, carry):
+            sh, sl = carry
+            g8 = g * jnp.int32(8)
+            T8 = Tt_out[pl.ds(g8, 8), :]
+            c8 = cfh_out[pl.ds(g8, 8), :]
+            d8 = cfl_out[pl.ds(g8, 8), :]
+            p, pe = _two_prod(c8, T8)
+            pe = pe + d8 * T8
+            s, e = _two_sum(sh, p)
+            return s, sl + (e + pe)
+
+        sh = jnp.zeros((8, r_pad), jnp.float32)
+        sl = jnp.zeros_like(sh)
+        sh, sl = lax.fori_loop(jnp.int32(0), jnp.int32(m_pad // 8),
+                               gbody, (sh, sl))
+        width = 8
+        while width > 1:
+            half = width // 2
+            s, e = _two_sum(sh[:half], sh[half:width])
+            sl = sl[:half] + (e + sl[half:width])
+            sh = s
+            width = half
+
+        c0h_full = c0h_in[0]
+        c0l_full = c0l_in[0]
+        s_e, e_e = _two_sum(c0h_full, -sh)
+        chi_e, clo_e = _fast_two_sum(s_e, e_e + (c0l_full - sl))
+
+        # Premature-optimal reopen on the kernel's own pair-exact
+        # eligibility arithmetic (the glue contract, ADVICE r3).
+        riota = lax.broadcasted_iota(i32, (1, r_pad), 1)
+        eligible = pair_eligible(chi_e, clo_e, eps32) & (riota < i32(r))
+        any_elig = jnp.max(jnp.where(eligible, jnp.float32(1),
+                                     jnp.float32(0))) > 0
+        premature = do_r & (status == i32(int(Status.OPTIMAL))) & any_elig
+        status = jnp.where(premature, run_i, status)
+        chi = jnp.where(do_r, chi_e, chi)
+        clo = jnp.where(do_r, clo_e, clo)
 
     chi_out[0] = chi
     clo_out[0] = clo
@@ -419,13 +515,17 @@ def _batch_window_kernel(Tt_in, chi_in, clo_in, bh_in, bl_in, base_in,
 
 @functools.partial(
     jax.jit, static_argnames=("L", "r", "eps", "bland_static",
-                              "threshold", "devex", "interpret"))
+                              "threshold", "devex", "fuse_reprice",
+                              "interpret"))
 def batch_window_pass(Tt: jax.Array, chi: jax.Array, clo: jax.Array,
                       bh: jax.Array, bl: jax.Array, base: jax.Array,
                       w: jax.Array, scf: jax.Array, sci: jax.Array,
+                      c0h: jax.Array, c0l: jax.Array,
+                      cfh: jax.Array, cfl: jax.Array,
                       *, L: int, r: int, eps: float,
                       bland_static: bool, threshold: int | None,
-                      devex: bool = False, interpret: bool = False):
+                      devex: bool = False, fuse_reprice: bool = False,
+                      interpret: bool = False):
     """Run one window (up to L pivots per lane) of the batched in-VMEM
     solve. Grid = (B,): one grid step per lane, whole tableau resident.
 
@@ -437,11 +537,17 @@ def batch_window_pass(Tt: jax.Array, chi: jax.Array, clo: jax.Array,
     weights w (B, r_pad) f32 (pass ones and devex=False under
     Dantzig/Bland — carried through untouched); scf (B, 8) f32
     [z_hi, z_lo]; sci (B, 8) i32 [status, iters, stall, bland,
-    active, max_iter]. Static: L window length (multiple of 8 — the
-    eta-slab stores), r valid-row limit, eps, the pricing policy.
+    active, max_iter, cadence_hit]. c0h/c0l (B, r_pad) f32 are the
+    pre-split ORIGINAL-cost pair (read-only; drive the incremental
+    basic-coefficient columns cfh/cfl (B, m_pad) and — with
+    ``fuse_reprice`` — the in-kernel window-boundary re-pricing +
+    premature-optimal reopen, replacing the separate
+    batch_reprice_pass dispatch). Static: L window length (multiple of
+    8 — the eta-slab stores), r valid-row limit, eps, the pricing
+    policy, fuse_reprice.
 
-    Returns the same nine arrays updated (Tt, chi, clo, bh, bl, base, w
-    aliased in place; scf/sci fresh).
+    Returns the same nine arrays updated plus (cfh, cfl) (Tt, chi,
+    clo, bh, bl, base, w, cfh, cfl aliased in place; scf/sci fresh).
     """
     bm, r_pad = Tt.shape
     B = sci.shape[0]
@@ -456,7 +562,7 @@ def batch_window_pass(Tt: jax.Array, chi: jax.Array, clo: jax.Array,
         _batch_window_kernel, L=int(L), r=int(r), m_pad=m_pad,
         r_pad=r_pad, eps=float(eps), bland_static=bool(bland_static),
         threshold=None if threshold is None else int(threshold),
-        devex=bool(devex))
+        devex=bool(devex), fuse_reprice=bool(fuse_reprice))
 
     # Mosaic requires the last two block dims divisible by (8, 128) or
     # equal to the array's — per-lane row vectors therefore ride as 3D
@@ -476,9 +582,9 @@ def batch_window_pass(Tt: jax.Array, chi: jax.Array, clo: jax.Array,
         kernel,
         grid=(B,),
         in_specs=[tile, rowv, rowv, colv, colv, lanev, rowv, smem8,
-                  smem8],
+                  smem8, rowv, rowv, colv, colv],
         out_specs=[tile, rowv, rowv, colv, colv, lanev, rowv, smem8,
-                   smem8],
+                   smem8, colv, colv],
         out_shape=[
             jax.ShapeDtypeStruct((bm, r_pad), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, r_pad), jnp.float32),
@@ -489,12 +595,16 @@ def batch_window_pass(Tt: jax.Array, chi: jax.Array, clo: jax.Array,
             jax.ShapeDtypeStruct((B, 1, r_pad), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, 8), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, 8), jnp.int32),
+            jax.ShapeDtypeStruct((bm, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bm, 1), jnp.float32),
         ],
-        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 6},
+        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 6,
+                              11: 9, 12: 10},
         scratch_shapes=[pltpu.VMEM((L, r_pad), jnp.float32),
                         pltpu.VMEM((m_pad, L), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            # per window: one MXU apply + L pivots of O(L*(r+m)) work.
+            # per window: one MXU apply (+ the fused reprice re-read) +
+            # L pivots of O(L*(r+m)) work.
             flops=2 * L * bm * r_pad + 4 * L * L * (r_pad + m_pad) * B,
             bytes_accessed=2 * bm * r_pad * 4,
             transcendentals=0,
@@ -505,12 +615,16 @@ def batch_window_pass(Tt: jax.Array, chi: jax.Array, clo: jax.Array,
     )(Tt, chi.reshape(B, 1, r_pad), clo.reshape(B, 1, r_pad),
       bh.reshape(bm, 1), bl.reshape(bm, 1),
       base.reshape(B, 1, m_pad), w.reshape(B, 1, r_pad),
-      scf.reshape(B, 1, 8), sci.reshape(B, 1, 8))
-    (Tt2, chi2, clo2, bh2, bl2, base2, w2, scf2, sci2) = out
+      scf.reshape(B, 1, 8), sci.reshape(B, 1, 8),
+      c0h.reshape(B, 1, r_pad), c0l.reshape(B, 1, r_pad),
+      cfh.reshape(bm, 1), cfl.reshape(bm, 1))
+    (Tt2, chi2, clo2, bh2, bl2, base2, w2, scf2, sci2,
+     cfh2, cfl2) = out
     return (Tt2, chi2.reshape(B, r_pad), clo2.reshape(B, r_pad),
             bh2.reshape(B, m_pad), bl2.reshape(B, m_pad),
             base2.reshape(B, m_pad), w2.reshape(B, r_pad),
-            scf2.reshape(B, 8), sci2.reshape(B, 8))
+            scf2.reshape(B, 8), sci2.reshape(B, 8),
+            cfh2.reshape(B, m_pad), cfl2.reshape(B, m_pad))
 
 
 def _batch_reprice_kernel(Tt_ref, chi_ref, clo_ref, flag_ref,

@@ -61,9 +61,11 @@ def hbm_tier_fits(m_pad: int, r_pad: int, l: int) -> bool:
 
 
 def _hbm_window_kernel(Tt_any, chi_in, clo_in, bh_in, bl_in, base_in,
-                       w_in, scf_in, sci_in,
+                       w_in, scf_in, sci_in, c0h_in, c0l_in,
+                       cfh_in, cfl_in,
                        chi_out, clo_out, bh_out, bl_out,
                        base_out, w_out, scf_out, sci_out,
+                       cfh_out, cfl_out,
                        C_out, Ft_out,
                        strip_scr, slab_scr, sems,
                        *, L, r, m_pad, r_pad, eps, bland_static,
@@ -108,14 +110,19 @@ def _hbm_window_kernel(Tt_any, chi_in, clo_in, bh_in, bl_in, base_in,
         return slab_scr[:]
 
     init = (chi_in[0], clo_in[0], bh_in[:], bl_in[:], base_in[0],
-            w_in[0], zh0, zl0, status0, iters0, stall0, bland0)
+            w_in[0], zh0, zl0, status0, iters0, stall0, bland0,
+            cfh_in[:], cfl_in[:])
     (chi, clo, bh, bl, base, w, zh, zl,
-     status, iters, stall, bland) = _window_pivot_loop(
+     status, iters, stall, bland, cfh, cfl) = _window_pivot_loop(
         fetch_hstrip, fetch_kslab, C_out, Ft_out, init,
         L=L, r=r, m_pad=m_pad, r_pad=r_pad, eps=eps,
         bland_static=bland_static, threshold=threshold, devex=devex,
-        active0=active0, max_iter0=max_iter0)
+        active0=active0, max_iter0=max_iter0,
+        fetch_c0strip=lambda h128: (c0h_in[0, :, pl.ds(h128, 128)],
+                                    c0l_in[0, :, pl.ds(h128, 128)]))
 
+    cfh_out[:] = cfh
+    cfl_out[:] = cfl
     chi_out[0] = chi
     clo_out[0] = clo
     bh_out[:] = bh
@@ -191,18 +198,28 @@ def hbm_apply_pass(Tt: jax.Array, C: jax.Array, Ft: jax.Array,
 
 @functools.partial(
     jax.jit, static_argnames=("L", "r", "eps", "bland_static",
-                              "threshold", "devex", "interpret"))
+                              "threshold", "devex", "fuse_reprice",
+                              "interpret"))
 def hbm_window_pass(Tt: jax.Array, chi: jax.Array, clo: jax.Array,
                     bh: jax.Array, bl: jax.Array, base: jax.Array,
                     w: jax.Array, scf: jax.Array, sci: jax.Array,
+                    c0h: jax.Array, c0l: jax.Array,
+                    cfh: jax.Array, cfl: jax.Array,
                     *, L: int, r: int, eps: float,
                     bland_static: bool, threshold: int | None,
-                    devex: bool = False, interpret: bool = False):
+                    devex: bool = False, fuse_reprice: bool = False,
+                    interpret: bool = False):
     """Drop-in replacement for ``batched.batch_window_pass`` for lanes
     too big for VMEM residency: one grid step per lane runs the window
     against the HBM tableau (strip/slab DMAs per pivot), then the
     r-tiled MXU apply folds the eta factors into the tableau. Same
-    nine-array contract and the same pivot walks."""
+    array contract and the same pivot walks. ``fuse_reprice`` is not
+    supported here (the re-pricing needs the applied tableau, which
+    this kernel never holds whole — the glue keeps the separate r-tiled
+    batch_reprice_pass); the incremental cf columns are still
+    maintained so the glue can skip its gather."""
+    assert not fuse_reprice, (
+        "the HBM tier re-prices via the separate r-tiled pass")
     bm, r_pad = Tt.shape
     B = sci.shape[0]
     assert bm % B == 0, (bm, B)
@@ -231,8 +248,10 @@ def hbm_window_pass(Tt: jax.Array, chi: jax.Array, clo: jax.Array,
         kernel,
         grid=(B,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  rowv, rowv, colv, colv, lanev, rowv, smem8, smem8],
+                  rowv, rowv, colv, colv, lanev, rowv, smem8, smem8,
+                  rowv, rowv, colv, colv],
         out_specs=[rowv, rowv, colv, colv, lanev, rowv, smem8, smem8,
+                   colv, colv,
                    pl.BlockSpec((L, r_pad), lambda b: (b, _i0()),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((m_pad, L), lambda b: (b, _i0()),
@@ -246,10 +265,13 @@ def hbm_window_pass(Tt: jax.Array, chi: jax.Array, clo: jax.Array,
             jax.ShapeDtypeStruct((B, 1, r_pad), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, 8), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, 8), jnp.int32),
+            jax.ShapeDtypeStruct((bm, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bm, 1), jnp.float32),
             jax.ShapeDtypeStruct((B * L, r_pad), jnp.float32),
             jax.ShapeDtypeStruct((bm, L), jnp.float32),
         ],
-        input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5},
+        input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5,
+                              11: 8, 12: 9},
         scratch_shapes=[pltpu.VMEM((m_pad, 128), jnp.float32),
                         pltpu.VMEM((8, r_pad), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
@@ -264,11 +286,15 @@ def hbm_window_pass(Tt: jax.Array, chi: jax.Array, clo: jax.Array,
     )(Tt, chi.reshape(B, 1, r_pad), clo.reshape(B, 1, r_pad),
       bh.reshape(bm, 1), bl.reshape(bm, 1),
       base.reshape(B, 1, m_pad), w.reshape(B, 1, r_pad),
-      scf.reshape(B, 1, 8), sci.reshape(B, 1, 8))
-    (chi2, clo2, bh2, bl2, base2, w2, scf2, sci2, C, Ft) = out
+      scf.reshape(B, 1, 8), sci.reshape(B, 1, 8),
+      c0h.reshape(B, 1, r_pad), c0l.reshape(B, 1, r_pad),
+      cfh.reshape(bm, 1), cfl.reshape(bm, 1))
+    (chi2, clo2, bh2, bl2, base2, w2, scf2, sci2,
+     cfh2, cfl2, C, Ft) = out
 
     Tt2 = hbm_apply_pass(Tt, C, Ft, interpret=interpret)
     return (Tt2, chi2.reshape(B, r_pad), clo2.reshape(B, r_pad),
             bh2.reshape(B, m_pad), bl2.reshape(B, m_pad),
             base2.reshape(B, m_pad), w2.reshape(B, r_pad),
-            scf2.reshape(B, 8), sci2.reshape(B, 8))
+            scf2.reshape(B, 8), sci2.reshape(B, 8),
+            cfh2.reshape(B, m_pad), cfl2.reshape(B, m_pad))

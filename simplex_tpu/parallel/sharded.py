@@ -1182,7 +1182,7 @@ def solve_sharded(problem, mesh: Mesh,
     objective = float(out.objective)
     refine_info = None
     if status == Status.OPTIMAL and refine_enabled(options):
-        from ..two_phase import fallback_options, refine_result
+        from ..two_phase import refine_result
         import dataclasses as _dc
 
         rx, robj, refine_info = refine_result(problem, out.base, options,
@@ -1190,9 +1190,9 @@ def solve_sharded(problem, mesh: Mesh,
         if rx is not None:
             x, objective = rx, robj
         else:
-            from ..two_phase import solve as _solve_single
+            from ..two_phase import fallback_solve
 
-            result64 = _solve_single(problem, fallback_options(options))
+            result64 = fallback_solve(problem, options)
             return _dc.replace(
                 result64, refine=refine_info._replace(fallback=True))
 

@@ -221,6 +221,9 @@ class RefineInfo(NamedTuple):
     #: refined - raw objective: how much in-loop drift the refinement
     #: erased (telemetry, not a certificate).
     objective_shift: float = 0.0
+    #: Wall seconds of the refinement stage (device solve + transfers +
+    #: certification; first call per shape includes its compile).
+    wall_s: float = 0.0
 
 
 def certificates_pass(out: RefineOutput, b, c, tol: float) -> bool:

@@ -225,8 +225,11 @@ def refine_result(problem: Problem, base, options: SolverOptions,
     None means the certificates failed and the caller should fall back
     to an f64 finishing solve. Shared by solve(), the batched wrapper
     (per-lane) and the sharded wrapper."""
+    import time
+
     from .refine import RefineInfo, certificates_pass, refine_solution
 
+    t0 = time.perf_counter()
     m, n = problem.constraints, problem.vars
     ro = jax.device_get(refine_solution(
         A_dev if A_dev is not None else jnp.asarray(problem.A),
@@ -242,7 +245,8 @@ def refine_result(problem: Problem, base, options: SolverOptions,
         artificial_mass=float(ro.artificial_mass),
         dual_infeasibility=float(ro.dual_infeasibility),
         tol=tol,
-        objective_shift=float(ro.objective) - raw_objective)
+        objective_shift=float(ro.objective) - raw_objective,
+        wall_s=round(time.perf_counter() - t0, 4))
     if not ok:
         return None, None, info
     return np.asarray(ro.x), float(ro.objective), info
@@ -254,6 +258,34 @@ def fallback_options(options: SolverOptions) -> SolverOptions:
     (eps=None re-resolves by dtype), refinement off (already exact)."""
     return dataclasses.replace(
         options, dtype=np.float64, vector_dtype=np.float64, refine=False)
+
+
+def fallback_solve(problem: Problem, options: SolverOptions) -> SolveResult:
+    """Run the f64 finishing solve WATCHDOG-SAFELY: at reference sizes
+    the emulated-f64 loop runs ~7 ms/pivot, so a 20k-pivot solve in one
+    fused device call exceeds the tunneled-TPU runtime watchdog and
+    kills the worker (observed at 8192x8192 during the r5 sweep — the
+    crash presents exactly like a kernel fault). The checkpoint
+    machinery already chunks the loop into bounded device calls; use it
+    with a throwaway checkpoint file. Small problems pay one extra file
+    write; nothing else changes (tests pin solve_resumable == solve)."""
+    import os
+    import tempfile
+
+    from .checkpoint import solve_resumable
+
+    opts64 = fallback_options(options)
+    tmpdir = tempfile.mkdtemp(prefix="simplex_fb_")
+    path = os.path.join(tmpdir, "fallback.ckpt")
+    try:
+        return solve_resumable(problem, path, checkpoint_every=2000,
+                               options=opts64)
+    finally:
+        for p in (path, tmpdir):
+            try:
+                os.unlink(p) if os.path.isfile(p) else os.rmdir(p)
+            except OSError:
+                pass
 
 
 def solve(problem: Problem, options: SolverOptions | None = None,
@@ -317,7 +349,7 @@ def solve(problem: Problem, options: SolverOptions | None = None,
         if rx is not None:
             x, objective = rx, robj
         else:
-            result64 = solve(problem, fallback_options(options))
+            result64 = fallback_solve(problem, options)
             return dataclasses.replace(
                 result64, refine=refine_info._replace(fallback=True))
 

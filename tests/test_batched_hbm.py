@@ -37,7 +37,11 @@ def _window_inputs(B=3, m_pad=128, r_pad=512, seed=0):
     sci = (jnp.zeros((B, 8), jnp.int32)
            .at[:, 0].set(int(Status.RUNNING))
            .at[:, 4].set(1).at[:, 5].set(10000))
-    return Tt, chi, clo, bh, bl, base, w, scf, sci
+    c0h = jnp.asarray(rng.uniform(-1, 1, (B, r_pad)), jnp.float32)
+    c0l = jnp.zeros((B, r_pad), jnp.float32)
+    cfh = jnp.take_along_axis(c0h, base, axis=1)
+    cfl = jnp.zeros((B, m_pad), jnp.float32)
+    return Tt, chi, clo, bh, bl, base, w, scf, sci, c0h, c0l, cfh, cfl
 
 
 class TestWindowPassEquality:
@@ -55,7 +59,7 @@ class TestWindowPassEquality:
         a = batch_window_pass(*args, **kw)
         b = hbm_window_pass(*args, **kw)
         for name, x, y in zip(
-                "Tt chi clo bh bl base w scf sci".split(), a, b):
+                "Tt chi clo bh bl base w scf sci cfh cfl".split(), a, b):
             assert np.array_equal(np.asarray(x), np.asarray(y)), name
 
     def test_multiwindow_chain_bitwise_equal(self):
@@ -64,12 +68,16 @@ class TestWindowPassEquality:
         args = _window_inputs(B=2, m_pad=128, r_pad=768, seed=7)
         kw = dict(L=8, r=750, eps=1e-5, bland_static=False,
                   threshold=50, devex=False, interpret=True)
+        c0h, c0l = args[9], args[10]
         a, b = args, args
         for _ in range(3):
-            a = batch_window_pass(*a, **kw)
-            b = hbm_window_pass(*b, **kw)
+            ra = batch_window_pass(*a, **kw)
+            rb = hbm_window_pass(*b, **kw)
+            a = (*ra[:9], c0h, c0l, *ra[9:])
+            b = (*rb[:9], c0h, c0l, *rb[9:])
         for name, x, y in zip(
-                "Tt chi clo bh bl base w scf sci".split(), a, b):
+                "Tt chi clo bh bl base w scf sci c0h c0l cfh cfl".split(),
+                a, b):
             assert np.array_equal(np.asarray(x), np.asarray(y)), name
 
 

@@ -87,14 +87,26 @@ def main():
                        dual_infeasibility=r.refine.dual_infeasibility,
                        artificial_mass=r.refine.artificial_mass,
                        objective_shift=r.refine.objective_shift)
+        if r.refine is not None:
+            row["refine_wall_s"] = r.refine.wall_s
         rows.append(row)
         log(f"{n:5d}x{m:5d}: {row['status']:9s} "
             f"pivots={row['pivots'][0]}+{row['pivots'][1]} "
             f"wall={wall:6.2f}s "
             + (f"cert1e9={row.get('certified_1e9')} "
                f"dual_inf={row.get('dual_infeasibility', 0):.2e} "
-               f"shift={row.get('objective_shift', 0):+.2e}"
+               f"shift={row.get('objective_shift', 0):+.2e} "
+               f"refine={row.get('refine_wall_s', 0):.2f}s "
+               f"fb={row.get('fallback')}"
                if r.refine else "no-refine"))
+        # Incremental artifact + executable-cache hygiene: a late-size
+        # worker crash (observed at 8192x8192 in the first r5 run) must
+        # not lose the earlier rows, and ~100 accumulated executables
+        # on one worker is the r4 crash class.
+        out = pathlib.Path(args.out)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps({"rows": rows}, indent=1))
+        jax.clear_caches()
 
     n_opt = sum(r["status"] == "OPTIMAL" for r in rows)
     n_cert = sum(bool(r.get("certified_1e9")) for r in rows)
