@@ -111,12 +111,14 @@ def pivot_out_artificials(tab: Tableau, options: SolverOptions,
     return out
 
 
-@partial(jax.jit, static_argnames=("n", "m", "options"))
-def solve_device(A: jax.Array, b: jax.Array, c: jax.Array, n: int, m: int,
-                 options: SolverOptions = DEFAULT_OPTIONS
-                 ) -> DeviceSolveOutput:
-    """Full two-phase solve on device (reference twoPhaseMethod,
-    twoPhaseMethod.cu:385-435). ``A`` is (m, n), ``b`` (m,), ``c`` (n,).
+def _solve_device_core(A: jax.Array, b: jax.Array, c: jax.Array,
+                       n: int, m: int,
+                       options: SolverOptions = DEFAULT_OPTIONS):
+    """Trace-level body shared by ``solve_device`` (public: outputs
+    only) and ``solve_device_with_binv`` (adds the final tableau's
+    slack block — the free approximate basis inverse refine.py's
+    LU-free fast path preconditions with). ``A`` is (m, n), ``b``
+    (m,), ``c`` (n,). Returns (DeviceSolveOutput, phase-2 Tableau).
     """
     eps = float(options.eps_resolved)
     max_iter = options.resolved_max_iter(n + 2 * m, m)
@@ -214,30 +216,86 @@ def solve_device(A: jax.Array, b: jax.Array, c: jax.Array, n: int, m: int,
 
     return DeviceSolveOutput(status, x, objective,
                              iters1.astype(jnp.int32),
-                             iters2.astype(jnp.int32), n_art, tab2.base)
+                             iters2.astype(jnp.int32), n_art,
+                             tab2.base), tab2
+
+
+@partial(jax.jit, static_argnames=("n", "m", "options"))
+def solve_device(A: jax.Array, b: jax.Array, c: jax.Array, n: int, m: int,
+                 options: SolverOptions = DEFAULT_OPTIONS
+                 ) -> DeviceSolveOutput:
+    """Full two-phase solve on device (reference twoPhaseMethod,
+    twoPhaseMethod.cu:385-435). ``A`` is (m, n), ``b`` (m,), ``c`` (n,).
+    """
+    return _solve_device_core(A, b, c, n, m, options)[0]
+
+
+@partial(jax.jit, static_argnames=("n", "m", "options"))
+def solve_device_with_binv(A: jax.Array, b: jax.Array, c: jax.Array,
+                           n: int, m: int,
+                           options: SolverOptions = DEFAULT_OPTIONS):
+    """solve_device + the final tableau's slack block T2[n:n+m, :m] —
+    exactly B^{-1} of the final basis in exact arithmetic (the b-flip
+    signs cancel: B^{-1}[k, j] = T[n+j, k]), f32-drift-accurate after a
+    long mixed solve. refine.refine_solution_tableau uses it as the
+    iterative-refinement preconditioner, replacing the O(m^3) LU whose
+    TPU wall grows past the solve's own at reference sizes (measured
+    4.5 s at m=4096, 21.7 s at m=8192 in the r5 sweep)."""
+    out, tab2 = _solve_device_core(A, b, c, n, m, options)
+    return out, tab2.T[n:n + m, :m]
 
 
 def refine_result(problem: Problem, base, options: SolverOptions,
                   A_dev=None, b_dev=None, c_dev=None,
-                  raw_objective: float = float("nan")):
+                  raw_objective: float = float("nan"), binv=None):
     """Run f64 basis refinement for one OPTIMAL solve and certify it
     (see refine.py). Returns ``(x, objective, RefineInfo) | None`` —
     None means the certificates failed and the caller should fall back
     to an f64 finishing solve. Shared by solve(), the batched wrapper
-    (per-lane) and the sharded wrapper."""
+    (per-lane) and the sharded wrapper.
+
+    ``binv``: the final tableau's slack block (from
+    solve_device_with_binv) — tries the LU-free preconditioned path
+    first and silently retries with the O(m^3) LU path only if its
+    certificates fail (singular direction from a redundant-row drop,
+    extreme conditioning)."""
     import time
 
-    from .refine import RefineInfo, certificates_pass, refine_solution
+    from .refine import (RefineInfo, certificates_pass, refine_solution,
+                         refine_solution_tableau)
 
     t0 = time.perf_counter()
     m, n = problem.constraints, problem.vars
-    ro = jax.device_get(refine_solution(
-        A_dev if A_dev is not None else jnp.asarray(problem.A),
-        b_dev if b_dev is not None else jnp.asarray(problem.b),
-        c_dev if c_dev is not None else jnp.asarray(problem.c),
-        jnp.asarray(base), n=n, m=m, iters=int(options.refine_iters)))
+    A_dev = A_dev if A_dev is not None else jnp.asarray(problem.A)
+    b_dev = b_dev if b_dev is not None else jnp.asarray(problem.b)
+    c_dev = c_dev if c_dev is not None else jnp.asarray(problem.c)
     tol = float(options.refine_tol)
-    ok = certificates_pass(ro, problem.b, problem.c, tol)
+    base = jnp.asarray(base)
+
+    ro = None
+    method = "lu"
+    ok = False
+    skip_lu = False
+    if binv is not None:
+        ro = jax.device_get(refine_solution_tableau(
+            A_dev, b_dev, c_dev, base, binv, n=n, m=m))
+        ok = certificates_pass(ro, problem.b, problem.c, tol)
+        method = "tableau"
+        if not ok:
+            # If the IR converged (primal residual at round-off) and
+            # only DUAL feasibility failed, the basis is genuinely
+            # suboptimal: the O(m^3) LU retry would reach the same
+            # verdict — go straight to the f64 finishing fallback.
+            b_scale = 1.0 + float(np.max(np.abs(problem.b)))
+            skip_lu = (float(ro.primal_residual) <= tol * b_scale
+                       and float(ro.primal_negativity) <= tol * b_scale
+                       and float(ro.artificial_mass) <= tol * b_scale)
+    if not ok and not skip_lu:
+        ro = jax.device_get(refine_solution(
+            A_dev, b_dev, c_dev, base, n=n, m=m,
+            iters=int(options.refine_iters)))
+        ok = certificates_pass(ro, problem.b, problem.c, tol)
+        method = "lu"
     info = RefineInfo(
         certified=ok,
         primal_residual=float(ro.primal_residual),
@@ -246,7 +304,8 @@ def refine_result(problem: Problem, base, options: SolverOptions,
         dual_infeasibility=float(ro.dual_infeasibility),
         tol=tol,
         objective_shift=float(ro.objective) - raw_objective,
-        wall_s=round(time.perf_counter() - t0, 4))
+        wall_s=round(time.perf_counter() - t0, 4),
+        method=method)
     if not ok:
         return None, None, info
     return np.asarray(ro.x), float(ro.objective), info
@@ -320,7 +379,16 @@ def solve(problem: Problem, options: SolverOptions | None = None,
     A_dev, b_dev, c_dev = (jnp.asarray(solve_problem.A),
                            jnp.asarray(solve_problem.b),
                            jnp.asarray(solve_problem.c))
-    out = solve_device(A_dev, b_dev, c_dev, n, m, options)
+    binv = None
+    if refine_enabled(options) and scaling is None:
+        # Keep the final tableau's slack block on device: the LU-free
+        # refinement preconditioner (refine.refine_solution_tableau).
+        # Equilibrated solves skip it — the block inverts the SCALED
+        # basis, not the original one refinement runs against.
+        out, binv = solve_device_with_binv(A_dev, b_dev, c_dev, n, m,
+                                           options)
+    else:
+        out = solve_device(A_dev, b_dev, c_dev, n, m, options)
     out = jax.device_get(out)
     status = Status(int(out.status))
 
@@ -342,7 +410,7 @@ def solve(problem: Problem, options: SolverOptions | None = None,
         if scaling is None:
             rx, robj, refine_info = refine_result(
                 problem, out.base, options, A_dev, b_dev, c_dev,
-                raw_objective=objective)
+                raw_objective=objective, binv=binv)
         else:
             rx, robj, refine_info = refine_result(
                 problem, out.base, options, raw_objective=objective)

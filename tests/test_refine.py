@@ -106,6 +106,26 @@ class TestSingleChip:
         assert r.objective == pytest.approx(ro.objective, rel=1e-9)
         assert r.refine.certified
 
+    def test_tableau_preconditioner_is_the_default_path(self):
+        """The LU-free slack-block refinement (r5) certifies the common
+        case — no O(m^3) factorization on the production path."""
+        p = generate_random_problem(200, 80, 3, 1, 100)
+        r = solve(p, mixed_options())
+        assert r.status == Status.OPTIMAL
+        assert r.refine is not None and r.refine.certified
+        assert r.refine.method == "tableau"
+        ro = solve_oracle(p)
+        assert r.objective == pytest.approx(ro.objective, rel=1e-11)
+
+    def test_equilibrated_solves_use_lu_path(self):
+        """The slack block inverts the SCALED basis, so equilibrated
+        solves refine via the LU path against the original data."""
+        p = generate_random_problem(80, 32, 3, 1, 100)
+        r = solve(p, mixed_options(equilibrate=True))
+        assert r.status == Status.OPTIMAL
+        assert r.refine is not None and r.refine.certified
+        assert r.refine.method == "lu"
+
     def test_fallback_on_impossible_tolerance(self):
         """refine_tol below f64 round-off forces certificate failure ->
         the f64 finishing solve, whose objective is oracle-exact and

@@ -89,6 +89,7 @@ def main():
                        objective_shift=r.refine.objective_shift)
         if r.refine is not None:
             row["refine_wall_s"] = r.refine.wall_s
+            row["refine_method"] = r.refine.method
         rows.append(row)
         log(f"{n:5d}x{m:5d}: {row['status']:9s} "
             f"pivots={row['pivots'][0]}+{row['pivots'][1]} "
