@@ -601,5 +601,5 @@ def _refine_lane(problem, base, options: SolverOptions,
                       float(ro.artificial_mass) if ro else float("inf"),
                       float(ro.dual_infeasibility) if ro else float("inf"),
                       tol, fallback=True)
-    result64 = fallback_solve(problem, options)
+    result64 = fallback_solve(problem, options, base=np.asarray(base))
     return dataclasses.replace(result64, refine=info)

@@ -1192,7 +1192,7 @@ def solve_sharded(problem, mesh: Mesh,
         else:
             from ..two_phase import fallback_solve
 
-            result64 = fallback_solve(problem, options)
+            result64 = fallback_solve(problem, options, base=out.base)
             return _dc.replace(
                 result64, refine=refine_info._replace(fallback=True))
 

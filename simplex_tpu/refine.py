@@ -174,8 +174,15 @@ def refine_solution_tableau(A: jax.Array, b: jax.Array, c: jax.Array,
     redundant-row drop zeroed a slack column, so the block is singular
     along that direction and the IR stalls there).
     """
+    from .tableau import accum_matvec
+
     f64 = jnp.float64
-    A = A.astype(f64)
+    # A stays in ITS OWN dtype: at flagship scale the f64 cast is an
+    # 8 GB materialization that does not coexist with the tableau in
+    # HBM. An f32 A is the exact problem the solve saw — its matvecs
+    # run chunked with f64 accumulation (accum_matvec), certifying
+    # against the f32-representable instance; an f64 A goes through
+    # plain HIGHEST-precision dots.
     b = b.astype(f64)
     c = c.astype(f64)
     Mt = binv_t.astype(f64)                     # Mt[j, k] = B^{-1}[k, j]
@@ -191,6 +198,12 @@ def refine_solution_tableau(A: jax.Array, b: jax.Array, c: jax.Array,
     def matmul64(M, w):
         return jnp.dot(M, w, precision=jax.lax.Precision.HIGHEST)
 
+    def A_dot(vec):                              # A @ vec, f64 out
+        return accum_matvec(A, vec, 1, f64)
+
+    def At_dot(vec):                             # A^T @ vec, f64 out
+        return accum_matvec(A, vec, 0, f64)
+
     def apply_B(xB):
         # B @ xB columnwise: structural columns through one A matvec on
         # the scattered x, slack/aux through unit-row scatters.
@@ -199,11 +212,11 @@ def refine_solution_tableau(A: jax.Array, b: jax.Array, c: jax.Array,
         s_full = jnp.zeros((m + 1,), f64).at[
             jnp.where(struct, m, unit)].add(
             jnp.where(struct, 0.0, xB), mode="drop")[:m]
-        return matmul64(A, x_full) + s_full
+        return A_dot(x_full) + s_full
 
     def apply_Bt(y):
         # (B^T y)_k = column_k . y
-        w = matmul64(A.T, y)
+        w = At_dot(y)
         return jnp.where(struct, w[jnp.clip(v, 0, n - 1)], y[unit])
 
     # Primal: x_B = B^{-1} b via preconditioned IR from zero.
@@ -218,7 +231,7 @@ def refine_solution_tableau(A: jax.Array, b: jax.Array, c: jax.Array,
     for _ in range(iters):
         y = y + matmul64(Mt, c_B - apply_Bt(y))
 
-    d_struct = matmul64(A.T, y) - c
+    d_struct = At_dot(y) - c
     nonbasic_struct = jnp.ones((n + 1,), bool).at[sv].set(
         False, mode="drop")[:n]
     nonbasic_slack = jnp.ones((m + 1,), bool).at[
@@ -236,6 +249,64 @@ def refine_solution_tableau(A: jax.Array, b: jax.Array, c: jax.Array,
 
     return RefineOutput(x, objective, primal_residual, primal_negativity,
                         artificial_mass, dual_infeasibility, y)
+
+
+def refine_solution_tableau_host(A, b, c, base, binv_t, n: int, m: int,
+                                 iters: int = 8) -> RefineOutput:
+    """NumPy mirror of ``refine_solution_tableau`` for host callers
+    (finish.py certifies its warm-finished basis with the warm
+    tableau's own slack block — f64-quality, so a couple of IR sweeps
+    reach round-off; no LU, no device transfers)."""
+    A = np.asarray(A, np.float64)
+    b = np.asarray(b, np.float64)
+    c = np.asarray(c, np.float64)
+    Mt = np.asarray(binv_t, np.float64)
+    v = np.asarray(base, np.int64)[:m]
+
+    struct = v < n
+    slack = (v >= n) & (v < n + m)
+    aux = ~(struct | slack)
+    unit = np.where(slack, v - n, np.arange(m))
+
+    def apply_B(xB):
+        x_full = np.zeros(n)
+        np.add.at(x_full, v[struct], xB[struct])
+        s_full = np.zeros(m)
+        np.add.at(s_full, unit[~struct], xB[~struct])
+        return A @ x_full + s_full
+
+    def apply_Bt(y):
+        w = A.T @ y
+        return np.where(struct, w[np.clip(v, 0, n - 1)], y[unit])
+
+    xB = np.zeros(m)
+    for _ in range(iters):
+        xB = xB + (b - apply_B(xB)) @ Mt
+    primal_residual = float(np.max(np.abs(b - apply_B(xB)))) if m else 0.0
+
+    c_B = np.where(struct, c[np.clip(v, 0, n - 1)], 0.0)
+    y = np.zeros(m)
+    for _ in range(iters):
+        y = y + Mt @ (c_B - apply_Bt(y))
+
+    d_struct = A.T @ y - c
+    nonbasic_struct = np.ones(n, bool)
+    nonbasic_struct[v[struct]] = False
+    nonbasic_slack = np.ones(m, bool)
+    nonbasic_slack[unit[slack]] = False
+    cands = np.concatenate([d_struct[nonbasic_struct], y[nonbasic_slack]])
+    d_min = float(cands.min()) if cands.size else 0.0
+
+    x = np.zeros(n)
+    x[v[struct]] = xB[struct]
+    return RefineOutput(
+        x=x,
+        objective=float(c @ x),
+        primal_residual=primal_residual,
+        primal_negativity=float(max(0.0, -xB.min())) if m else 0.0,
+        artificial_mass=float(np.max(np.abs(xB[aux]), initial=0.0)),
+        dual_infeasibility=max(0.0, -d_min),
+        y=y)
 
 
 refine_solution_batched = jax.jit(

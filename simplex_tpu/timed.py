@@ -309,7 +309,8 @@ def solve_timed(problem: Problem, options: SolverOptions | None = None,
         if rx is not None:
             x, objective = rx, robj
         else:
-            result64 = fallback_solve(problem, options)
+            result64 = fallback_solve(problem, options,
+                                      base=np.asarray(tab.base))
             return dataclasses.replace(
                 result64, refine=refine_info._replace(fallback=True))
     return SolveResult(Status.OPTIMAL, x, objective, iters1, iters2,

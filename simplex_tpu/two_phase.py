@@ -319,17 +319,31 @@ def fallback_options(options: SolverOptions) -> SolverOptions:
         options, dtype=np.float64, vector_dtype=np.float64, refine=False)
 
 
-def fallback_solve(problem: Problem, options: SolverOptions) -> SolveResult:
-    """Run the f64 finishing solve WATCHDOG-SAFELY: at reference sizes
-    the emulated-f64 loop runs ~7 ms/pivot, so a 20k-pivot solve in one
-    fused device call exceeds the tunneled-TPU runtime watchdog and
-    kills the worker (observed at 8192x8192 during the r5 sweep — the
-    crash presents exactly like a kernel fault). The checkpoint
-    machinery already chunks the loop into bounded device calls; use it
-    with a throwaway checkpoint file. Small problems pay one extra file
-    write; nothing else changes (tests pin solve_resumable == solve)."""
+def fallback_solve(problem: Problem, options: SolverOptions,
+                   base=None) -> SolveResult:
+    """The f64 finishing tier when refinement certificates fail.
+
+    With ``base`` (the mixed solve's final basis): try the WARM-START
+    host finisher first (finish.finish_from_basis — rebuild the exact
+    f64 tableau for that basis, run the oracle's f64 loop for the few
+    finishing pivots; seconds instead of the minutes a full re-solve
+    costs at 8192-class sizes). Otherwise — or when warm finishing
+    does not apply — run the full f64 re-solve WATCHDOG-SAFELY: at
+    reference sizes the emulated-f64 loop runs ~7 ms/pivot, so a
+    20k-pivot solve in one fused device call exceeds the tunneled-TPU
+    runtime watchdog and kills the worker (observed at 8192x8192
+    during the r5 sweep — the crash presents exactly like a kernel
+    fault). The checkpoint machinery already chunks the loop into
+    bounded device calls; use it with a throwaway checkpoint file."""
     import os
     import tempfile
+
+    if base is not None:
+        from .finish import finish_from_basis
+
+        finished = finish_from_basis(problem, np.asarray(base), options)
+        if finished is not None:
+            return finished
 
     from .checkpoint import solve_resumable
 
@@ -417,7 +431,7 @@ def solve(problem: Problem, options: SolverOptions | None = None,
         if rx is not None:
             x, objective = rx, robj
         else:
-            result64 = fallback_solve(problem, options)
+            result64 = fallback_solve(problem, options, base=out.base)
             return dataclasses.replace(
                 result64, refine=refine_info._replace(fallback=True))
 

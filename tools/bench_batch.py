@@ -49,26 +49,30 @@ def main():
     problems = [generate_random_problem(n, m, 1000 + i, 1, 100)
                 for i in range(B)]
 
+    mixed = dict(dtype=np.float32, vector_dtype=np.float64, eps=1e-5)
     configs = [
-        ("f32 L=32 (r1 configuration)",
-         SolverOptions(dtype=np.float32, block_pivots=32, eps=1e-4),
-         False),
-        ("mixed L=32",
-         SolverOptions(dtype=np.float32, vector_dtype=np.float64,
-                       block_pivots=32, eps=1e-5), False),
-        ("mixed L=128 (vmapped XLA fallback)",
-         SolverOptions(dtype=np.float32, vector_dtype=np.float64,
-                       block_pivots=128, eps=1e-5), False),
-        ("mixed L=32 in-VMEM kernel",
-         SolverOptions(dtype=np.float32, vector_dtype=np.float64,
-                       block_pivots=32, eps=1e-5), "auto"),
-        ("mixed L=128 in-VMEM kernel (production)",
-         SolverOptions(dtype=np.float32, vector_dtype=np.float64,
-                       block_pivots=128, eps=1e-5), "auto"),
-        ("mixed L=32 devex in-VMEM kernel",
-         SolverOptions(dtype=np.float32, vector_dtype=np.float64,
-                       block_pivots=32, eps=1e-5,
-                       pivot_rule="devex"), "auto"),
+        # r4 baselines (dantzig pinned — the pre-r5 default), then the
+        # r5 production landscape: devex default + fused in-kernel
+        # re-pricing, and the larger in-kernel windows the refinement
+        # layer's f64 certificates make safe (accuracy no longer bounds
+        # L; drifted lanes self-detect and finish in f64).
+        ("kernel L=32 dantzig (r4 baseline)",
+         SolverOptions(**mixed, block_pivots=32,
+                       pivot_rule="dantzig"), "auto"),
+        ("kernel L=32 devex (r5 default)",
+         SolverOptions(**mixed, block_pivots=32), "auto"),
+        ("kernel L=64 devex",
+         SolverOptions(**mixed, block_pivots=128,
+                       batch_block_pivots=64), "auto"),
+        ("kernel L=128 devex",
+         SolverOptions(**mixed, block_pivots=128,
+                       batch_block_pivots=128), "auto"),
+        ("kernel L=128 dantzig",
+         SolverOptions(**mixed, block_pivots=128,
+                       batch_block_pivots=128,
+                       pivot_rule="dantzig"), "auto"),
+        ("vmapped-XLA fallback L=128 devex",
+         SolverOptions(**mixed, block_pivots=128), False),
     ]
     # (The vmapped SEQUENTIAL loop is deliberately absent: each pivot
     # streams the whole 1.6 GB batch tableau, ~600x per phase — tens of
@@ -123,21 +127,21 @@ def main():
             f"{n_opt}/{B} OPTIMAL (cold {warm:.1f} s)")
         assert n_opt == B, f"{name}: {B - n_opt} lanes not OPTIMAL"
 
-    # Spot-check a few lanes against the oracle (last config run).
+    # Spot-check a few lanes against the oracle through the FULL host
+    # surface (solve_batched refines every OPTIMAL lane in f64 now —
+    # certified lanes must land at 1e-9; a fallback lane is f64-exact).
     results = solve_batched(problems, configs[-1][1],
                             kernel=configs[-1][2])
     for i in (0, B // 2, B - 1):
         want = solve_oracle(problems[i])
         rel = abs(results[i].objective - want.objective) / (
             1 + abs(want.objective))
+        ri = results[i].refine
         log(f"lane {i}: objective rel err {rel:.1e} "
             f"(pivots {results[i].iterations_phase1}"
-            f"+{results[i].iterations_phase2})")
-        # The documented mixed-precision envelope at ~1k pivots/lane is
-        # ~2e-4 relative (BENCHMARKS.md accuracy table; the test suite's
-        # batched bound is 5e-4) — 1e-4 was tighter than the mode's own
-        # spec and tripped on lane 128 at 1.2e-4.
-        assert rel < 5e-4, (i, results[i].objective, want.objective)
+            f"+{results[i].iterations_phase2}, "
+            f"refine={None if ri is None else (ri.certified, ri.fallback)})")
+        assert rel < 1e-9, (i, results[i].objective, want.objective)
     print("BENCH_BATCH_OK")
     return 0
 
