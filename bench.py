@@ -166,7 +166,7 @@ def main() -> int:
     ceiling_gbs = measure_rmw_ceiling(tab0.T)
     log(f"ceiling: {ceiling_gbs:.0f} GB/s sustained RMW")
 
-    def make_run(cap):
+    def make_run(cap, opts):
         @jax.jit
         def run(tab, costs0):
             # Return scalars only: shipping the multi-GB tableau back
@@ -176,7 +176,7 @@ def main() -> int:
             # costs0 enables the exact window-boundary re-pricing — the
             # full production configuration, so the reported number
             # includes the reprice cost (kernels/blocked.reprice_pass).
-            tab, status, iters = run_solve_loop(tab, options, cap, costs0)
+            tab, status, iters = run_solve_loop(tab, opts, cap, costs0)
             return tab.z, status, iters
         return run
 
@@ -186,54 +186,71 @@ def main() -> int:
     # scan, dispatch) that a real solve amortises over 10k+ pivots but a
     # K=512 average spreads over only 512 (overstating ms/pivot ~25%).
     K_lo = max(K // 2, 1)
-    results = {}
     stages["loop_trace_s"] = 0.0
     stages["loop_compile_s"] = 0.0
-    for cap in (K_lo, K):
-        run = make_run(cap)
-        log(f"compiling + warmup (cap={cap}) ...")
-        t0 = time.perf_counter()
-        lowered = run.lower(tab0, costs0)
-        trace_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        compiled = lowered.compile()
-        compile_s = time.perf_counter() - t0
-        stages["loop_trace_s"] = round(stages["loop_trace_s"] + trace_s, 2)
-        stages["loop_compile_s"] = round(
-            stages["loop_compile_s"] + compile_s, 2)
-        t0 = time.perf_counter()
-        # Sync via scalar readback (block_until_ready can wedge on the
-        # axon tunnel for large aliased outputs; reading any output of
-        # the executable forces completion of the whole program).
-        out = compiled(tab0, costs0)
-        iters_done = int(out[2])
-        warm_s = time.perf_counter() - t0
-        log(f"trace {trace_s:.1f}s, compile {compile_s:.1f}s, "
-            f"first run {warm_s:.1f}s, status={int(out[1])}, "
-            f"iters={iters_done}")
-        run = compiled
-        if iters_done < cap:
-            log(f"WARNING: loop ended after {iters_done} < {cap} pivots")
-        times = []
-        for rep in range(args.repeats):
-            t0 = time.perf_counter()
-            got = int(run(tab0, costs0)[2])
-            times.append(time.perf_counter() - t0)
-            log(f"repeat {rep}: {times[-1]:.3f}s "
-                f"({times[-1] / max(got, 1) * 1e3:.2f} ms/pivot avg)")
-        results[cap] = (min(times), iters_done)
 
-    (t_lo, p_lo), (t_hi, p_hi) = results[K_lo], results[K]
-    if p_hi == p_lo or t_hi <= t_lo:
-        # Same pivot count at both caps (solve finished early) or timing
-        # noise exceeding the true difference (tiny shapes): the marginal
-        # is undefined/negative — fall back to the amortised average.
-        log("WARNING: marginal estimate unavailable "
-            f"(pivots {p_lo}->{p_hi}, time {t_lo:.3f}->{t_hi:.3f}s); "
-            "reporting the amortised average instead")
-        per_iter_s = t_hi / max(p_hi, 1)
-    else:
-        per_iter_s = (t_hi - t_lo) / (p_hi - p_lo)
+    def measure_marginal(opts, label):
+        results = {}
+        for cap in (K_lo, K):
+            run = make_run(cap, opts)
+            log(f"compiling + warmup (cap={cap}, {label}) ...")
+            t0 = time.perf_counter()
+            lowered = run.lower(tab0, costs0)
+            trace_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            compiled = lowered.compile()
+            compile_s = time.perf_counter() - t0
+            stages["loop_trace_s"] = round(
+                stages["loop_trace_s"] + trace_s, 2)
+            stages["loop_compile_s"] = round(
+                stages["loop_compile_s"] + compile_s, 2)
+            t0 = time.perf_counter()
+            # Sync via scalar readback (block_until_ready can wedge on
+            # the axon tunnel for large aliased outputs; reading any
+            # output forces completion of the whole program).
+            out = compiled(tab0, costs0)
+            iters_done = int(out[2])
+            warm_s = time.perf_counter() - t0
+            log(f"trace {trace_s:.1f}s, compile {compile_s:.1f}s, "
+                f"first run {warm_s:.1f}s, status={int(out[1])}, "
+                f"iters={iters_done}")
+            if iters_done < cap:
+                log(f"WARNING: loop ended after {iters_done} < {cap} "
+                    "pivots")
+            times = []
+            for rep in range(args.repeats):
+                t0 = time.perf_counter()
+                got = int(compiled(tab0, costs0)[2])
+                times.append(time.perf_counter() - t0)
+                log(f"repeat {rep}: {times[-1]:.3f}s "
+                    f"({times[-1] / max(got, 1) * 1e3:.2f} ms/pivot avg)")
+            results[cap] = (min(times), iters_done)
+
+        (t_lo, p_lo), (t_hi, p_hi) = results[K_lo], results[K]
+        if p_hi == p_lo or t_hi <= t_lo:
+            # Same pivot count at both caps (solve finished early) or
+            # timing noise exceeding the true difference (tiny shapes):
+            # the marginal is undefined/negative - fall back to the
+            # amortised average.
+            log("WARNING: marginal estimate unavailable "
+                f"(pivots {p_lo}->{p_hi}, time {t_lo:.3f}->{t_hi:.3f}s); "
+                "reporting the amortised average instead")
+            return t_hi / max(p_hi, 1)
+        return (t_hi - t_lo) / (p_hi - p_lo)
+
+    # Headline = the PRODUCTION DEFAULT rule (devex for f32 blocked
+    # configs since r5); when that is devex, also measure Dantzig so the
+    # artifact carries the like-for-like per-pivot number for
+    # round-over-round comparison (devex costs ~4-7% per pivot for the
+    # weight updates and wins ~2.35x end-to-end on pivot count).
+    per_iter_s = measure_marginal(options, options.pivot_rule_resolved)
+    dantzig_ms = None
+    if options.pivot_rule_resolved != "dantzig":
+        import dataclasses
+
+        alt = dataclasses.replace(options, pivot_rule="dantzig")
+        dantzig_ms = round(measure_marginal(alt, "dantzig") * 1e3, 3)
+
     # Bytes per pivot a sequential rank-1 update would move: read + write
     # of the full tableau (the reference's accounting, BASELINE.md
     # "implied throughput"). With deferred block pivoting this is
@@ -280,6 +297,10 @@ def main() -> int:
         "ceiling_gbs": round(ceiling_gbs, 1),
         "floor_ms_per_pivot": round(floor_ms, 3),
         "efficiency_pct": round(efficiency * 100, 1),
+        # Like-for-like per-pivot number when the default rule is not
+        # Dantzig (devex trades ~4-7% per pivot for ~2.35x fewer pivots
+        # end-to-end; this keeps round-over-round JSONs comparable).
+        "dantzig_ms_per_pivot": dantzig_ms,
         # Setup attribution (VERDICT r4 weak #4 / next #6): where the
         # non-measured time went this session — tableau-build trace/
         # compile/execute and the two solve-loop trace/compile pairs —

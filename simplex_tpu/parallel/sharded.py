@@ -1185,8 +1185,8 @@ def solve_sharded(problem, mesh: Mesh,
         from ..two_phase import refine_result
         import dataclasses as _dc
 
-        rx, robj, refine_info = refine_result(problem, out.base, options,
-                                              raw_objective=objective)
+        rx, robj, refine_info, _ro = refine_result(
+            problem, out.base, options, raw_objective=objective)
         if rx is not None:
             x, objective = rx, robj
         else:

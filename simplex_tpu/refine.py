@@ -64,6 +64,7 @@ class RefineOutput(NamedTuple):
     artificial_mass: jax.Array    # max |x_B| over artificial/dropped slots
     dual_infeasibility: jax.Array # max(0, -min d) over NONBASIC columns
     y: jax.Array                  # (m,) refined dual vector, f64
+    xB: jax.Array                 # (m,) refined basic values, f64
 
 
 @partial(jax.jit, static_argnames=("n", "m", "iters"))
@@ -148,7 +149,7 @@ def refine_solution(A: jax.Array, b: jax.Array, c: jax.Array,
     artificial_mass = jnp.max(jnp.where(aux, jnp.abs(x_B), 0.0))
 
     return RefineOutput(x, objective, primal_residual, primal_negativity,
-                        artificial_mass, dual_infeasibility, y)
+                        artificial_mass, dual_infeasibility, y, x_B)
 
 
 @partial(jax.jit, static_argnames=("n", "m", "iters"))
@@ -248,7 +249,7 @@ def refine_solution_tableau(A: jax.Array, b: jax.Array, c: jax.Array,
     artificial_mass = jnp.max(jnp.where(aux, jnp.abs(xB), 0.0))
 
     return RefineOutput(x, objective, primal_residual, primal_negativity,
-                        artificial_mass, dual_infeasibility, y)
+                        artificial_mass, dual_infeasibility, y, xB)
 
 
 def refine_solution_tableau_host(A, b, c, base, binv_t, n: int, m: int,
@@ -306,7 +307,7 @@ def refine_solution_tableau_host(A, b, c, base, binv_t, n: int, m: int,
         primal_negativity=float(max(0.0, -xB.min())) if m else 0.0,
         artificial_mass=float(np.max(np.abs(xB[aux]), initial=0.0)),
         dual_infeasibility=max(0.0, -d_min),
-        y=y)
+        y=y, xB=xB)
 
 
 refine_solution_batched = jax.jit(
@@ -363,7 +364,7 @@ def refine_solution_host(A, b, c, base, n: int, m: int) -> RefineOutput | None:
         primal_negativity=float(max(0.0, -x_B.min())) if m else 0.0,
         artificial_mass=float(np.max(np.abs(x_B[aux]), initial=0.0)),
         dual_infeasibility=max(0.0, -d_min),
-        y=y)
+        y=y, xB=x_B)
 
 
 class RefineInfo(NamedTuple):

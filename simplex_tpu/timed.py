@@ -303,7 +303,7 @@ def solve_timed(problem: Problem, options: SolverOptions | None = None,
         from .two_phase import fallback_solve, refine_result
 
         binv = tab.T[n:n + m, :m]
-        rx, robj, refine_info = refine_result(
+        rx, robj, refine_info, _ro = refine_result(
             problem, tab.base, options, A, b, c,
             raw_objective=objective, binv=binv)
         if rx is not None:

@@ -249,10 +249,11 @@ def refine_result(problem: Problem, base, options: SolverOptions,
                   A_dev=None, b_dev=None, c_dev=None,
                   raw_objective: float = float("nan"), binv=None):
     """Run f64 basis refinement for one OPTIMAL solve and certify it
-    (see refine.py). Returns ``(x, objective, RefineInfo) | None`` —
-    None means the certificates failed and the caller should fall back
-    to an f64 finishing solve. Shared by solve(), the batched wrapper
-    (per-lane) and the sharded wrapper.
+    (see refine.py). Returns ``(x, objective, RefineInfo, RefineOutput)``
+    — x None means the certificates failed and the caller should move
+    to the finishing tiers (the RefineOutput still carries the exact
+    basic values a reinversion restart needs). Shared by solve(), the
+    batched wrapper (per-lane) and the sharded wrapper.
 
     ``binv``: the final tableau's slack block (from
     solve_device_with_binv) — tries the LU-free preconditioned path
@@ -307,8 +308,8 @@ def refine_result(problem: Problem, base, options: SolverOptions,
         wall_s=round(time.perf_counter() - t0, 4),
         method=method)
     if not ok:
-        return None, None, info
-    return np.asarray(ro.x), float(ro.objective), info
+        return None, None, info, ro
+    return np.asarray(ro.x), float(ro.objective), info, ro
 
 
 def fallback_options(options: SolverOptions) -> SolverOptions:
@@ -416,22 +417,54 @@ def solve(problem: Problem, options: SolverOptions | None = None,
         x = scaling.col * np.asarray(x, np.float64)
         objective = float(problem.c @ x)
     refine_info = None
+    extra_pivots = 0
     if status == Status.OPTIMAL and refine_enabled(options):
         # Refinement always runs against the ORIGINAL f64 data — the
         # basis is scale-free, so an equilibrated solve's refined
         # x/objective/certificates come out in original units with no
         # unwind step at all.
         if scaling is None:
-            rx, robj, refine_info = refine_result(
+            rx, robj, refine_info, ro = refine_result(
                 problem, out.base, options, A_dev, b_dev, c_dev,
                 raw_objective=objective, binv=binv)
         else:
-            rx, robj, refine_info = refine_result(
+            rx, robj, refine_info, ro = refine_result(
                 problem, out.base, options, raw_objective=objective)
+        base_cur = out.base
+        if rx is None and binv is not None:
+            # Device reinversion-restart rounds (reinvert.py): rebuild
+            # the exact tableau for the drifted basis on the MXU and
+            # continue the mixed loop — the drifted basis is typically
+            # a handful of pivots from optimal (measured 21 at flagship
+            # class), so a round is ~a second of device work where the
+            # host tiers pay an m^3-class factorization.
+            from .reinvert import restart_device
+
+            binv_cur = binv
+            for _ in range(2):
+                try:
+                    out2, binv2, ns_res = restart_device(
+                        A_dev, b_dev, c_dev, jnp.asarray(base_cur),
+                        binv_cur, jnp.asarray(ro.xB), n, m, options)
+                    st2 = Status(int(out2.status))
+                except Exception:      # OOM at extreme shapes and the
+                    break              # like: hand to the host tiers
+                if st2 != Status.OPTIMAL:
+                    break
+                extra_pivots += int(out2.iterations_phase2)
+                base_cur, binv_cur = out2.base, binv2
+                rx, robj, refine_info, ro = refine_result(
+                    problem, base_cur, options, A_dev, b_dev, c_dev,
+                    raw_objective=float(out2.objective), binv=binv_cur)
+                if rx is not None:
+                    refine_info = refine_info._replace(method="restart")
+                    x, objective = rx, robj
+                    break
+
         if rx is not None:
             x, objective = rx, robj
         else:
-            result64 = fallback_solve(problem, options, base=out.base)
+            result64 = fallback_solve(problem, options, base=base_cur)
             return dataclasses.replace(
                 result64, refine=refine_info._replace(fallback=True))
 
@@ -440,7 +473,7 @@ def solve(problem: Problem, options: SolverOptions | None = None,
         x=x,
         objective=objective,
         iterations_phase1=int(out.iterations_phase1),
-        iterations_phase2=int(out.iterations_phase2),
+        iterations_phase2=int(out.iterations_phase2) + extra_pivots,
         degenerate=bool(out.n_artificial_in_base > 0),
         refine=refine_info,
     )

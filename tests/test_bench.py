@@ -41,6 +41,7 @@ def test_one_json_line_contract(extra):
     assert set(rec) == {"metric", "value", "unit", "vs_baseline",
                         "ceiling_gbs", "floor_ms_per_pivot",
                         "efficiency_pct", "pivot_rule",
+                        "dantzig_ms_per_pivot",
                         "build_trace_s", "build_compile_s",
                         "build_exec_s", "loop_trace_s", "loop_compile_s"}
     # Setup attribution (VERDICT r4 next #6): every stage measured and

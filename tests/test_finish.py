@@ -77,11 +77,18 @@ class TestFinishFromBasis:
 
 
 class TestFallbackUsesWarmFinish:
-    def test_forced_fallback_lands_on_oracle(self):
-        """refine_tol=1e-300 forces certificate failure; the fallback
-        must produce the oracle objective — through the warm finisher
-        (near-instant here) or the full re-solve, indistinguishable in
-        result, both exact."""
+    def test_forced_fallback_lands_on_oracle(self, monkeypatch):
+        """With the device restart tier knocked out, refine_tol=1e-300
+        forces certificate failure; the fallback must produce the
+        oracle objective — through the warm finisher (near-instant
+        here) or the full re-solve, indistinguishable in result, both
+        exact."""
+        import simplex_tpu.reinvert as reinvert
+
+        def boom(*a, **k):
+            raise RuntimeError("simulated RESOURCE_EXHAUSTED")
+
+        monkeypatch.setattr(reinvert, "restart_device", boom)
         p = generate_random_problem(100, 40, 5, 1, 100)
         r = solve(p, SolverOptions(dtype=np.float32,
                                    vector_dtype=np.float64,

@@ -126,10 +126,30 @@ class TestSingleChip:
         assert r.refine is not None and r.refine.certified
         assert r.refine.method == "lu"
 
-    def test_fallback_on_impossible_tolerance(self):
-        """refine_tol below f64 round-off forces certificate failure ->
-        the f64 finishing solve, whose objective is oracle-exact and
-        whose RefineInfo records the fallback."""
+    def test_impossible_tolerance_still_lands_exact(self):
+        """refine_tol below f64 round-off: either a reinversion-restart
+        round reaches EXACT-zero residuals (which pass any positive
+        tol) or the finishing tiers run — both ways the result is the
+        oracle optimum and RefineInfo says which tier delivered it."""
+        p = generate_random_problem(100, 40, 5, 1, 100)
+        r = solve(p, mixed_options(refine_tol=1e-300))
+        ro = solve_oracle(p)
+        assert r.status == Status.OPTIMAL
+        assert r.refine is not None
+        assert (r.refine.certified and r.refine.method == "restart"
+                ) or r.refine.fallback
+        assert r.objective == pytest.approx(ro.objective, rel=1e-12)
+
+    def test_fallback_when_restart_unavailable(self, monkeypatch):
+        """With the restart tier knocked out (simulating the OOM escape
+        hatch), an impossible tolerance must reach the host fallback
+        tiers and still land on the oracle optimum."""
+        import simplex_tpu.reinvert as reinvert
+
+        def boom(*a, **k):
+            raise RuntimeError("simulated RESOURCE_EXHAUSTED")
+
+        monkeypatch.setattr(reinvert, "restart_device", boom)
         p = generate_random_problem(100, 40, 5, 1, 100)
         r = solve(p, mixed_options(refine_tol=1e-300))
         ro = solve_oracle(p)

@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--limit", type=int, default=8192)
     ap.add_argument("--block", type=int, default=128)
     ap.add_argument("--out", default="data/measures/refine_sweep_r5.json")
+    ap.add_argument("--sizes", default=None,
+                    help="comma-separated n_x_m pairs (e.g. "
+                         "'8192x4096,8192x8192') to run instead of the "
+                         "full grid")
     args = ap.parse_args()
 
     import jax
@@ -57,9 +61,15 @@ def main():
     log(f"backend={jax.default_backend()} "
         f"rule={options.pivot_rule_resolved} block={args.block}")
 
+    sizes = list(benchmark_sizes(args.limit))
+    if args.sizes:
+        want = {tuple(map(int, s.split("x"))) for s in
+                args.sizes.split(",")}
+        sizes = [nm for nm in sizes if nm in want]
+
     rows = []
     t_sweep = time.time()
-    for n, m in benchmark_sizes(args.limit):
+    for n, m in sizes:
         seed = benchmark_seed(n, m)
         p = generate_random_problem(n, m, seed, 1.0, 100.0)
         t0 = time.time()
