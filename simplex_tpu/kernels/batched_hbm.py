@@ -93,18 +93,26 @@ def _hbm_window_kernel(Tt_any, chi_in, clo_in, bh_in, bl_in, base_in,
     C_out[:] = jnp.zeros_like(C_out)
     Ft_out[:] = jnp.zeros_like(Ft_out)
 
+    # Every dynamic slice index must be EXPLICITLY i32: under x64 the
+    # index arithmetic can trace to i64 and Mosaic's tpu.memref_slice
+    # rejects it at verification — ON SILICON ONLY (interpret mode does
+    # not lower; found on the first real-TPU run of this kernel).
     def fetch_hstrip(h128):
+        start = pl.multiple_of((lane0 + jnp.int32(0)).astype(jnp.int32),
+                               8)
+        col = pl.multiple_of(h128.astype(jnp.int32), 128)
         dma = pltpu.make_async_copy(
-            Tt_any.at[pl.ds(lane0, m_pad), pl.ds(h128, 128)],
-            strip_scr, sems.at[0])
+            Tt_any.at[pl.ds(start, m_pad), pl.ds(col, 128)],
+            strip_scr, sems.at[jnp.int32(0)])
         dma.start()
         dma.wait()
         return strip_scr[:]
 
     def fetch_kslab(k8):
+        start = pl.multiple_of((lane0 + k8).astype(jnp.int32), 8)
         dma = pltpu.make_async_copy(
-            Tt_any.at[pl.ds(lane0 + pl.multiple_of(k8, 8), 8), :],
-            slab_scr, sems.at[1])
+            Tt_any.at[pl.ds(start, 8), :],
+            slab_scr, sems.at[jnp.int32(1)])
         dma.start()
         dma.wait()
         return slab_scr[:]
