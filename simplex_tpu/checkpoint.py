@@ -149,7 +149,8 @@ def _run_windows(tab: Tableau, options: SolverOptions, max_iter: int,
 def _resumable_core(problem: Problem, checkpoint_path: str,
                     checkpoint_every: int, options: SolverOptions, *,
                     build, phase2, pivot_out, put=None,
-                    make_run_for_r=None, n_shards: int = 0) -> SolveResult:
+                    make_run_for_r=None, n_shards: int = 0,
+                    refine_extraction: bool | None = None) -> SolveResult:
     """The shared two-phase resumable orchestration: load-or-build,
     windowed phase 1, the INFEASIBLE/DEGENERATE/MAXITER ladder, the
     phase-2 transition checkpoint, windowed phase 2, and the checkpoint
@@ -250,13 +251,48 @@ def _resumable_core(problem: Problem, checkpoint_path: str,
                            done, degenerate=degenerate)
     x = np.asarray(extract_solution(tab))
     objective = float(np.dot(problem.c, x))
+    refine_info = None
+    if refine_extraction is None:
+        from .config import refine_enabled
+
+        refine_extraction = refine_enabled(options)
+    if refine_extraction:
+        # f64 extraction refinement (mirror of two_phase.solve): even
+        # the all-f64 blocked loop carries ~1e-6-class TPU
+        # f64-EMULATION drift (BENCHMARKS accuracy table), so the
+        # last-resort fallback (two_phase.fallback_solve passes
+        # refine_extraction=True) refines against the host data with
+        # the final tableau's slack block as the preconditioner — a
+        # few matvecs, no LU.
+        from .refine import (RefineInfo, certificates_pass,
+                             refine_solution_tableau_host)
+
+        n_, m_ = problem.vars, problem.constraints
+        binv = np.asarray(tab.T[n_:n_ + m_, :m_])
+        ro = refine_solution_tableau_host(problem.A, problem.b,
+                                          problem.c, np.asarray(tab.base),
+                                          binv, n_, m_)
+        ok = certificates_pass(ro, problem.b, problem.c,
+                               float(options.refine_tol))
+        refine_info = RefineInfo(
+            certified=ok,
+            primal_residual=float(ro.primal_residual),
+            primal_negativity=float(ro.primal_negativity),
+            artificial_mass=float(ro.artificial_mass),
+            dual_infeasibility=float(ro.dual_infeasibility),
+            tol=float(options.refine_tol),
+            method="tableau",
+            objective_shift=float(ro.objective) - objective)
+        if ok:
+            x, objective = np.asarray(ro.x), float(ro.objective)
     return SolveResult(Status.OPTIMAL, x, objective, iters1, done,
-                       degenerate=degenerate)
+                       degenerate=degenerate, refine=refine_info)
 
 
 def solve_resumable(problem: Problem, checkpoint_path: str,
                     checkpoint_every: int = 1000,
                     options: SolverOptions | None = None,
+                    refine_extraction: bool | None = None,
                     **replacements) -> SolveResult:
     """Two-phase solve with iteration-level checkpoint/resume.
 
@@ -287,7 +323,8 @@ def solve_resumable(problem: Problem, checkpoint_path: str,
 
     return _resumable_core(problem, checkpoint_path, checkpoint_every,
                            options, build=build, phase2=phase2,
-                           pivot_out=pivot_out)
+                           pivot_out=pivot_out,
+                           refine_extraction=refine_extraction)
 
 
 def solve_resumable_sharded(problem: Problem, mesh, checkpoint_path: str,

@@ -37,11 +37,20 @@ WARM_TABLEAU_BYTE_CAP = 8 << 30
 
 
 def finish_from_basis(problem: Problem, base, options: SolverOptions,
-                      max_pivots: int | None = None
-                      ) -> SolveResult | None:
+                      max_pivots: int | None = None,
+                      _depth: int = 0) -> SolveResult | None:
     """Finish a solve in f64 from ``base`` (the mixed solve's final
     basis; tableau convention — [0, n) structural, [n, n+m) slack,
-    anything else artificial/dropped). See module docstring."""
+    anything else artificial/dropped). See module docstring.
+
+    Iterates: the warm walk optimizes a micro-CLAMPED right-hand side
+    (the drifted basis's exact-arithmetic infeasibility, <= the mixed
+    envelope), so its optimum can sit ~clamp-size off the true one
+    (observed 4.5e-7 relative on silicon). When the finished basis
+    fails the STRONG (1e-9 scale-relative) certificates, one more
+    round re-builds the exact tableau for it — the residual clamp
+    shrinks each round — up to two extra rounds before settling for
+    the ``refine_tol`` certificate."""
     m, n = problem.constraints, problem.vars
     R2 = n + m
     if R2 * m * 8 > WARM_TABLEAU_BYTE_CAP:
@@ -125,5 +134,16 @@ def finish_from_basis(problem: Problem, base, options: SolverOptions,
                                       t2.T[n:n + m, :], n, m)
     if not certificates_pass(ro, b, c, float(options.refine_tol)):
         return None
+    c_scale = 1.0 + float(np.max(np.abs(c))) if c.size else 1.0
+    d_scale = c_scale + float(np.max(np.abs(np.asarray(ro.y))))
+    strong = (float(ro.primal_residual) <= 1e-9 * b_scale
+              and float(ro.primal_negativity) <= 1e-9 * b_scale
+              and float(ro.artificial_mass) <= 1e-9 * b_scale
+              and float(ro.dual_infeasibility) <= 1e-9 * d_scale)
+    if not strong and _depth < 2:
+        again = finish_from_basis(problem, t2.base, options, max_pivots,
+                                  _depth=_depth + 1)
+        if again is not None:
+            return again
     return SolveResult(Status.OPTIMAL, np.asarray(ro.x),
                        float(ro.objective), 0, iters)

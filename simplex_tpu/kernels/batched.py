@@ -684,10 +684,11 @@ def batch_reprice_pass(Tt: jax.Array, c_hi: jax.Array, c_lo: jax.Array,
     # small lanes keep a single full-width tile (identical schedule to
     # the pre-tier kernel).
     from .batched_hbm import APPLY_TILE_BYTES
-    from .blocked import pick_tile_div
+    from .blocked import pick_tile_div_strict
 
-    tile_r = pick_tile_div(r_pad, 128,
-                           max(128, APPLY_TILE_BYTES // (4 * m_pad)))
+    tile_r = pick_tile_div_strict(
+        r_pad, 128, max(128, APPLY_TILE_BYTES // (4 * m_pad)))
+    assert r_pad % tile_r == 0, (r_pad, tile_r)
     tile = pl.BlockSpec((m_pad, tile_r), lambda b, t: (b, t),
                         memory_space=pltpu.VMEM)
     colv = pl.BlockSpec((m_pad, 1), lambda b, t: (b, _i0()),

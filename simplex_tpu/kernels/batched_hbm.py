@@ -36,7 +36,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .blocked import _i0, pick_tile_div
+from .blocked import _i0, pick_tile_div_strict
 from .batched import _window_pivot_loop
 
 #: Soft VMEM budget for the HBM-tier window kernel's per-lane working
@@ -174,8 +174,9 @@ def hbm_apply_pass(Tt: jax.Array, C: jax.Array, Ft: jax.Array,
     nb = C.shape[0] // L
     assert C.shape[0] % L == 0 and bm % nb == 0, (C.shape, L, bm)
     m_pad = bm // nb
-    tile_r = pick_tile_div(r_pad, 128,
-                           max(128, APPLY_TILE_BYTES // (4 * m_pad)))
+    tile_r = pick_tile_div_strict(
+        r_pad, 128, max(128, APPLY_TILE_BYTES // (4 * m_pad)))
+    assert r_pad % tile_r == 0, (r_pad, tile_r)
     grid = (nb, r_pad // tile_r)
 
     return pl.pallas_call(

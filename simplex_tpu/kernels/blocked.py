@@ -69,7 +69,9 @@ def pick_tile_div(dim: int, unit: int, target: int) -> int:
     """Like pick_tile, but prefer a tile that DIVIDES ``dim`` (searching
     multiples of ``unit`` from ``target`` down to ``target // 2``) so
     the grid has no partial edge block — callers can then skip the
-    edge-masking code path entirely. Falls back to pick_tile."""
+    edge-masking code path entirely. Falls back to pick_tile: THE
+    RESULT MAY NOT DIVIDE ``dim`` — callers must cdiv their grid.
+    Callers that floor-divide must use pick_tile_div_strict."""
     assert target % unit == 0, (target, unit)
     if dim <= target:
         return dim
@@ -77,6 +79,26 @@ def pick_tile_div(dim: int, unit: int, target: int) -> int:
         if dim % t == 0:
             return t
     return pick_tile(dim, unit, target)
+
+
+def pick_tile_div_strict(dim: int, unit: int, target: int) -> int:
+    """pick_tile_div with a GUARANTEED divisor: searches every multiple
+    of ``unit`` from ``target`` down to ``unit`` (``unit`` divides
+    ``dim`` by contract, so the search always succeeds) — a
+    floor-divided grid then covers the whole axis. The r5 HBM-tier
+    apply/reprice passes floor-divided a pick_tile_div result; at
+    r_pad = 4224/15104 the fallback returned the non-divisor 4096 and
+    the last partial tile was silently never processed — a corrupted
+    tableau that walked phase 2 into the iteration fuse and the TPU
+    watchdog (found on silicon; tests/test_batched_hbm.py pins these
+    shapes now)."""
+    assert dim % unit == 0 and target % unit == 0, (dim, unit, target)
+    if dim <= target:
+        return dim
+    for t in range(target, unit - 1, -unit):
+        if dim % t == 0:
+            return t
+    return unit
 
 
 # ---------------------------------------------------------------------------

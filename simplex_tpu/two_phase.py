@@ -353,7 +353,7 @@ def fallback_solve(problem: Problem, options: SolverOptions,
     path = os.path.join(tmpdir, "fallback.ckpt")
     try:
         return solve_resumable(problem, path, checkpoint_every=2000,
-                               options=opts64)
+                               options=opts64, refine_extraction=True)
     finally:
         for p in (path, tmpdir):
             try:

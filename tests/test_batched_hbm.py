@@ -109,6 +109,56 @@ class TestTierGate:
         assert hbm_tier_fits(512, 100096, 32)
 
 
+class TestNonDivisorTileShapes:
+    """r_pad values with no divisor in pick_tile_div's preferred band
+    (4224 = 128*33, 15104 = 128*118 — 33 and 118 have no factor
+    landing a multiple of 128 in [target/2, target]) made the r-tiled
+    apply/reprice fall back to a NON-divisor tile; the floor-divided
+    grid then silently skipped the last partial tile. Found ON SILICON
+    (corrupted phase-2 tableau -> iteration-fuse spin -> TPU watchdog
+    kill); pick_tile_div_strict + these pins close it."""
+
+    def test_strict_picker_always_divides(self):
+        from simplex_tpu.kernels.blocked import pick_tile_div_strict
+
+        for r_pad in (4224, 15104, 14080, 4608, 512, 14208, 128 * 59,
+                      128 * 7 * 13):
+            t = pick_tile_div_strict(r_pad, 128, 4096)
+            assert r_pad % t == 0 and t <= max(4096, r_pad if r_pad <= 4096 else 4096)
+
+    @pytest.mark.parametrize("r_pad", [4224, 2688])
+    def test_apply_covers_whole_axis(self, r_pad):
+        from simplex_tpu.kernels.batched_hbm import hbm_apply_pass
+
+        B, m_pad, L = 2, 512, 32
+        rng = np.random.default_rng(3)
+        Tt = jnp.asarray(rng.uniform(-1, 1, (B * m_pad, r_pad)),
+                         jnp.float32)
+        C = jnp.asarray(rng.uniform(-1, 1, (B * L, r_pad)), jnp.float32)
+        Ft = jnp.asarray(rng.uniform(-1, 1, (B * m_pad, L)), jnp.float32)
+        got = np.asarray(hbm_apply_pass(Tt, C, Ft, interpret=True))
+        want = np.asarray(Tt.reshape(B, m_pad, r_pad)
+                          - jnp.einsum("bml,blr->bmr",
+                                       Ft.reshape(B, m_pad, L),
+                                       C.reshape(B, L, r_pad),
+                                       precision="highest")
+                          ).reshape(B * m_pad, r_pad)
+        # the LAST columns are the ones the non-divisor grid dropped
+        np.testing.assert_allclose(got[:, -128:], want[:, -128:],
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def test_window_pass_equality_at_bad_shape(self):
+        args = _window_inputs(B=2, m_pad=512, r_pad=4224, seed=11)
+        kw = dict(L=32, r=4100, eps=1e-5, bland_static=False,
+                  threshold=50, devex=True, interpret=True)
+        a = batch_window_pass(*args, **kw)
+        b = hbm_window_pass(*args, **kw)
+        for name, x, y in zip(
+                "Tt chi clo bh bl base w scf sci cfh cfl".split(), a, b):
+            assert np.array_equal(np.asarray(x), np.asarray(y)), name
+
+
 class TestEndToEndForcedHbm:
     """Full two-phase solves through the auto glue with the VMEM budget
     forced to zero, so solve_loop_batched_kernel picks the HBM tier —

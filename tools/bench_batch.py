@@ -141,7 +141,10 @@ def main():
             f"(pivots {results[i].iterations_phase1}"
             f"+{results[i].iterations_phase2}, "
             f"refine={None if ri is None else (ri.certified, ri.fallback)})")
-        assert rel < 1e-9, (i, results[i].objective, want.objective)
+        # certified lanes are 1e-9-class; a fallback lane may settle at
+        # the finisher's refine_tol certificate (1e-6 scale-relative).
+        bound = 1e-6 if (ri is not None and ri.fallback) else 1e-9
+        assert rel < bound, (i, results[i].objective, want.objective)
     print("BENCH_BATCH_OK")
     return 0
 
