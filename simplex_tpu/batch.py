@@ -602,4 +602,6 @@ def _refine_lane(problem, base, options: SolverOptions,
                       float(ro.dual_infeasibility) if ro else float("inf"),
                       tol, fallback=True)
     result64 = fallback_solve(problem, options, base=np.asarray(base))
+    # Prefer the fallback's own certified RefineInfo when it has one.
+    info = (result64.refine or info)._replace(fallback=True)
     return dataclasses.replace(result64, refine=info)

@@ -145,5 +145,14 @@ def finish_from_basis(problem: Problem, base, options: SolverOptions,
                                   _depth=_depth + 1)
         if again is not None:
             return again
+    from .refine import RefineInfo
+
+    info = RefineInfo(
+        certified=True,
+        primal_residual=float(ro.primal_residual),
+        primal_negativity=float(ro.primal_negativity),
+        artificial_mass=float(ro.artificial_mass),
+        dual_infeasibility=float(ro.dual_infeasibility),
+        tol=float(options.refine_tol), method="finish")
     return SolveResult(Status.OPTIMAL, np.asarray(ro.x),
-                       float(ro.objective), 0, iters)
+                       float(ro.objective), 0, iters, refine=info)

@@ -687,7 +687,8 @@ def batch_reprice_pass(Tt: jax.Array, c_hi: jax.Array, c_lo: jax.Array,
     from .blocked import pick_tile_div_strict
 
     tile_r = pick_tile_div_strict(
-        r_pad, 128, max(128, APPLY_TILE_BYTES // (4 * m_pad)))
+        r_pad, 128,
+        max(128, APPLY_TILE_BYTES // (4 * m_pad) // 128 * 128))
     assert r_pad % tile_r == 0, (r_pad, tile_r)
     tile = pl.BlockSpec((m_pad, tile_r), lambda b, t: (b, t),
                         memory_space=pltpu.VMEM)

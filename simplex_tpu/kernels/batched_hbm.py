@@ -175,7 +175,8 @@ def hbm_apply_pass(Tt: jax.Array, C: jax.Array, Ft: jax.Array,
     assert C.shape[0] % L == 0 and bm % nb == 0, (C.shape, L, bm)
     m_pad = bm // nb
     tile_r = pick_tile_div_strict(
-        r_pad, 128, max(128, APPLY_TILE_BYTES // (4 * m_pad)))
+        r_pad, 128,
+        max(128, APPLY_TILE_BYTES // (4 * m_pad) // 128 * 128))
     assert r_pad % tile_r == 0, (r_pad, tile_r)
     grid = (nb, r_pad // tile_r)
 

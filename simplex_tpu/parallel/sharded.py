@@ -1193,8 +1193,9 @@ def solve_sharded(problem, mesh: Mesh,
             from ..two_phase import fallback_solve
 
             result64 = fallback_solve(problem, options, base=out.base)
-            return _dc.replace(
-                result64, refine=refine_info._replace(fallback=True))
+            info = (result64.refine or refine_info)._replace(
+                fallback=True)
+            return _dc.replace(result64, refine=info)
 
     return SolveResult(
         status=status,

@@ -310,11 +310,6 @@ def refine_solution_tableau_host(A, b, c, base, binv_t, n: int, m: int,
         y=y, xB=xB)
 
 
-refine_solution_batched = jax.jit(
-    jax.vmap(refine_solution, in_axes=(0, 0, 0, 0, None, None, None)),
-    static_argnames=("n", "m", "iters"))
-
-
 def refine_solution_host(A, b, c, base, n: int, m: int) -> RefineOutput | None:
     """Host (NumPy/LAPACK) mirror of ``refine_solution`` in straight
     f64 — no mixed-precision IR needed since LAPACK factorizes in f64

@@ -198,6 +198,12 @@ def solve_timed(problem: Problem, options: SolverOptions | None = None,
     options = options or DEFAULT_OPTIONS
     if replacements:
         options = dataclasses.replace(options, **replacements)
+    if per_iteration and options.pivot_rule is None:
+        # Per-iteration timing drives the SINGLE-PIVOT reference loop,
+        # where the auto rule's devex resolution (an f32 blocked-config
+        # default the user never chose) would otherwise raise below —
+        # auto resolves to the reference's own Dantzig here.
+        options = dataclasses.replace(options, pivot_rule="dantzig")
     if options.needs_x64:
         jax.config.update("jax_enable_x64", True)
     chrono = chrono or NullChrono()
@@ -311,7 +317,8 @@ def solve_timed(problem: Problem, options: SolverOptions | None = None,
         else:
             result64 = fallback_solve(problem, options,
                                       base=np.asarray(tab.base))
-            return dataclasses.replace(
-                result64, refine=refine_info._replace(fallback=True))
+            info = (result64.refine or refine_info)._replace(
+                fallback=True)
+            return dataclasses.replace(result64, refine=info)
     return SolveResult(Status.OPTIMAL, x, objective, iters1, iters2,
                        degenerate=degenerate, refine=refine_info)

@@ -395,11 +395,9 @@ def solve(problem: Problem, options: SolverOptions | None = None,
                            jnp.asarray(solve_problem.b),
                            jnp.asarray(solve_problem.c))
     binv = None
-    if refine_enabled(options) and scaling is None:
+    if refine_enabled(options):
         # Keep the final tableau's slack block on device: the LU-free
         # refinement preconditioner (refine.refine_solution_tableau).
-        # Equilibrated solves skip it — the block inverts the SCALED
-        # basis, not the original one refinement runs against.
         out, binv = solve_device_with_binv(A_dev, b_dev, c_dev, n, m,
                                            options)
     else:
@@ -411,25 +409,25 @@ def solve(problem: Problem, options: SolverOptions | None = None,
     objective = float(out.objective)
     if scaling is not None and x is not None:
         # Raw unwind (x = col * x', objective = c @ x in f64); a
-        # certified refinement below replaces this wholesale since it
-        # runs against the ORIGINAL problem data. Non-OPTIMAL
-        # objectives (phase-1 diagnostics) stay in scaled units.
+        # certified refinement below replaces this wholesale (it also
+        # unwinds exactly). Non-OPTIMAL objectives (phase-1
+        # diagnostics) stay in scaled units.
         x = scaling.col * np.asarray(x, np.float64)
         objective = float(problem.c @ x)
     refine_info = None
     extra_pivots = 0
     if status == Status.OPTIMAL and refine_enabled(options):
-        # Refinement always runs against the ORIGINAL f64 data — the
-        # basis is scale-free, so an equilibrated solve's refined
-        # x/objective/certificates come out in original units with no
-        # unwind step at all.
-        if scaling is None:
-            rx, robj, refine_info, ro = refine_result(
-                problem, out.base, options, A_dev, b_dev, c_dev,
-                raw_objective=objective, binv=binv)
-        else:
-            rx, robj, refine_info, ro = refine_result(
-                problem, out.base, options, raw_objective=objective)
+        # Refinement runs against the SOLVED problem's f64 data — for
+        # an equilibrated solve that is the SCALED problem: the
+        # power-of-two scaling is exact, optimality certificates are
+        # scale-invariant statements about the same basis, and refining
+        # in scaled space avoids factorizing/multiplying original-unit
+        # magnitudes an f32 preconditioner cannot represent (a 1e40
+        # coefficient overflows the LU path outright). Certified
+        # results unwind exactly below.
+        rx, robj, refine_info, ro = refine_result(
+            solve_problem, out.base, options, A_dev, b_dev, c_dev,
+            raw_objective=objective, binv=binv)
         base_cur = out.base
         if rx is None and binv is not None:
             # Device reinversion-restart rounds (reinvert.py): rebuild
@@ -454,19 +452,36 @@ def solve(problem: Problem, options: SolverOptions | None = None,
                 extra_pivots += int(out2.iterations_phase2)
                 base_cur, binv_cur = out2.base, binv2
                 rx, robj, refine_info, ro = refine_result(
-                    problem, base_cur, options, A_dev, b_dev, c_dev,
-                    raw_objective=float(out2.objective), binv=binv_cur)
+                    solve_problem, base_cur, options, A_dev, b_dev,
+                    c_dev, raw_objective=float(out2.objective),
+                    binv=binv_cur)
                 if rx is not None:
                     refine_info = refine_info._replace(method="restart")
-                    x, objective = rx, robj
                     break
 
         if rx is not None:
             x, objective = rx, robj
+            if scaling is not None:
+                # Exact unwind of the (scaled-space) certified values.
+                x = scaling.col * np.asarray(x, np.float64)
+                objective = float(problem.c @ x)
         else:
-            result64 = fallback_solve(problem, options, base=base_cur)
-            return dataclasses.replace(
-                result64, refine=refine_info._replace(fallback=True))
+            # The finishing tiers run on the SOLVED (possibly scaled)
+            # problem — the eps discipline stays meaningful in scaled
+            # units — then unwind. Prefer the fallback's OWN certified
+            # RefineInfo (the warm finisher and the refined chunked
+            # re-solve both attach one, in scaled space for an
+            # equilibrated solve); the pre-fallback failed certificates
+            # describe a solution that was thrown away.
+            result64 = fallback_solve(solve_problem, options,
+                                      base=base_cur)
+            if scaling is not None:
+                from .scaling import unwind_result
+
+                result64 = unwind_result(result64, scaling, problem)
+            info = (result64.refine or refine_info)._replace(
+                fallback=True)
+            return dataclasses.replace(result64, refine=info)
 
     return SolveResult(
         status=status,

@@ -103,6 +103,24 @@ class TestSolveEquilibrated:
         r = solve(p, SolverOptions(**MIXED, equilibrate=True))
         assert r.status == Status.INFEASIBLE
 
+    def test_beyond_f32_range_refines_in_scaled_space(self):
+        """|A| entries past f32's ~3.4e38 max: the original-unit LU
+        preconditioner would overflow outright, so refinement MUST run
+        in scaled space (r5 review fix) — certified, no fallback."""
+        base, _ = _extreme_problem(2)
+        rexp = np.linspace(-20, 20, base.constraints)
+        cexp = np.linspace(20, -20, base.vars)
+        A = base.A * (10.0 ** rexp)[:, None] * (10.0 ** cexp)[None, :]
+        assert np.abs(A).max() > 1e38          # f32-unrepresentable
+        p = Problem(A=A, b=base.b * (10.0 ** rexp),
+                    c=base.c * (10.0 ** cexp))
+        ro = solve_oracle(base)
+        r = solve(p, SolverOptions(**MIXED, equilibrate=True))
+        assert r.status == Status.OPTIMAL
+        assert r.refine is not None and r.refine.certified
+        assert not r.refine.fallback
+        assert r.objective == pytest.approx(ro.objective, rel=1e-9)
+
     def test_unbounded_survives_scaling(self):
         p = Problem(A=np.array([[1e25, -1e25]]), b=np.array([1e20]),
                     c=np.array([1e-20, 1.0]))
