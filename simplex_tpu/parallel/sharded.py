@@ -1015,7 +1015,8 @@ def pivot_out_artificials_sharded(tab: Tableau,
 def _two_phase_core(tab: Tableau, c: jax.Array, b_scale, inputs_finite,
                     options: SolverOptions,
                     max_iter: int,
-                    interpret: bool = False) -> ShardedSolveOutput:
+                    interpret: bool = False,
+                    with_binv: bool = False):
     """Both phases under one shard_map (mirror of
     two_phase.solve_device's device core, incl. the 'continue' degeneracy
     repair, the NUMERIC guards, and the recomputed ``c @ x`` objective —
@@ -1094,9 +1095,26 @@ def _two_phase_core(tab: Tableau, c: jax.Array, b_scale, inputs_finite,
                                     objective_opt, tab2.z))
     x = jnp.where(status == int(Status.OPTIMAL), x, jnp.zeros_like(x))
     iters2 = jnp.where(phase1_failed, 0, iters2)
-    return ShardedSolveOutput(status, x, objective,
-                              iters1.astype(jnp.int32),
-                              iters2.astype(jnp.int32), n_art, tab2.base)
+    out = ShardedSolveOutput(status, x, objective,
+                             iters1.astype(jnp.int32),
+                             iters2.astype(jnp.int32), n_art, tab2.base)
+    if not with_binv:
+        return out
+    # The final tableau's slack block, gathered to every shard: the
+    # LU-free refinement preconditioner (B^{-1}[k, j] = T2[n+j, k] —
+    # refine.refine_solution_tableau; without it the sharded wrapper's
+    # refinement pays an O(m^3) f32 LU, 21.7 s at m=8192 on TPU). Each
+    # shard scatter-adds its owned slack rows into the replicated
+    # (m, m) block; one psum completes it — once per SOLVE, not per
+    # pivot.
+    R_loc = _local_rows(tab2)
+    gi = _global_row_offset(tab2) + jnp.arange(R_loc)
+    sel = (gi >= n) & (gi < n + m)
+    rows = jnp.where(sel[:, None], tab2.T[:, :m], 0.0)
+    idx = jnp.where(sel, gi - n, m)
+    local = jnp.zeros((m + 1, m), tab2.T.dtype).at[idx].add(
+        rows, mode="drop")[:m]
+    return out, lax.psum(local, AXIS)
 
 
 def build_phase1_sharded(A, b, n: int, m: int, n_shards: int,
@@ -1115,7 +1133,8 @@ def make_sharded_solver(mesh: Mesh, n: int, m: int,
                         options: SolverOptions = DEFAULT_OPTIONS,
                         max_iter: int | None = None,
                         interpret: bool = False,
-                        donate_a: bool = False):
+                        donate_a: bool = False,
+                        with_binv: bool = False):
     """Build a jitted sharded two-phase solver for a fixed (n, m) over
     ``mesh`` (must have axis 'vars'). Returns ``fn(A, b, c) ->
     ShardedSolveOutput``; T/costs live row-sharded across the mesh for the
@@ -1132,13 +1151,19 @@ def make_sharded_solver(mesh: Mesh, n: int, m: int,
 
     tab_specs = tableau_specs(n, m, n + 2 * m)
 
+    out_specs = ShardedSolveOutput(
+        P(), P(None), P(), P(), P(), P(), P(None))
+    if with_binv:
+        # ``with_binv``: the core additionally emits the replicated
+        # (m, m) slack block (the refinement preconditioner).
+        out_specs = (out_specs, P(None, None))
     core = jax.shard_map(
         partial(_two_phase_core, options=options,
-                max_iter=resolved_max_iter, interpret=interpret),
+                max_iter=resolved_max_iter, interpret=interpret,
+                with_binv=with_binv),
         mesh=mesh,
         in_specs=(tab_specs, P(None), P(), P()),
-        out_specs=ShardedSolveOutput(
-            P(), P(None), P(), P(), P(), P(), P(None)),
+        out_specs=out_specs,
         check_vma=False,
     )
 
@@ -1173,9 +1198,13 @@ def solve_sharded(problem, mesh: Mesh,
     if options.needs_x64:
         jax.config.update("jax_enable_x64", True)
     m, n = problem.constraints, problem.vars
-    fn = make_sharded_solver(mesh, n, m, options, interpret=interpret)
-    out = jax.device_get(fn(jnp.asarray(problem.A), jnp.asarray(problem.b),
-                            jnp.asarray(problem.c)))
+    want_binv = refine_enabled(options)
+    fn = make_sharded_solver(mesh, n, m, options, interpret=interpret,
+                             with_binv=want_binv)
+    res = fn(jnp.asarray(problem.A), jnp.asarray(problem.b),
+             jnp.asarray(problem.c))
+    out, binv = res if want_binv else (res, None)
+    out = jax.device_get(out)
     status = Status(int(out.status))
 
     x = np.asarray(out.x) if status == Status.OPTIMAL else None
@@ -1186,7 +1215,8 @@ def solve_sharded(problem, mesh: Mesh,
         import dataclasses as _dc
 
         rx, robj, refine_info, _ro = refine_result(
-            problem, out.base, options, raw_objective=objective)
+            problem, out.base, options, raw_objective=objective,
+            binv=binv)
         if rx is not None:
             x, objective = rx, robj
         else:

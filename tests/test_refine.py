@@ -251,4 +251,7 @@ class TestSharded:
         ro = solve_oracle(p)
         assert r.status == ro.status == Status.OPTIMAL
         assert r.refine is not None and r.refine.certified
+        # the psum-gathered slack block preconditions it — no LU on the
+        # sharded production path either (r5)
+        assert r.refine.method == "tableau"
         assert r.objective == pytest.approx(ro.objective, rel=1e-9)
