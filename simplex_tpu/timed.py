@@ -319,6 +319,11 @@ def solve_timed(problem: Problem, options: SolverOptions | None = None,
                                       base=np.asarray(tab.base))
             info = (result64.refine or refine_info)._replace(
                 fallback=True)
-            return dataclasses.replace(result64, refine=info)
+            # Keep the TIMED walk's pivot counts — they describe the
+            # solve the chrono CSV rows recorded; the finisher's own
+            # counts (0 + a handful) would misread as the sweep's.
+            return dataclasses.replace(result64, refine=info,
+                                       iterations_phase1=iters1,
+                                       iterations_phase2=iters2)
     return SolveResult(Status.OPTIMAL, x, objective, iters1, iters2,
                        degenerate=degenerate, refine=refine_info)
