@@ -39,6 +39,12 @@ import numpy as np
 from .config import SolverOptions
 
 
+#: One-shot vs chunked structural fill threshold for build_phase1
+#: (bytes of the n x m structural block). Above it the transposed-fill
+#: temp would sit next to A and T in HBM (3.7 GB at the flagship).
+BUILD_CHUNK_BYTES = 1 << 30
+
+
 def round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
@@ -178,12 +184,35 @@ def build_phase1(A: jax.Array, b: jax.Array, n: int, m: int,
     sign = jnp.where(flip, -1.0, 1.0).astype(dtype)
 
     eye = jnp.eye(m, dtype=dtype)
-    T_real = jnp.concatenate([
-        A.T * sign[None, :],               # structural rows (n, m)
-        eye * sign[None, :],               # slack identity (m, m)
-        eye,                               # artificial identity (m, m)
-    ], axis=0)
-    T = jnp.zeros((R_pad, M_pad), dtype=dtype).at[:r, :m].set(T_real)
+    if n * m * dtype.itemsize <= BUILD_CHUNK_BYTES:
+        T_real = jnp.concatenate([
+            A.T * sign[None, :],           # structural rows (n, m)
+            eye * sign[None, :],           # slack identity (m, m)
+            eye,                           # artificial identity (m, m)
+        ], axis=0)
+        T = jnp.zeros((R_pad, M_pad), dtype=dtype).at[:r, :m].set(T_real)
+    else:
+        # Multi-GB builds: the one-shot ``A.T * sign`` above materializes
+        # a full transposed temp NEXT TO A and T (3.7 GB at the 10k x
+        # 100k flagship — the peak that kept solve() off flagship
+        # shapes). Fill the structural block in bounded chunks instead;
+        # the tail chunk re-writes a few already-written rows with
+        # identical values (dynamic_slice clamping), which is harmless.
+        T = jnp.zeros((R_pad, M_pad), dtype=dtype)
+        chunk = max(8, min(n, (1 << 28) // max(1, m * dtype.itemsize)))
+        steps = -(-n // chunk)
+
+        def body(i, T):
+            start = jnp.minimum(i * chunk, n - chunk).astype(jnp.int32)
+            blk = jax.lax.dynamic_slice(A, (jnp.int32(0), start),
+                                        (m, chunk))
+            blk = blk.T * sign[None, :]
+            return jax.lax.dynamic_update_slice(
+                T, blk, (start, jnp.int32(0)))
+
+        T = jax.lax.fori_loop(0, steps, body, T)
+        T = T.at[n:n + m, :m].set(eye * sign[None, :])
+        T = T.at[n + m:r, :m].set(eye)
     b_pad = jnp.zeros((M_pad,), dtype=vdtype).at[:m].set(
         b * sign.astype(vdtype))
 

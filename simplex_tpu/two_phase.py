@@ -171,7 +171,19 @@ def _solve_device_core(A: jax.Array, b: jax.Array, c: jax.Array,
             lambda t: t, tab)
 
     # ---- Phase 2 (twoPhaseMethod.cu:285-356) ----
-    tab2 = phase2_reset(tab, c, options)
+    # At multi-GB tableaus the artificial-block truncation is a
+    # 4-GB-class HLO temp (the row slice materializes next to the
+    # phase-1 copy — measured 1.55 GB past HBM at the 10k x 100k
+    # flagship with the binv output live). Past ~2 GB keep the phase-1
+    # row allocation and mask via ``r`` instead, exactly the sharded
+    # core's approach (its padded extent cannot shrink either); the
+    # wasted phase-2 rows are 2m/(n+2m) of the apply work. Below the
+    # threshold the walks stay bitwise identical to previous rounds.
+    if (tab.rows_padded * tab.cols_padded
+            * jnp.dtype(options.dtype).itemsize) > (1 << 31):
+        tab2 = phase2_reset(tab, c, options, r2_pad=tab.rows_padded)
+    else:
+        tab2 = phase2_reset(tab, c, options)
     costs0_2 = tab2.costs
     tab2 = gaussian_eliminate(tab2)
     tab2, status2, iters2 = run_solve_loop(tab2, options, max_iter,

@@ -139,3 +139,26 @@ def test_wide_and_tall_shapes():
         r, ro = solve(p), solve_oracle(p)
         assert r.status == ro.status == Status.OPTIMAL
         assert r.objective == pytest.approx(ro.objective, rel=1e-6)
+
+
+def test_chunked_flagship_build_matches_oneshot(monkeypatch):
+    """build_phase1's chunked structural fill (used past
+    BUILD_CHUNK_BYTES to keep multi-GB flagship builds inside HBM) is
+    bitwise identical to the one-shot concat path, including the
+    clamped-overlap tail chunk and negative-b sign flips."""
+    import jax.numpy as jnp
+
+    import simplex_tpu.tableau as tb
+    from simplex_tpu.config import SolverOptions
+
+    opts = SolverOptions(dtype=np.float32, vector_dtype=np.float64)
+    rng = np.random.default_rng(7)
+    m, n = 48, 300                      # n not divisible by the chunk
+    A = jnp.asarray(rng.uniform(-5, 5, (m, n)), jnp.float32)
+    b = jnp.asarray(rng.uniform(-2, 5, (m,)))   # mixed-sign rows
+    want = tb.build_phase1(A, b, n, m, opts)
+    monkeypatch.setattr(tb, "BUILD_CHUNK_BYTES", 1)   # force chunked
+    got = tb.build_phase1(A, b, n, m, opts)
+    for f in ("T", "b", "costs", "z", "base"):
+        np.testing.assert_array_equal(np.asarray(getattr(want, f)),
+                                      np.asarray(getattr(got, f)))

@@ -1,13 +1,21 @@
 """Measure the f64 refinement stage at the flagship shape on TPU.
 
 The r5 deliverable number: what does certifying a mixed-precision
-flagship solve (m=10k x n=100k) to f64 cost on top of the solve
-itself? Data is generated ON DEVICE (f32 — an 8 GB f64 A would not
-coexist with both tableau orientations in 16 GB HBM; refinement casts
-to f64 internally, certifying against the f32-representable problem
-actually being solved). Reports, separately: mixed solve wall, the
+flagship-class solve to f64 cost on top of the solve itself? Data is
+generated ON DEVICE (f32 — an 8 GB f64 A would not coexist with both
+tableau orientations in 16 GB HBM; refinement casts to f64 internally,
+certifying against the f32-representable problem actually being
+solved). Reports, separately: mixed solve wall, the
 tableau-preconditioned refine (compile and warm), and the resulting
 certificates.
+
+Measured envelope on the 16 GB v5e: the fused solve_device(+binv)
+program fits to ~n=50k at m=10k (A param + both tableau orientations
+across the two phase loops peak at 17.3 GB at n=100k — XLA cannot
+overlap the phase buffers across the repair cond). The FULL n=100k
+flagship is driven loop-level (bench.py) or sharded across chips,
+where per-chip memory scales; --vars 50000 is this tool's default
+measurement point for the refine overhead at full m.
 
 Run alone on the TPU: python tools/measure_refine_flagship.py
 """
@@ -28,7 +36,7 @@ def log(msg):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--vars", type=int, default=100_000)
+    ap.add_argument("--vars", type=int, default=50_000)
     ap.add_argument("--constraints", type=int, default=10_000)
     ap.add_argument("--block", type=int, default=128)
     args = ap.parse_args()
