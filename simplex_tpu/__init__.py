@@ -93,3 +93,21 @@ def solve_timed(problem, options=None, chrono=None, per_iteration=False,
     from .timed import solve_timed as _solve_timed
 
     return _solve_timed(problem, options, chrono, per_iteration, **kw)
+
+
+def solve_resumable(problem, checkpoint_path, checkpoint_every=1000,
+                    options=None, **kw):
+    """Two-phase solve with iteration-level checkpoint/resume."""
+    from .checkpoint import solve_resumable as _solve_resumable
+
+    return _solve_resumable(problem, checkpoint_path, checkpoint_every,
+                            options, **kw)
+
+
+def refine_solution_host(A, b, c, base, n, m):
+    """f64 basis-system refinement of a final basis against the
+    original problem data, on the host (refine.py; the r5 layer behind
+    every certified result)."""
+    from .refine import refine_solution_host as _r
+
+    return _r(A, b, c, base, n, m)
