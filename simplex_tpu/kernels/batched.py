@@ -51,8 +51,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import Status
-from .blocked import (BIG_INDEX, _fast_two_sum, _i0, _two_prod, _two_sum,
-                      cdiv)
+from .blocked import (BIG_INDEX, _fast_two_sum, _i0, _two_prod,
+                      _two_sum)
 
 #: Soft VMEM budget for one lane's tableau block (bytes). A grid step
 #: holds ~2 tableau blocks (separate in/out VMEM windows for the aliased

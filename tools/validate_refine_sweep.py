@@ -49,11 +49,9 @@ def main():
 
     import jax
     jax.config.update("jax_enable_x64", True)
-    import jax.numpy as jnp
 
-    from simplex_tpu import SolverOptions, Status, generate_random_problem
+    from simplex_tpu import SolverOptions, generate_random_problem
     from simplex_tpu.generator import benchmark_seed, benchmark_sizes
-    from simplex_tpu.refine import refine_solution
     from simplex_tpu.two_phase import solve
 
     options = SolverOptions(dtype=np.float32, vector_dtype=np.float64,
