@@ -121,11 +121,12 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
 
     ``tabs`` is a batched Tableau (leading batch axis on every data
     field; shared static n/m/r). Each ``lax.while_loop`` step dispatches
-    one ``batch_window_pass`` (up to L pivots per lane, whole lane
-    tableau VMEM-resident) followed by the exact window-boundary
-    re-pricing (``batch_reprice_pass``) with the same cadence/premature-
-    optimal contract as solve_loop_blocked_kernel — except the premature
-    test evaluates the kernel's own pair-exact eligibility arithmetic
+    one window pass (up to L pivots per lane) with the exact
+    window-boundary re-pricing FUSED into the pass itself — the in-VMEM
+    tier folds on its resident block, the HBM tier on each just-applied
+    tile — under the same cadence/premature-optimal contract as
+    solve_loop_blocked_kernel; the premature test evaluates the
+    kernel's own pair-exact eligibility arithmetic
     (``kernels.batched.pair_eligible``) on the repriced pair, the ONLY
     representation guaranteed to agree with the in-kernel optimality
     decision for every eps.
@@ -135,10 +136,8 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
     the caller), and such lanes are frozen (never pivoted again) while
     stragglers finish.
     """
-    from .kernels.blocked import (_fast_two_sum, _two_sum, ff32_from_f64,
-                                  ff32_to_f64)
-    from .kernels.batched import (batch_reprice_pass, batch_window_pass,
-                                  pair_eligible)
+    from .kernels.blocked import ff32_from_f64, ff32_to_f64
+    from .kernels.batched import batch_window_pass
 
     eps = float(options.eps_resolved)
     bland_static = options.pivot_rule_resolved == "bland"
@@ -163,24 +162,23 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
     assert tabs.T.dtype == jnp.float32 and R_pad % 128 == 0, (
         tabs.T.dtype, R_pad)
     run_i = jnp.int32(int(Status.RUNNING))
-    row_mask = (jnp.arange(R_pad) < tabs.r)[None, :]
 
     # Tier dispatch: whole-tableau-in-VMEM window kernel when the lane
     # fits, else the HBM tier (same shared pivot loop, tableau parked in
-    # HBM with per-pivot strip/slab DMAs — kernels/batched_hbm.py). The
-    # in-VMEM tier fuses the window-boundary re-pricing + premature-
-    # optimal reopen into the window kernel's own grid step (r5: one
-    # full-tableau re-read and one dispatch per window removed); the
-    # HBM tier keeps the separate r-tiled reprice pass.
+    # HBM with per-pivot strip/slab DMAs — kernels/batched_hbm.py).
+    # BOTH tiers fuse the window-boundary re-pricing + premature-
+    # optimal reopen into their own passes (r5: the in-VMEM kernel
+    # folds on its resident block; the HBM tier folds on each
+    # just-applied tile inside the apply stream) — one full-tableau
+    # re-read and one dispatch per window removed everywhere.
     from .kernels.batched import batch_kernel_fits
 
     if batch_kernel_fits(M_pad, R_pad, L):
         window_fn = batch_window_pass
-        fused_reprice = costs0 is not None
     else:
         from .kernels.batched_hbm import hbm_window_pass
         window_fn = hbm_window_pass
-        fused_reprice = False
+    fused_reprice = costs0 is not None
     window = partial(window_fn, L=L, r=tabs.r, eps=eps,
                      bland_static=bland_static, threshold=threshold,
                      devex=devex, fuse_reprice=fused_reprice,
@@ -240,44 +238,6 @@ def solve_loop_batched_kernel(tabs: Tableau, options: SolverOptions,
             # bounds mid-window overflow).
             w2 = jnp.where(jnp.max(w2, axis=1, keepdims=True) > 1e8,
                            jnp.ones_like(w2), w2)
-        status2 = sci2[:, 0]
-
-        if costs0 is not None and not fused_reprice:
-            # Exact re-pricing with the blocked-kernel cadence contract
-            # (the in-VMEM tier runs this INSIDE the window kernel —
-            # fused_reprice — with operation-identical arithmetic):
-            # off-cadence RUNNING windows skip it; a window that ENDS
-            # non-RUNNING always re-prices so the premature-optimal check
-            # runs on exact costs; long-finished lanes (inactive at
-            # entry) never re-price again.
-            do_r = active & ((status2 != run_i) | cadence_hit)
-            # ALL-f32 glue: costs0 rides as a pre-split double-f32 pair
-            # (c0h, c0l); the basic coefficients ride the cf pair the
-            # kernel maintains incrementally (== the old
-            # take_along_axis gather of c0[base2], value for value).
-            mv_hi, mv_lo = batch_reprice_pass(
-                Tt2, cfh2.reshape(B * M_pad, 1),
-                cfl2.reshape(B * M_pad, 1), do_r.astype(jnp.int32),
-                interpret=interpret)
-            s_e, e_e = _two_sum(c0h, -mv_hi)
-            chi_e, clo_e = _fast_two_sum(s_e, e_e + (c0l - mv_lo))
-            # Premature-optimal test via the KERNEL's own pair-exact
-            # eligibility arithmetic (``pair_eligible`` — the same f32
-            # two_sum the in-kernel candidates resolve), NOT a
-            # round-tripped f64 view against the f64 eps: whenever
-            # f32(eps) != eps a reduced cost can land between the two
-            # thresholds, reopening a lane in which the kernel finds no
-            # eligible column — a zero-pivot window cycle spinning to a
-            # false MAXITER (ADVICE r3). premature=True now guarantees
-            # the reopened window's first candidate scan succeeds.
-            eligible = (pair_eligible(chi_e, clo_e, jnp.float32(eps))
-                        & row_mask)
-            premature = (do_r & (status2 == jnp.int32(int(Status.OPTIMAL)))
-                         & jnp.any(eligible, axis=1))
-            sci2 = sci2.at[:, 0].set(jnp.where(premature, run_i, status2))
-            take = do_r[:, None]
-            chi2 = jnp.where(take, chi_e, chi2)
-            clo2 = jnp.where(take, clo_e, clo2)
 
         return (Tt2, chi2, clo2, bh2, bl2, base2, w2, scf2, sci2,
                 cfh2, cfl2, windows + 1)

@@ -160,6 +160,122 @@ def _apply_kernel(Tt_ref, Ft_ref, C_ref, out_ref):
         precision=lax.Precision.HIGHEST)
 
 
+def _apply_reprice_kernel(Tt_ref, Ft_ref, C_ref, cfh_ref, cfl_ref,
+                          flag_ref, out_ref, hi_out, lo_out, *, m_pad):
+    """Fused window apply + re-pricing fold for one tableau tile: the
+    exact same MXU apply as _apply_kernel, then the pair-accumulated
+    ``cf @ out`` fold over the JUST-COMPUTED tile while it is still in
+    VMEM — operation for operation batched._batch_reprice_kernel's
+    arithmetic (8-sublane grouping, same tree), so fused and separate
+    re-pricing stay bit-identical per column. Saves the reprice pass's
+    full tableau re-read (the largest per-window HBM cost of this
+    tier). Lanes with flag 0 emit zero folds (glue keeps their costs)."""
+    from .blocked import _two_prod, _two_sum
+
+    out_ref[:] = Tt_ref[:] - lax.dot_general(
+        Ft_ref[:], C_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST)
+
+    hi_out[:] = jnp.zeros_like(hi_out)
+    lo_out[:] = jnp.zeros_like(lo_out)
+
+    @pl.when(flag_ref[0, 0, 0] != 0)
+    def _accumulate():
+        sh = jnp.zeros((8, out_ref.shape[1]), jnp.float32)
+        sl = jnp.zeros_like(sh)
+
+        def body(g, carry):
+            sh, sl = carry
+            g8 = g * jnp.int32(8)
+            T8 = out_ref[pl.ds(g8, 8), :]
+            c8 = cfh_ref[pl.ds(g8, 8), :]
+            d8 = cfl_ref[pl.ds(g8, 8), :]
+            p, pe = _two_prod(c8, T8)
+            pe = pe + d8 * T8
+            s, e = _two_sum(sh, p)
+            return s, sl + (e + pe)
+
+        sh, sl = lax.fori_loop(jnp.int32(0), jnp.int32(m_pad // 8), body,
+                               (sh, sl))
+        width = 8
+        while width > 1:
+            half = width // 2
+            s, e = _two_sum(sh[:half], sh[half:width])
+            sl = sl[:half] + (e + sl[half:width])
+            sh = s
+            width = half
+        hi_out[0] = sh
+        lo_out[0] = sl
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def hbm_apply_reprice_pass(Tt: jax.Array, C: jax.Array, Ft: jax.Array,
+                           cfh: jax.Array, cfl: jax.Array,
+                           flags: jax.Array, interpret: bool = False):
+    """Fused apply + window-boundary re-pricing for HBM-resident lanes:
+    grid (B, r_tiles); each tile is applied on the MXU and immediately
+    pair-folded against the basic-coefficient columns — one streaming
+    read+write of the tableau per window instead of the apply's
+    read+write PLUS the reprice's re-read. The fold is complete within
+    a tile (it reduces over m; tiles partition r), so the outputs
+    assemble with no cross-tile combine. Returns (Tt2, hi, lo) with
+    hi/lo (B, r_pad)."""
+    bm, r_pad = Tt.shape
+    L = Ft.shape[1]
+    nb = C.shape[0] // L
+    assert C.shape[0] % L == 0 and bm % nb == 0, (C.shape, L, bm)
+    m_pad = bm // nb
+    tile_r = pick_tile_div_strict(
+        r_pad, 128,
+        max(128, APPLY_TILE_BYTES // (4 * m_pad) // 128 * 128))
+    assert r_pad % tile_r == 0, (r_pad, tile_r)
+    grid = (nb, r_pad // tile_r)
+
+    Tt2, hi, lo = pl.pallas_call(
+        functools.partial(_apply_reprice_kernel, m_pad=m_pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m_pad, tile_r), lambda b, t: (b, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, L), lambda b, t: (b, _i0()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, tile_r), lambda b, t: (b, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 1), lambda b, t: (b, _i0()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 1), lambda b, t: (b, _i0()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, t: (b, _i0(), _i0()),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((m_pad, tile_r), lambda b, t: (b, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_r), lambda b, t: (b, _i0(), t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_r), lambda b, t: (b, _i0(), t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bm, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, r_pad), jnp.float32),
+        ],
+        input_output_aliases={0: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * L + 20) * bm * r_pad,
+            bytes_accessed=2 * bm * r_pad * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(Tt, Ft, C, cfh.reshape(bm, 1), cfl.reshape(bm, 1),
+      flags.astype(jnp.int32).reshape(nb, 1, 1))
+    return Tt2, hi.reshape(nb, r_pad), lo.reshape(nb, r_pad)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def hbm_apply_pass(Tt: jax.Array, C: jax.Array, Ft: jax.Array,
                    interpret: bool = False) -> jax.Array:
@@ -223,13 +339,12 @@ def hbm_window_pass(Tt: jax.Array, chi: jax.Array, clo: jax.Array,
     too big for VMEM residency: one grid step per lane runs the window
     against the HBM tableau (strip/slab DMAs per pivot), then the
     r-tiled MXU apply folds the eta factors into the tableau. Same
-    array contract and the same pivot walks. ``fuse_reprice`` is not
-    supported here (the re-pricing needs the applied tableau, which
-    this kernel never holds whole — the glue keeps the separate r-tiled
-    batch_reprice_pass); the incremental cf columns are still
-    maintained so the glue can skip its gather."""
-    assert not fuse_reprice, (
-        "the HBM tier re-prices via the separate r-tiled pass")
+    array contract and the same pivot walks. With ``fuse_reprice`` the
+    window-boundary re-pricing rides the apply's own tile stream
+    (hbm_apply_reprice_pass — the fold happens on each just-applied
+    tile in VMEM, saving the reprice pass's full tableau re-read) and
+    the exact-cost merge + premature-optimal reopen run here in-trace,
+    mirroring the in-VMEM kernel's fused semantics bit for bit."""
     bm, r_pad = Tt.shape
     B = sci.shape[0]
     assert bm % B == 0, (bm, B)
@@ -301,10 +416,41 @@ def hbm_window_pass(Tt: jax.Array, chi: jax.Array, clo: jax.Array,
       cfh.reshape(bm, 1), cfl.reshape(bm, 1))
     (chi2, clo2, bh2, bl2, base2, w2, scf2, sci2,
      cfh2, cfl2, C, Ft) = out
+    chi2 = chi2.reshape(B, r_pad)
+    clo2 = clo2.reshape(B, r_pad)
+    sci2 = sci2.reshape(B, 8)
 
-    Tt2 = hbm_apply_pass(Tt, C, Ft, interpret=interpret)
-    return (Tt2, chi2.reshape(B, r_pad), clo2.reshape(B, r_pad),
+    if not fuse_reprice:
+        Tt2 = hbm_apply_pass(Tt, C, Ft, interpret=interpret)
+    else:
+        from ..config import Status
+        from .batched import pair_eligible
+        from .blocked import _fast_two_sum, _two_sum
+
+        run_i = jnp.int32(int(Status.RUNNING))
+        status2 = sci2[:, 0]
+        active = sci[:, 4] != 0
+        cadence_hit = sci[:, 6] != 0
+        # Same do_r contract as the glue/in-VMEM kernel: off-cadence
+        # RUNNING windows skip; a window ending non-RUNNING always
+        # re-prices; long-finished lanes never do.
+        do_r = active & ((status2 != run_i) | cadence_hit)
+        Tt2, mv_hi, mv_lo = hbm_apply_reprice_pass(
+            Tt, C, Ft, cfh2, cfl2, do_r, interpret=interpret)
+        s_e, e_e = _two_sum(c0h, -mv_hi)
+        chi_e, clo_e = _fast_two_sum(s_e, e_e + (c0l - mv_lo))
+        row_mask = (jnp.arange(r_pad) < r)[None, :]
+        eligible = (pair_eligible(chi_e, clo_e, jnp.float32(eps))
+                    & row_mask)
+        premature = (do_r & (status2 == jnp.int32(int(Status.OPTIMAL)))
+                     & jnp.any(eligible, axis=1))
+        sci2 = sci2.at[:, 0].set(jnp.where(premature, run_i, status2))
+        take = do_r[:, None]
+        chi2 = jnp.where(take, chi_e, chi2)
+        clo2 = jnp.where(take, clo_e, clo2)
+
+    return (Tt2, chi2, clo2,
             bh2.reshape(B, m_pad), bl2.reshape(B, m_pad),
             base2.reshape(B, m_pad), w2.reshape(B, r_pad),
-            scf2.reshape(B, 8), sci2.reshape(B, 8),
+            scf2.reshape(B, 8), sci2,
             cfh2.reshape(B, m_pad), cfl2.reshape(B, m_pad))

@@ -62,6 +62,23 @@ class TestWindowPassEquality:
                 "Tt chi clo bh bl base w scf sci cfh cfl".split(), a, b):
             assert np.array_equal(np.asarray(x), np.asarray(y)), name
 
+    @pytest.mark.parametrize("cadence", [0, 1])
+    def test_fused_reprice_bitwise_equal(self, cadence):
+        """With fuse_reprice on (the production glue configuration for
+        BOTH tiers since r5), the HBM tier's tile-stream fold + in-trace
+        merge must match the in-VMEM kernel's in-kernel fold bitwise,
+        with the cadence flag exercised both ways."""
+        args = list(_window_inputs(B=2, m_pad=128, r_pad=640, seed=5))
+        args[8] = args[8].at[:, 6].set(cadence)      # sci cadence_hit
+        kw = dict(L=16, r=630, eps=1e-5, bland_static=False,
+                  threshold=50, devex=True, fuse_reprice=True,
+                  interpret=True)
+        a = batch_window_pass(*args, **kw)
+        b = hbm_window_pass(*args, **kw)
+        for name, x, y in zip(
+                "Tt chi clo bh bl base w scf sci cfh cfl".split(), a, b):
+            assert np.array_equal(np.asarray(x), np.asarray(y)), name
+
     def test_multiwindow_chain_bitwise_equal(self):
         """Three chained windows (etas rebuilt each window, apply
         feeding the next window's stale reads) stay bitwise equal."""

@@ -46,16 +46,23 @@ def main():
     args = (Tt, chi, clo, bh, bl, base, w, scf, sci, c0h, c0l, cfh, cfl)
 
     for rule in ("dantzig", "devex", "bland"):
-        kw = dict(L=L, r=500, eps=1e-5, bland_static=(rule == "bland"),
-                  threshold=50, devex=(rule == "devex"))
-        a = batch_window_pass(*args, **kw)
-        hbm = hbm_window_pass(*args, **kw)
-        names = "Tt chi clo bh bl base w scf sci cfh cfl".split()
-        for name, x, y in zip(names, a, hbm):
-            same = np.array_equal(np.asarray(x), np.asarray(y))
-            assert same, (rule, name)
-        print(f"{rule}: HBM tier bitwise == VMEM tier on silicon",
-              file=sys.stderr, flush=True)
+        for fuse in (False, True):
+            kw = dict(L=L, r=500, eps=1e-5,
+                      bland_static=(rule == "bland"),
+                      threshold=50, devex=(rule == "devex"),
+                      fuse_reprice=fuse)
+            fargs = args
+            if fuse:
+                fargs = list(args)
+                fargs[8] = fargs[8].at[:, 6].set(1)   # cadence_hit
+            a = batch_window_pass(*fargs, **kw)
+            hbm = hbm_window_pass(*fargs, **kw)
+            names = "Tt chi clo bh bl base w scf sci cfh cfl".split()
+            for name, x, y in zip(names, a, hbm):
+                same = np.array_equal(np.asarray(x), np.asarray(y))
+                assert same, (rule, fuse, name)
+            print(f"{rule} fuse={fuse}: HBM tier bitwise == VMEM tier "
+                  "on silicon", file=sys.stderr, flush=True)
     print("PROBE_HBM_OK")
     return 0
 
