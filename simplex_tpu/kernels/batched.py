@@ -30,9 +30,10 @@ error-free two_sum), Dantzig/devex selection by pair-lexicographic
 pair-lexicographic tie ordering. The window re-pricing
 premature-optimal reopen check shares ``pair_eligible`` on the repriced
 pair, so glue and kernel can never disagree about "no eligible
-column". Exact window-boundary re-pricing runs as a separate batched
-pair-accumulation kernel (``batch_reprice_pass``) between window
-dispatches.
+column". Exact window-boundary re-pricing is FUSED into the window
+pass on both tiers (in-kernel fold here; per-applied-tile fold in the
+HBM tier); ``batch_reprice_pass`` remains as the standalone reference
+implementation both fused folds are pinned bit-identical against.
 
 Reference semantics mirrored per pivot (src/solver.cu:78-126): Dantzig
 argmin entering (lowest index on ties), ``a_h >= eps`` min-ratio leaving

@@ -22,8 +22,9 @@ The O(m*r) window apply runs as a separate r-tiled MXU pass
 (``hbm_apply_pass``, grid (B, r_tiles), tableau tiles double-buffered
 by the Pallas pipeline), once per L pivots — the 1/L-amortised
 bandwidth bill, unchanged from the in-VMEM tier. Window-boundary
-re-pricing reuses ``batched.batch_reprice_pass``, which r-tiles itself
-by the same budget.
+re-pricing rides that same tile stream (``hbm_apply_reprice_pass``
+folds each just-applied tile while it is in VMEM), so a window costs
+one tableau read+write, not read+write+re-read.
 """
 
 from __future__ import annotations
